@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``   — flagship query on sf0.001 (smoke check).
+- ``queries()``      — every implemented operator from SURVEY.md §2 as a
+  ``(spark, sf_dir) -> DataFrame`` callable.
+- ``oracle_sql()``   — DuckDB twin per query (omitted for genuinely
+  non-SQL-expressible ops: LSH/SimHash candidates, HLL sketches,
+  heuristic language-ID — those get the driver's rows-only check and
+  are semantics-tested in tests/).
+
+Implementation lives in the ``gomaxscale_spark`` package; this module is
+a thin adapter.
 """
 
 from __future__ import annotations
@@ -13,26 +18,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gomaxscale_spark.plans import all_queries
+from gomaxscale_spark.plans.cdc_stream import flagship_user_activity
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return flagship_user_activity(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.fn for name, q in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}

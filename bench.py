@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized via a noop write (all partitions
+computed, nothing collected to the driver) — the honest end-to-end cost
+of the plan, the same thing a cluster would execute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gomaxscale_spark.plans import all_queries
+from gomaxscale_spark.session import get_session
+
+#: Headline set: the flagship + one representative per operator family
+#: (agg, multiway join, as-of, window fns, event-time windows, snapshot,
+#: json, dedup×3, similarity, text×2, udf).
+HEADLINE = [
+    "flagship_user_activity",
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "asof_join_purchase_attribution",
+    "window_topk_orders_per_customer",
+    "tumbling_window_counts",
+    "session_window_per_user",
+    "cdc_snapshot_latest_state",
+    "json_extract_props",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "similarity_cosine_topk",
+    "text_quality_score",
+    "text_token_stats",
+    "udf_grouped_zscore",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_session("gomaxscale_spark_bench")
+    registry = all_queries()
+
+    # warm the JVM/codegen once on the cheapest query
+    materialize(registry["scan_filter_project"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        materialize(registry[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the standard ANN playbook:
+
+- **Brute force** (`cosine_topk`): exact, one pass, no shuffle for the
+  score (the query vector is a literal/broadcast); top-k via a single
+  ``orderBy ... limit`` which Spark executes as TakeOrderedAndProject
+  (per-partition heap + driver merge — no global sort materialized).
+- **LSH-bucketed** (`lsh_bucket_topk`): random-hyperplane signatures
+  restrict scoring to colliding buckets. At 100 TB this turns a full
+  scan per query into a bucket-pruned scan; signatures are computable
+  at ingest and usable as a partition/cluster key.
+
+All arithmetic is JVM-side (`zip_with` + `aggregate` higher-order
+functions, whole-stage codegen) — no Python in the hot path. Element
+order of the fold is the array order, so results are bit-reproducible.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ with double accumulation (float32 inputs upcast exactly)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector.
+
+    Scale: the literal query vector ships inside the serialized plan
+    (no join at all); scoring is a map; TakeOrderedAndProject keeps only
+    k rows per partition. Ties broken by id for determinism.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def pairwise_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a<b) within a blocking key whose cosine ≥ threshold.
+
+    Scale: the blocking key bounds the quadratic blowup — a shuffle-hash
+    self-join on ``block_col`` scores only within-block pairs. For
+    unblocked corpora use LSH bucketing (below) as the blocker instead.
+    """
+    a = embeddings.select(
+        F.col(block_col).alias("b_key"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+    )
+    b = embeddings.select(
+        F.col(block_col).alias("b_key"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+    )
+    return (
+        a.join(b, "b_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — no numpy needed at
+    plan-build time; planes are tiny and ship as literals)."""
+    planes: list[list[float]] = []
+    state = seed & 0x7FFFFFFF
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            row.append(state / 0x40000000 - 1.0)  # uniform [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(vec_col: Column, planes: Sequence[Sequence[float]]) -> Column:
+    """Random-hyperplane (SimHash-for-vectors) bucket id: one sign bit
+    per plane packed into a BIGINT. Same-bucket vectors are cosine-close
+    with high probability."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (dot(vec_col, p) > 0).cast("long")
+        sig = sig + F.shiftleft(bit, i)
+    return sig
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only the query's LSH bucket.
+
+    Scale: with signatures precomputed at ingest and the table clustered
+    by signature, this prunes the scan to ~N/2^n_planes rows; the probe
+    bucket id is a literal so Catalyst turns it into a partition filter.
+    """
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    # driver-side signature of the (single) query vector
+    qsig = 0
+    for i, plane in enumerate(planes):
+        s = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        qsig |= (1 if s > 0 else 0) << i
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    bucketed = embeddings.withColumn("__sig", lsh_signature(F.col(vec_col), planes))
+    return (
+        bucketed.filter(F.col("__sig") == qsig)
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

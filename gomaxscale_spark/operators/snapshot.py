@@ -1,0 +1,64 @@
+"""CDC snapshot materialization — table state at a point in time.
+
+The reference emits insert / update_before / update_after / delete
+events in GTID order ((domain, server_id, sequence, event_number),
+/root/reference/types.go:172-179); folding them by primary key yields
+the live table. This module is that fold, declaratively.
+
+Scale: one hash-shuffle on the primary key; the per-key "latest wins"
+is a window ``row_number`` (or ``max_by``), which AQE skew-splits on hot
+keys. At 100 TB of change events this is the standard
+compact-the-changelog plan; no state is held on the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+#: MaxScale CDC DML event types (/root/reference/types.go:178; FIXTURES.md B2).
+INSERT, UPDATE_BEFORE, UPDATE_AFTER, DELETE = (
+    "insert",
+    "update_before",
+    "update_after",
+    "delete",
+)
+
+
+def materialize_snapshot(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    event_type_col: str = "event_type",
+    as_of: Column | None = None,
+) -> DataFrame:
+    """Fold a change stream into current table state.
+
+    - ``update_before`` images are discarded (they carry the *old* row).
+    - the latest remaining event per key wins (ordered by ``order_cols``,
+      e.g. the GTID tuple or ``(ts_ns, event_number)``).
+    - keys whose latest event is a ``delete`` are dropped.
+    - ``as_of``: optional boolean column to time-travel (filter first).
+    """
+    df = changes
+    if as_of is not None:
+        df = df.filter(as_of)
+    df = df.filter(F.col(event_type_col) != UPDATE_BEFORE)
+    w = W.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col(event_type_col) != DELETE)
+        .drop("__rn")
+    )
+
+
+def route_by_event_type(changes: DataFrame, event_type_col: str = "event_type") -> dict[str, DataFrame]:
+    """Event-type routing (reference dispatch, stream.go:119-141): one
+    filtered DataFrame per change kind. Filters are pushed to the scan,
+    so each route reads only its slice under predicate pushdown."""
+    return {
+        t: changes.filter(F.col(event_type_col) == t)
+        for t in (INSERT, UPDATE_BEFORE, UPDATE_AFTER, DELETE)
+    }

@@ -1,0 +1,118 @@
+"""Text analysis for training-data pipelines: token stats, quality
+scoring, language identification, document fingerprinting.
+
+All row-local (embarrassingly parallel maps): quality/fingerprint are
+pure codegen expressions; language-ID is a small literal-profile scorer.
+At 100 TB these cost one scan with full column pruning (only ``text``
+is read) and no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from .dedup import tokenize
+
+#: A tiny English-ish stopword list (deterministic, matches the synthetic
+#: corpus vocabulary).
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+
+#: Character-bigram profiles for a toy language-ID heuristic. Public
+#: n-gram-frequency approach (Cavnar & Trenkle '94 style), profiles kept
+#: deliberately tiny; real deployments would load larger profiles as a
+#: broadcast lookup table.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"),
+    "de": ("en", "er", "ch", "de", "ei", "ie", "in", "te", "nd", "ge"),
+    "fr": ("es", "le", "de", "en", "re", "nt", "on", "er", "te", "el"),
+    "es": ("de", "es", "en", "el", "la", "os", "ar", "ue", "ra", "re"),
+    "pt": ("de", "os", "ar", "es", "ra", "ad", "en", "co", "nt", "ao"),
+}
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokenize(text))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    cleaned = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.when(
+        F.length(text) > 0, F.length(cleaned).cast("double") / F.length(text).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokenize(F.lower(text))
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.when(
+        F.size(toks) > 0, sw.cast("double") / F.size(toks).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0, 1]:
+    0.4·length-score + 0.3·stopword-presence + 0.3·(1 − punct-ratio).
+
+    Length score saturates at 200 tokens (≈ a solid paragraph). The
+    formula uses only +,*,min — deterministic and oracle-expressible.
+    """
+    ln = F.least(token_count(text).cast("double") / F.lit(200.0), F.lit(1.0))
+    sw = F.least(stopword_ratio(text) * F.lit(4.0), F.lit(1.0))
+    pr = F.lit(1.0) - F.least(punct_ratio(text) * F.lit(4.0), F.lit(1.0))
+    return F.round(F.lit(0.4) * ln + F.lit(0.3) * sw + F.lit(0.3) * pr, 6)
+
+
+def language_scores(text: Column) -> Column:
+    """Map of lang → matched-profile-bigram count over the text."""
+    lower = F.lower(text)
+    return F.map_from_arrays(
+        F.array(*[F.lit(lang) for lang in LANG_PROFILES]),
+        F.array(
+            *[
+                F.aggregate(
+                    F.array(*[F.lit(bg) for bg in profile]),
+                    F.lit(0),
+                    lambda acc, bg: acc
+                    + F.when(F.contains(lower, bg), F.lit(1)).otherwise(F.lit(0)),
+                )
+                for profile in LANG_PROFILES.values()
+            ]
+        ),
+    )
+
+
+def language_id(text: Column) -> Column:
+    """argmax over LANG_PROFILES scores; ties broken by profile order.
+
+    A deterministic n-gram-presence heuristic — the Spark-side plumbing
+    (literal profiles, aggregate fold, argmax) is the real deliverable;
+    swap in full trigram frequency profiles for production accuracy.
+    """
+    scores = language_scores(text)
+    langs = list(LANG_PROFILES)
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return best
+
+
+FINGERPRINT_MOD = 2_147_483_647  # 2³¹−1 (Mersenne prime) — keeps the fold in long range
+
+
+def fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash over whitespace tokens:
+    h = Σ fold (h·31 + len(tok) + codepoint(tok[0])) mod 2³¹−1.
+
+    Deterministic, order-sensitive (unlike MinHash), cheap — the classic
+    content-defined fingerprint for incremental re-crawl detection. Pure
+    `aggregate` fold → codegen, no shuffle.
+    """
+    return F.aggregate(
+        tokenize(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + F.length(t) + F.ascii(t)) % FINGERPRINT_MOD,
+    )

@@ -1,0 +1,213 @@
+"""CDC-bridge + event-time windowing catalog (SURVEY.md §2 Part C and
+B14 batch-equivalents) over the ``events`` stream table.
+
+The same DataFrame expressions run over the streaming CDC source
+(gomaxscale_spark.sources) with ``readStream`` — Structured Streaming
+semantics (watermarks, availableNow replay) are exercised in
+tests/test_streaming.py where a query can be driven to completion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.snapshot import materialize_snapshot
+from .base import query, t
+
+
+@query(
+    "cdc_event_routing",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+           min(event_id) AS first_id, max(event_id) AS last_id
+    FROM events GROUP BY event_type
+    """,
+    doc="C1 event-type routing (reference dispatch, stream.go:119-141): "
+    "per-type stream stats. The filter form pushes event_type into the "
+    "scan; sinks partitionBy(event_type) for routed writes.",
+)
+def cdc_event_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+    )
+
+
+@query(
+    "cdc_snapshot_latest_state",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, value, epoch_us(ts) AS ts_us, event_id,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts_us DESC, event_id DESC) AS rn
+      FROM ch
+    )
+    SELECT user_id, value AS last_value, ts_us AS last_ts_us
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+    """,
+    doc="C2 snapshot materialization: fold the change stream to current "
+    "state ('error' plays the delete role; ordering = exact ns + "
+    "event_id, the GTID-tuple analogue of types.go:173-176). Scale: one "
+    "shuffle on the PK; AQE splits hot keys. This is the changelog-"
+    "compaction plan used for 100 TB CDC lakes.",
+)
+def cdc_snapshot_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        # µs (not ns) so ordering/output agree with the oracle engine,
+        # which truncates the ns parquet to µs on read
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_type") == "error", "delete").otherwise("insert").alias("op"),
+    )
+    snap = materialize_snapshot(
+        e, key_cols=["user_id"], order_cols=["ts_us", "event_id"], event_type_col="op"
+    )
+    return snap.select(
+        "user_id", F.col("value").alias("last_value"), F.col("ts_us").alias("last_ts_us")
+    )
+
+
+@query(
+    "tumbling_window_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="B14/A12 tumbling event-time window (1h) — the reference's "
+    "WithStats periodic aggregation (gomaxscale.go:120-135) generalized "
+    "to event time. Streaming twin: groupBy(window(ts,'1 hour')) with "
+    "withWatermark — tests/test_streaming.py asserts batch≡stream.",
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "sliding_window_counts",
+    oracle="""
+    WITH w AS (
+      SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS window_start, value
+      FROM events
+      UNION ALL
+      SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+                            - 1800000000) AS window_start, value
+      FROM events
+    )
+    SELECT window_start, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM w GROUP BY window_start
+    """,
+    doc="B14 sliding window (1h window, 30m slide): each event lands in "
+    "exactly two windows. Spark's window() does the fan-out pre-"
+    "aggregation; the oracle states the same assignment arithmetic.",
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"), "n", "sum_value"
+        )
+    )
+
+
+@query(
+    "session_window_per_user",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), y AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM x
+    )
+    SELECT user_id, date_trunc('second', min(ts)) AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM y GROUP BY user_id, session_id
+    """,
+    doc="B14 session windows (30m gap) via session_window() — "
+    "sessionization for user-activity streams. Oracle = the classic "
+    "gaps-and-islands formulation. Session start truncated to seconds "
+    "(ns-vs-µs precision discipline).",
+)
+def session_window_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_trunc("second", F.col("sw.start")).cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "flagship_user_activity",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, value, date_trunc('hour', ts) AS hour_start,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT n.n_name, p.hour_start,
+           count(*) AS n_purchases,
+           round(sum(p.value), 2) AS revenue,
+           round(avg(p.k), 4) AS avg_k
+    FROM purchases p
+    JOIN customer c ON c.c_custkey = p.user_id
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name, p.hour_start
+    """,
+    doc="Phase-0 flagship (SURVEY §7): RawData-style JSON projection "
+    "(A8/B12) → event routing (C1) → broadcast dim join (B3) → "
+    "event-time tumbling agg (A12/B14). The spine of the engine in one "
+    "query. Scale: events shuffle once on user_id; customer joins "
+    "shuffled, nation broadcast; agg keys are (nation, hour) — tiny.",
+)
+def flagship_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "value",
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return (
+        purchases.join(c, c.c_custkey == purchases.user_id)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("n_name", "hour_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )

@@ -1,0 +1,382 @@
+"""LLM-data-pipeline operator catalog (SURVEY.md §2 B15-B18 + north
+star): dedup family, similarity search, text analysis, multimodal
+plumbing, and the three Python-UDF shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as TX
+from ..operators import udfs as U
+from .base import query, t
+
+# ------------------------------------------------------------- B15 dedup
+
+@query(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY text
+    """,
+    doc="B15 exact dedup: one representative per distinct text. Scale: "
+    "at 100 TB group on xxhash64(text) so the shuffle key is 8 bytes "
+    "(exposed as dedup_exact_hashed below); shown here on the raw text "
+    "for oracle comparability.",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return D.exact_dedup(d, ["text"], "doc_id")
+
+
+@query(
+    "dedup_exact_dropduplicates",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="B15 exact dedup via dropDuplicates (hash agg under the hood).",
+)
+def dedup_exact_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.select("user_id", "event_type").dropDuplicates()
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=None,  # LSH banding is probabilistic-recall → rows-only check;
+    # exactness of the pipeline is pytest-verified against brute-force
+    # Jaccard on small data (tests/test_dedup.py).
+    doc="B15 MinHash+LSH near-dup candidates (shingle→minhash→band→"
+    "bucket join). Scale: the only shuffle carries (doc_id, 16 band "
+    "hashes); documents never move. Verify stage = ngram_jaccard below.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates(d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang, n_chars // 100 AS len_band,
+             list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks)
+                    - len(list_filter(a.toks, x -> list_contains(b.toks, x)))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.len_band = b.len_band
+                        AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+          / (len(a.toks) + len(b.toks)
+             - len(list_filter(a.toks, x -> list_contains(b.toks, x)))) >= 0.5
+    """,
+    doc="B15 exact unigram-Jaccard near-dup within (lang, length-band) "
+    "blocks — the deterministic verify stage of the dedup pipeline. "
+    "Scale: block keys bound the quadratic self-join; at 100 TB the "
+    "block is the LSH bucket instead.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").withColumn(
+        "len_band", F.floor(F.col("n_chars") / 100).cast("long")
+    )
+    return D.ngram_jaccard_pairs(
+        d, "doc_id", "text", ["lang", "len_band"], threshold=0.5, shingle_n=1
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # depends on Spark's xxhash64 (engine-specific) → rows-only;
+    # semantics pytest-verified (hamming bound vs brute force).
+    doc="B15 SimHash near-dup (4×16-bit chunk banding, pigeonhole "
+    "guarantee for hamming ≤ 3). All JVM bit-ops; shuffle carries 4 "
+    "(chunk, 16-bit) keys per doc.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return D.simhash_near_duplicates(d, "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round((SELECT sum(CAST(x.u AS DOUBLE) * CAST(x.v AS DOUBLE))
+                  FROM (SELECT unnest(a.embedding) u, unnest(b.embedding) v) x)
+                 / (sqrt((SELECT sum(CAST(x.u AS DOUBLE)*CAST(x.u AS DOUBLE))
+                          FROM (SELECT unnest(a.embedding) u) x))
+                    * sqrt((SELECT sum(CAST(x.v AS DOUBLE)*CAST(x.v AS DOUBLE))
+                            FROM (SELECT unnest(b.embedding) v) x))), 6) AS score
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE (SELECT sum(CAST(x.u AS DOUBLE) * CAST(x.v AS DOUBLE))
+           FROM (SELECT unnest(a.embedding) u, unnest(b.embedding) v) x)
+          / (sqrt((SELECT sum(CAST(x.u AS DOUBLE)*CAST(x.u AS DOUBLE))
+                   FROM (SELECT unnest(a.embedding) u) x))
+             * sqrt((SELECT sum(CAST(x.v AS DOUBLE)*CAST(x.v AS DOUBLE))
+                     FROM (SELECT unnest(b.embedding) v) x))) >= 0.3
+    """,
+    doc="B15 embedding-cosine near-dup within label blocks. Scale: "
+    "blocking bounds the O(n²); for unlabeled corpora the LSH bucket "
+    "(similarity.lsh_signature) is the blocker. Dot/norm folds are "
+    "sequential doubles → bit-identical across engines.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return S.pairwise_near_duplicates(e, threshold=0.3, block_col="label")
+
+
+# -------------------------------------------------------- B16 similarity
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The search vector (vec_id 0) — a one-row lookup, the 'user input'."""
+    row = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row[0]]
+
+
+@query(
+    "similarity_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round((SELECT sum(CAST(x.u AS DOUBLE) * CAST(x.v AS DOUBLE))
+                  FROM (SELECT unnest(e.embedding) u, unnest(q.qv) v) x)
+                 / (sqrt((SELECT sum(CAST(x.u AS DOUBLE)*CAST(x.u AS DOUBLE))
+                          FROM (SELECT unnest(e.embedding) u) x))
+                    * sqrt((SELECT sum(CAST(x.v AS DOUBLE)*CAST(x.v AS DOUBLE))
+                            FROM (SELECT unnest(q.qv) v) x))), 6) AS score
+    FROM embeddings e, q
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+    """,
+    doc="B16 brute-force cosine top-k: the exact ANN baseline. Scale: "
+    "query vector ships as a plan literal (no join); one scan + "
+    "TakeOrderedAndProject. 100 TB path = lsh variant below.",
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(e, _query_vector(spark, sf_dir), k=10)
+
+
+@query(
+    "similarity_lsh_bucketed",
+    oracle=None,  # approximate (bucket-pruned recall) → rows-only;
+    # recall vs brute force pytest-checked.
+    doc="B16 LSH-bucketed ANN: random-hyperplane signatures prune the "
+    "scan to the query's bucket (~N/2^planes rows). Signatures are "
+    "ingest-time computable → usable as a clustering/partition key.",
+)
+def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return S.lsh_bucket_topk(e, _query_vector(spark, sf_dir), k=10, n_planes=4)
+
+
+# -------------------------------------------------------------- B17 text
+
+@query(
+    "text_language_breakdown",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+    doc="B17 corpus breakdown per language.",
+)
+def text_language_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS INTEGER)
+               AS n_distinct_tokens,
+           round(CAST(len(replace(text, ' ', '')) AS DOUBLE)
+                 / len(list_filter(string_split(text, ' '), x -> x <> '')), 4) AS avg_token_len
+    FROM documents
+    """,
+    doc="B17 per-document token statistics (token counting for context-"
+    "length budgeting). Row-local → map-only at any scale.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = D.tokenize(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(toks), 4
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS n_toks,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> x IN ('the','a','of','to','and','in','is'))) AS DOUBLE) AS n_stop,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n]', '', 'g')) AS DOUBLE)
+                 / length(text) AS punct_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           round(0.4 * least(n_toks / 200.0, 1.0)
+                 + 0.3 * least((CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0 END) * 4.0, 1.0)
+                 + 0.3 * (1.0 - least(punct_ratio * 4.0, 1.0)), 6) AS quality
+    FROM s
+    """,
+    doc="B17 composite quality heuristic (length/stopword/punct) — the "
+    "standard pre-training filter signals, all codegen expressions.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "text_language_id",
+    oracle=None,  # heuristic profile scorer → rows-only; accuracy
+    # pytest-checked on crafted fixtures.
+    doc="B17 n-gram language-ID heuristic (Cavnar-Trenkle-style profile "
+    "presence scoring, literal profiles → pure map).",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", TX.language_id(F.col("text")).alias("lang_guess"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                              x -> CAST(length(x) + ascii(x) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+    FROM documents
+    """,
+    doc="B17 polynomial rolling-hash document fingerprint (order-"
+    "sensitive, unlike MinHash). Pure fold → codegen map.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+# --------------------------------------------------------- B18 UDF shapes
+
+@query(
+    "udf_pandas_scalar_log1p",
+    oracle="""
+    SELECT event_id, round(ln(1 + value), 6) AS log_value FROM events
+    """,
+    doc="B18 scalar pandas_udf (Arrow-vectorized numpy): the sanctioned "
+    "slow path. Here only to prove the surface — ln(1+x) would be "
+    "built-in in production.",
+)
+def udf_pandas_scalar_log1p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.select("event_id", F.round(U.log1p_value(F.col("value")), 6).alias("log_value"))
+
+
+@query(
+    "udf_grouped_zscore",
+    oracle="""
+    WITH g AS (SELECT user_id FROM events GROUP BY user_id HAVING count(*) >= 2)
+    SELECT e.user_id, e.event_id,
+           round((e.value - avg(e.value) OVER (PARTITION BY e.user_id))
+                 / stddev_samp(e.value) OVER (PARTITION BY e.user_id), 6) AS zscore
+    FROM events e JOIN g ON g.user_id = e.user_id
+    """,
+    doc="B18 applyInPandas (grouped-map UDAF shape): per-user z-score. "
+    "Scale: one shuffle on user_id; groups are small and numerous — "
+    "the right applyInPandas usage pattern.",
+)
+def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return U.zscore_per_group(e, "user_id", "value")
+
+
+@query(
+    "udf_mapinpandas_doc_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INTEGER)
+               AS n_tokens,
+           CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS INTEGER) AS n_upper,
+           CAST(length(text) AS INTEGER) AS recomputed_chars
+    FROM documents
+    """,
+    doc="B18 mapInPandas (UDTF shape): per-partition Arrow batches in/out.",
+)
+def udf_mapinpandas_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return U.doc_stats_mapinpandas(d)
+
+
+# ------------------------------------------------------------- multimodal
+
+@query(
+    "multimodal_decode_features",
+    oracle="""
+    SELECT doc_id, 'image/fake' AS mime,
+           CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+           CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height
+    FROM documents
+    """,
+    doc="Multimodal plumbing: binary media column + mapInPandas decode/"
+    "feature-extract stage (codec stubbed — deterministic fake; see "
+    "operators/multimodal.py). Schema, Arrow batching and partition "
+    "behavior are the real, tested surface.",
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    decoded = M.decode_media(M.attach_media(d))
+    return decoded.select("doc_id", "mime", "byte_len", "width", "height")
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(f.frame_no AS INTEGER) AS frame_no,
+           CAST(f.frame_no * 640 AS INTEGER) AS frame_offset_bytes
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(0,
+                  CAST(floor(octet_length(encode(text)) / 640.0) AS INTEGER))) AS frame_no) f
+    """,
+    doc="Multimodal frame-sampling stub: explode-style fan-out of "
+    "(doc, frame) pairs — the video-frame extraction shape.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    media = M.attach_media(d)
+    frames = media.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.floor(F.length("media") / 640.0).cast("int"))
+        ).alias("frame_no"),
+    )
+    return frames.withColumn("frame_offset_bytes", F.col("frame_no") * 640)

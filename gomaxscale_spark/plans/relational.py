@@ -1,0 +1,902 @@
+"""Relational operator catalog (SURVEY.md §2 Part B, B1-B13).
+
+Every query carries a *Scale* note. Recurring choices:
+- dims (region/nation/supplier, O(10..100) rows at any SF) are
+  explicitly ``F.broadcast`` — no shuffle for the build side;
+- fact-fact joins shuffle on the join key and rely on AQE for skew;
+- aggregates are plain hash aggs (map-side partial combine is automatic);
+- top-k is ``orderBy().limit()`` → TakeOrderedAndProject (heap per
+  partition, merge on driver — never a full global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..operators.asof import asof_join
+from .base import query, t
+
+
+# ---------------------------------------------------------------- B1/B2
+
+@query(
+    "scan_filter_project",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(o_totalprice * 0.8, 2) AS discounted,
+           upper(o_orderpriority) AS priority
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 150000
+    """,
+    doc="B1/B2: scan + predicate + projection. Scale: filter and the "
+    "4-column ReadSchema push into the parquet scan (verified via "
+    "explain — PushedFilters on o_orderstatus/o_totalprice).",
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000)).select(
+        "o_orderkey",
+        "o_custkey",
+        # ×0.8 not ×0.9: cents×8 never lands on a decimal .xx5 tie, so
+        # round(…, 2) agrees bit-for-bit across engines (cents×9 can tie)
+        F.round(F.col("o_totalprice") * 0.8, 2).alias("discounted"),
+        F.upper("o_orderpriority").alias("priority"),
+    )
+
+
+# ---------------------------------------------------------------- B6 aggs
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 2)                                        AS avg_qty,
+           round(avg(l_extendedprice), 2)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape (flagship agg). Scale: partial-agg map-side, 6 "
+    "groups shuffle; dominated by the scan — the plan is one "
+    "WholeStageCodegen over the parquet scan.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_stats_per_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                              AS n_orders,
+           count(DISTINCT o_custkey)             AS n_customers,
+           round(sum(o_totalprice), 2)           AS sum_price,
+           round(avg(o_totalprice), 2)           AS avg_price,
+           round(min(o_totalprice), 2)           AS min_price,
+           round(max(o_totalprice), 2)           AS max_price,
+           round(stddev_samp(o_totalprice), 2)   AS std_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="B6: the full basic-agg battery incl. exact count-distinct. "
+    "Scale: count(distinct) expands to a two-phase agg "
+    "(partial per (priority, custkey) then final) — no driver state.",
+)
+def agg_stats_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.stddev_samp("o_totalprice"), 2).alias("std_price"),
+    )
+
+
+@query(
+    "agg_approx_count_distinct",
+    oracle=None,  # HLL sketches differ across engines by design → rows-only
+    doc="B6: approx_count_distinct (HyperLogLog++). Scale: constant "
+    "memory per group regardless of cardinality — the 100 TB "
+    "replacement for exact count-distinct dashboards.",
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@query(
+    "percentiles_per_status",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="B6: exact interpolated percentiles. Scale: exact percentile "
+    "holds per-group values — at 100 TB swap to approx_percentile "
+    "(t-digest, bounded memory); exposed here exact for oracle parity.",
+)
+def percentiles_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+    )
+
+
+# ---------------------------------------------------------------- B3 joins
+
+@query(
+    "join_inner_customer_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_spent
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    doc="B3 inner equi-join + agg. Scale: both sides shuffle on custkey "
+    "(sort-merge or shuffled-hash via AQE); at 100 TB pre-bucketing "
+    "both tables on custkey makes this shuffle-free.",
+)
+def join_inner_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_left_orders_per_customer",
+    oracle="""
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    doc="B3 left outer join (customers with zero orders kept).",
+)
+def join_left_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_right_suppliers_per_nation",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, count(s.s_suppkey) AS n_suppliers
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_nationkey, n.n_name
+    """,
+    doc="B3 right outer join (all nations kept).",
+)
+def join_right_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@query(
+    "join_full_outer_nation_presence",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    doc="B3 full outer join of two aggregates (nations with only "
+    "customers / only suppliers surface as NULL sides).",
+)
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c.nk == s.nk_s, "full").select(
+        F.coalesce(c.nk, s.nk_s).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "join_semi_customers_with_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    """,
+    doc="B3 left-semi join (EXISTS). Scale: semi-join shuffles only "
+    "keys of the right side — no payload duplication.",
+)
+def join_semi_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="B3 left-anti join (NOT EXISTS).",
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way join with dim broadcast. Scale: region/"
+    "nation/supplier are broadcast (no shuffle); the two fact joins "
+    "shuffle on orderkey/custkey — the canonical star-join plan. The "
+    "region filter prunes via the broadcasted dim before the fact scan "
+    "finishes (DPP-style at lake scale).",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# ------------------------------------------------------- B4 range / theta
+
+RANGE_ORACLE = """
+    SELECT p.p_partkey, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+    FROM part p JOIN events e
+      ON e.value >= p.p_size * 10 AND e.value < p.p_size * 10 + 20
+    WHERE p.p_size <= 5
+    GROUP BY p.p_partkey
+"""
+
+
+@query(
+    "range_join_theta",
+    oracle=RANGE_ORACLE,
+    doc="B4 theta/range join, literal form. Scale: Spark executes this "
+    "as BroadcastNestedLoopJoin — correct but O(|small|·|big|); we "
+    "broadcast the pre-filtered small side so the big side streams once. "
+    "See range_join_bucketed for the 100 TB formulation.",
+)
+def range_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    e = t(spark, sf_dir, "events")
+    cond = (e.value >= p.p_size * 10) & (e.value < p.p_size * 10 + 20)
+    return (
+        e.join(F.broadcast(p), cond)
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@query(
+    "range_join_bucketed",
+    oracle=RANGE_ORACLE,
+    doc="B4, scale path: bucketize the range key so the band predicate "
+    "becomes an equi-join. Each part row expands to its two covering "
+    "value-buckets (width 20 == band width); events hash to one bucket; "
+    "join on bucket + residual filter. Scale: shuffle-hash join instead "
+    "of a nested loop — survives both sides being huge. Same oracle as "
+    "range_join_theta (identical semantics).",
+)
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    e = t(spark, sf_dir, "events")
+    # band [p_size*10, p_size*10+20) spans exactly two width-20 buckets
+    p2 = p.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("p_size") * 10 / 20).cast("long"),
+                F.floor((F.col("p_size") * 10 + 19.999999) / 20).cast("long"),
+            )
+        ),
+    ).dropDuplicates(["p_partkey", "bucket"])
+    e2 = e.withColumn("bucket", F.floor(F.col("value") / 20).cast("long"))
+    cond = (
+        (e2.value >= p2.p_size * 10)
+        & (e2.value < p2.p_size * 10 + 20)
+    )
+    return (
+        e2.join(p2, "bucket")
+        .filter(cond)
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@query(
+    "asof_join_purchase_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           arg_max(c.event_id, epoch_us(c.ts)) AS last_click_id,
+           max(epoch_us(c.ts)) AS last_click_ts_us
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND epoch_us(c.ts) <= epoch_us(p.ts)
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+    doc="B5 as-of join via the union-sort trick (operators/asof.py): "
+    "last-click attribution — for each purchase, the user's latest "
+    "click at or before it. One shuffle on user_id, window carry-"
+    "forward, no L×R fan-out. The oracle states the same semantics as "
+    "join+argmax — the plan that does NOT scale (expands every "
+    "purchase × prior-click pair). Exact µs longs both sides (DuckDB "
+    "truncates the ns parquet to µs, so µs is the comparison domain).",
+)
+def asof_join_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")  # integer div: double ÷ loses µs at 1e18 ns
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("uid"), "ts_us"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("uid"), "ts_us", "event_id"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="uid",
+        left_time="ts_us",
+        right_time="ts_us",
+        payload={"event_id": "last_click_id", "ts_us": "last_click_ts_us"},
+        how="inner",
+    )
+    return joined.select("purchase_id", "last_click_id", "last_click_ts_us")
+
+
+# ------------------------------------------------- B7 rollup/cube/gsets
+
+@query(
+    "rollup_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="B7 rollup: hierarchical subtotals + grand total.",
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="B7 cube: all grouping combinations. Scale: cube expands each "
+    "input row 2^d times pre-shuffle; keep d small or use grouping sets.",
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")
+    )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="B7 grouping sets (SQL API — Catalyst plans it as a single "
+    "Expand + one aggregate).",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------- B8/B9 windows
+
+@query(
+    "window_topk_orders_per_customer",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+    WHERE rk <= 3
+    """,
+    doc="B8/B9 top-k per group. Scale: one shuffle on the partition key; "
+    "rank filter is applied streaming within each sorted partition — "
+    "never materializes the full ordering. Ties broken by orderkey.",
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           round(o_totalprice - coalesce(lag(o_totalprice) OVER w, 0), 2) AS delta_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="B8 lag/lead over a deterministic total order (date + key tiebreak).",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.round(
+            F.col("o_totalprice") - F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2
+        ).alias("delta_prev"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spent,
+           rank() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+           dense_rank() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderstatus) AS status_dense_rank
+    FROM orders
+    """,
+    doc="B8 running aggregate with an explicit ROWS frame + rank/dense_rank.",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w_run = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_rank = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    w_dense = W.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_spent"),
+        F.rank().over(w_rank).alias("price_rank"),
+        F.dense_rank().over(w_dense).alias("status_dense_rank"),
+    )
+
+
+@query(
+    "window_ntile_acctbal",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, c_custkey) AS balance_quartile
+    FROM customer
+    """,
+    doc="B8 ntile quartiles within market segment.",
+)
+def window_ntile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select("c_custkey", "c_mktsegment", F.ntile(4).over(w).alias("balance_quartile"))
+
+
+@query(
+    "topn_global_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    doc="B9 global top-N: TakeOrderedAndProject (per-partition heaps, "
+    "driver merges 20 rows — no global sort ever materializes).",
+)
+def topn_global_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ------------------------------------------------------------- B10 setops
+
+@query(
+    "setop_union_all_parties",
+    oracle="""
+    SELECT c_custkey AS id, 'customer' AS kind FROM customer
+    UNION ALL
+    SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier
+    """,
+    doc="B10 union all (no dedup shuffle).",
+)
+def setop_union_all_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.lit("customer").alias("kind")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.lit("supplier").alias("kind")
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "setop_intersect_custkeys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="B10 intersect (customers with both open and finished orders).",
+)
+def setop_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "setop_except_custkeys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="B10 except (distinct).",
+)
+def setop_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.subtract(b)
+
+
+# ------------------------------------------------------------ B11 scalars
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           concat(p_brand, '-', p_type)                 AS brand_type,
+           substr(p_name, 1, 8)                         AS name_prefix,
+           upper(p_name)                                AS name_upper,
+           CAST(length(p_name) AS INTEGER)              AS name_len,
+           replace(p_name, 'a', '@')                    AS name_replaced,
+           regexp_extract(p_name, '([a-z]+)', 1)        AS first_word,
+           lpad(p_brand, 12, '*')                       AS brand_padded,
+           trim(concat('  ', p_type, '  '))             AS type_trimmed
+    FROM part
+    """,
+    doc="B11 string functions (all JVM-codegen'd — zero Python).",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_replace("p_name", "a", "@").alias("name_replaced"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit("  "))).alias("type_trimmed"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)     AS order_year,
+           CAST(month(o_orderdate) AS INTEGER)    AS order_month,
+           CAST(day(o_orderdate) AS INTEGER)      AS order_day,
+           CAST(quarter(o_orderdate) AS INTEGER)  AS order_quarter,
+           date_trunc('month', o_orderdate)       AS month_start,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since_95,
+           o_orderdate + INTERVAL 30 DAY          AS due_date
+    FROM orders
+    """,
+    doc="B11 date/time functions.",
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("days_since_95"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+    )
+
+
+@query(
+    "scalar_math_conditional",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * 0.8, 2)              AS discounted_80,
+           round(abs(l_discount - 0.05), 4)             AS disc_dev,
+           round(ln(l_quantity + 1), 6)                 AS log_qty,
+           round(sqrt(l_extendedprice), 6)              AS sqrt_price,
+           CAST(ceil(l_quantity) AS BIGINT)             AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT)            AS qty_floor,
+           CASE WHEN l_discount > 0.05 THEN 'HIGH' ELSE 'LOW' END AS disc_band,
+           round(coalesce(nullif(l_tax, 0), -1), 2)     AS tax_or_flag,
+           round(greatest(l_discount, l_tax), 2)        AS max_rate,
+           round(least(l_discount, l_tax), 2)           AS min_rate
+    FROM lineitem
+    """,
+    doc="B11 math + conditional functions.",
+)
+def scalar_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 0.8, 2).alias("discounted_80"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.round(F.log(F.col("l_quantity") + 1), 6).alias("log_qty"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.when(F.col("l_discount") > 0.05, "HIGH").otherwise("LOW").alias("disc_band"),
+        F.round(F.coalesce(F.nullif(F.col("l_tax"), F.lit(0.0)), F.lit(-1.0)), 2).alias(
+            "tax_or_flag"
+        ),
+        F.round(F.greatest("l_discount", "l_tax"), 2).alias("max_rate"),
+        F.round(F.least("l_discount", "l_tax"), 2).alias("min_rate"),
+    )
+
+
+# ---------------------------------------------------------- B12/B13 json+arrays
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n, round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="B12 JSON extraction — the reference's RawData pattern "
+    "(types.go:181-190): payload rides as a raw JSON string, projected "
+    "on demand. get_json_object is JVM-side (Jackson), no Python.",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@query(
+    "json_typed_projection",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+    """,
+    doc="B12/C3 typed payload projection: from_json with an explicit "
+    "schema (the DDL-registry path) then filter on the typed field.",
+)
+def json_typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id", F.from_json("props", "k BIGINT").alias("p")
+    ).select("event_id", F.col("p.k").alias("k"))
+    return parsed.filter(F.col("k") > 90)
+
+
+@query(
+    "array_funcs_embeddings",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER)                  AS dim,
+           CAST(embedding[1] AS DOUBLE)                     AS first_elem,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS elem_sum,
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS elem_max,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
+    FROM embeddings
+    """,
+    doc="B13 array higher-order functions over array<float> — size, "
+    "index, fold (aggregate), max, filter — all codegen, no UDFs.",
+)
+def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.element_at(emb, 1).cast("double").alias("first_elem"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 6
+        ).alias("elem_sum"),
+        F.array_max(emb).cast("double").alias("elem_max"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "explode_word_frequencies",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+          FROM documents)
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+    doc="B13 explode/unnest + frequency count, top 20 deterministic. "
+    "Scale: explode fans out pre-shuffle; partial aggregation collapses "
+    "per-partition counts before the (tiny-keyspace) shuffle.",
+)
+def explode_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@query(
+    "pivot_event_type_counts",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events GROUP BY 1
+    """,
+    doc="B13-adjacent: pivot (explicit value list keeps the plan a "
+    "single agg — never let pivot infer values with a distinct scan "
+    "at 100 TB).",
+)
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    out = (
+        e.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return out
+
+
+@query(
+    "schema_evolution_union_by_name",
+    oracle="""
+    SELECT p_partkey, p_name, p_size FROM part WHERE p_partkey % 2 = 0
+    UNION ALL BY NAME
+    SELECT p_partkey, p_name, p_retailprice, p_brand FROM part WHERE p_partkey % 2 = 1
+    """,
+    doc="C4 schema-version evolution: two schema versions of the same "
+    "logical table merged with unionByName(allowMissingColumns=True) — "
+    "the reference's DDL Version bump (types.go:36) re-expressed.",
+)
+def schema_evolution_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    v1 = p.filter(F.col("p_partkey") % 2 == 0).select("p_partkey", "p_name", "p_size")
+    v2 = p.filter(F.col("p_partkey") % 2 == 1).select(
+        "p_partkey", "p_name", "p_retailprice", "p_brand"
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)

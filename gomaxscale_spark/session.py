@@ -1,0 +1,69 @@
+"""SparkSession construction + catalog of the driver's test tables.
+
+The driver hands us its own SparkSession for ``entry()``/``queries()``, so
+anything correctness-critical (nanos parquet handling, UTC session
+timezone) is applied *per-session* in :func:`configure` — never assumed
+from the builder.
+
+Scale: these confs are the local[32] defaults; on a real cluster the same
+code runs with cluster-sized ``spark.sql.shuffle.partitions`` (or AQE
+coalescing, which we enable) and per-executor memory. Nothing here pins a
+single-node assumption.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime confs every query needs regardless of who built the session.
+#: - nanosAsLong: the events table stores TIMESTAMP(NANOS) parquet, which
+#:   Spark 4 refuses to read natively (PARQUET_TYPE_ILLEGAL); reading the
+#:   nanos as a long and converting explicitly is lossless and lets us keep
+#:   the raw value for exact ordering.
+#: - UTC timezone: DuckDB (the correctness oracle) works in naive/UTC
+#:   timestamps; pinning the session TZ makes TimestampType renderings agree.
+RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime re-planning (partition coalescing, skew-join splitting,
+    # broadcast demotion/promotion). Cheap insurance at every scale.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-provided session (driver's)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-settable at runtime in some deployments — never fatal.
+            pass
+    return spark
+
+
+def get_session(app_name: str = "gomaxscale_spark", cpus: int | None = None) -> SparkSession:
+    """Build a local session for tests/bench.
+
+    local[N] = one JVM, N task threads. On a cluster the identical query
+    code runs unchanged; only master/memory/shuffle-partition confs move.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)

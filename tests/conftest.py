@@ -1,0 +1,20 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gomaxscale_spark.session import get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    return get_session("gomaxscale_spark_tests", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
