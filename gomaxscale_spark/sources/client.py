@@ -1,0 +1,174 @@
+"""MaxScale CDC protocol client (the reference's consumer lifecycle,
+/root/reference/gomaxscale.go:46-168, minus the goroutine machinery —
+Spark's source API supplies the concurrency).
+
+Protocol (public MariaDB MaxScale 6 CDC protocol):
+1. connect TCP;
+2. authenticate: send ``hex(user + ":" + sha1(password_bytes))``,
+   expect a non-error reply (gomaxscale.go:64-81);
+3. register: ``REGISTER UUID=<uuid>, TYPE=JSON`` (gomaxscale.go:87-90);
+4. subscribe: ``REQUEST-DATA db.table[.version] [gtid]`` — no reply
+   read; event JSON starts flowing (gomaxscale.go:96-107);
+5. scan frames (framing.py), classify errors like the reference
+   (gomaxscale.go:144-158): EOF → stop; timeout → benign poll; bare
+   error text → surfaced to the caller's logger and skipped.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import socket
+import uuid as uuid_mod
+from collections.abc import Iterator
+from dataclasses import dataclass
+from typing import Any, Callable
+
+from .framing import Frame, JsonFrameScanner, is_error_response
+
+HANDSHAKE_BUFFER = 1024  # reference gomaxscale.go:15
+DEFAULT_READ_BUFFER = 4096  # reference gomaxscale_options.go:39
+MAX_EMPTY_LOOPS = 100  # reference stream.go:102-105
+
+
+class CDCProtocolError(RuntimeError):
+    pass
+
+
+def auth_token(user: str, password: str) -> bytes:
+    """hex(user + ':' + sha1(password)) — gomaxscale.go:64-81."""
+    digest = hashlib.sha1(password.encode("utf-8")).digest()
+    return (user.encode("utf-8") + b":" + digest).hex().encode("ascii")
+
+
+@dataclass
+class CDCEventFrame:
+    """A decoded wire frame: kind ∈ {'ddl', 'dml'} + parsed JSON + raw."""
+
+    kind: str
+    data: dict[str, Any]
+    raw: bytes
+
+
+def classify_frame(frame: Frame) -> CDCEventFrame | None:
+    """Dispatch exactly like the reference (stream.go:119-141): a
+    '{"namespace":' prefix marks DDL, '{"domain":' marks DML; anything
+    else is checked for the 'err' substring and otherwise rejected."""
+    if frame.kind == "json":
+        if b'{"namespace":' in frame.payload:
+            return CDCEventFrame("ddl", json.loads(frame.payload), frame.payload)
+        if b'{"domain":' in frame.payload:
+            return CDCEventFrame("dml", json.loads(frame.payload), frame.payload)
+    if is_error_response(frame.payload):
+        raise CDCProtocolError(f"error raised from maxscale: {frame.payload.decode(errors='replace')}")
+    raise CDCProtocolError(f"unknown maxscale event type: {frame.payload.decode(errors='replace')}")
+
+
+class CDCClient:
+    """Blocking protocol client over one TCP connection."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        database: str,
+        table: str,
+        user: str = "",
+        password: str = "",
+        version: int | None = None,
+        gtid: str = "",
+        uuid: str | None = None,
+        read_timeout: float = 2.0,  # reference default, gomaxscale_options.go:36
+        buffer_size: int = DEFAULT_READ_BUFFER,
+        logger: Callable[[str], None] | None = None,
+    ) -> None:
+        self.host, self.port = host, port
+        self.database, self.table = database, table
+        self.user, self.password = user, password
+        self.version, self.gtid = version, gtid
+        self.uuid = uuid or str(uuid_mod.uuid4())
+        self.read_timeout = read_timeout
+        self.buffer_size = buffer_size
+        self.log = logger or (lambda msg: None)
+        self._sock: socket.socket | None = None
+        self._scanner = JsonFrameScanner()
+
+    # -- lifecycle ---------------------------------------------------
+
+    def connect(self) -> None:
+        self._sock = socket.create_connection((self.host, self.port), timeout=self.read_timeout)
+        self._handshake_step(auth_token(self.user, self.password), "authentication")
+        self._handshake_step(
+            f"REGISTER UUID={self.uuid}, TYPE=JSON".encode("ascii"), "registration"
+        )
+        subscribe = f"REQUEST-DATA {self.database}.{self.table}"
+        if self.version is not None:
+            subscribe += f".{self.version}"
+        if self.gtid:
+            subscribe += f" {self.gtid}"
+        # no response read — data starts flowing (gomaxscale.go:96-107)
+        self._sock.sendall(subscribe.encode("ascii"))
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
+
+    def _handshake_step(self, request: bytes, stage: str) -> None:
+        assert self._sock is not None
+        self._sock.sendall(request)
+        reply = self._sock.recv(HANDSHAKE_BUFFER)
+        if is_error_response(reply):
+            raise CDCProtocolError(
+                f"failed {stage}: {reply.decode(errors='replace')}"
+            )
+
+    # -- event stream --------------------------------------------------
+
+    def scan(self) -> list[CDCEventFrame]:
+        """One poll: read until ≥1 complete frame or the liveness guard
+        trips. Raises EOFError on server close, socket.timeout on a
+        quiet period (benign — caller keeps polling), CDCProtocolError
+        on in-band error text."""
+        assert self._sock is not None, "connect() first"
+        self._sock.settimeout(self.read_timeout)
+        loops = 0
+        while True:
+            chunk = self._sock.recv(self.buffer_size)
+            if not chunk:
+                raise EOFError("maxscale closed the connection")
+            frames = self._scanner.feed(chunk)
+            events = []
+            for fr in frames:
+                events.append(classify_frame(fr))
+            if events:
+                return events
+            loops += 1
+            if loops > MAX_EMPTY_LOOPS:
+                raise CDCProtocolError("too many network iterations to find a json object")
+
+    def events(self, max_idle_polls: int | None = None) -> Iterator[CDCEventFrame]:
+        """Generator over the live stream; terminates on EOF, treats
+        timeouts as benign polls, logs-and-continues other errors —
+        the reference's error-classification loop (gomaxscale.go:144-158).
+
+        ``max_idle_polls``: stop after N consecutive quiet polls
+        (bounded batch replay); None = poll forever (live stream).
+        """
+        idle = 0
+        while True:
+            try:
+                yield from self.scan()
+                idle = 0
+            except EOFError:
+                return
+            except (socket.timeout, TimeoutError):
+                idle += 1
+                if max_idle_polls is not None and idle >= max_idle_polls:
+                    return
+                continue
+            except CDCProtocolError as exc:
+                self.log(f"error processing event: {exc}")
+                continue

@@ -1,0 +1,195 @@
+"""Operator semantics beyond the oracle gate: as-of join vs
+pandas.merge_asof, MinHash-LSH recall vs brute-force Jaccard, SimHash
+hamming bounds, CDC snapshot fold with update/delete images, language-ID
+on crafted fixtures, multimodal stubs."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from gomaxscale_spark.catalog import load_table
+from gomaxscale_spark.operators.asof import asof_join
+from gomaxscale_spark.operators.dedup import (
+    jaccard,
+    minhash_lsh_candidates,
+    simhash_near_duplicates,
+    word_shingles,
+)
+from gomaxscale_spark.operators.multimodal import (
+    attach_media,
+    decode_media,
+    decode_image_real,
+    fake_decode_features,
+)
+from gomaxscale_spark.operators.snapshot import materialize_snapshot
+from gomaxscale_spark.operators.text import language_id
+
+
+# ------------------------------------------------------------- as-of join
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    left = [(k, t) for k in range(5) for t in range(0, 100, 7)]
+    right = [(k, t, t * 10 + k) for k in range(5) for t in range(0, 100, 13)]
+    ldf = spark.createDataFrame(left, "k int, t long")
+    rdf = spark.createDataFrame(right, "k int, t long, payload long")
+
+    got = (
+        asof_join(ldf, rdf.withColumnRenamed("t", "rt"), on="k", left_time="t",
+                  right_time="rt", payload={"payload": "p"}, how="left")
+        .orderBy("k", "t")
+        .collect()
+    )
+
+    lpd = pd.DataFrame(left, columns=["k", "t"]).sort_values(["t", "k"])
+    rpd = pd.DataFrame(right, columns=["k", "t", "payload"]).sort_values(["t", "k"])
+    exp = pd.merge_asof(lpd, rpd, on="t", by="k", direction="backward").sort_values(["k", "t"])
+
+    got_map = {(r.k, r.t): r.p for r in got}
+    for row in exp.itertuples():
+        expected = None if pd.isna(row.payload) else int(row.payload)
+        assert got_map[(row.k, row.t)] == expected
+
+
+def test_asof_join_inner_drops_unmatched(spark):
+    ldf = spark.createDataFrame([(1, 5), (1, 50)], "k int, t long")
+    rdf = spark.createDataFrame([(1, 10, 99)], "k int, rt long, payload long")
+    got = asof_join(ldf, rdf, "k", "t", "rt", {"payload": "p"}, how="inner").collect()
+    assert [(r.t, r.p) for r in got] == [(50, 99)]
+
+
+def test_asof_join_boundary_equal_time_included(spark):
+    ldf = spark.createDataFrame([(1, 10)], "k int, t long")
+    rdf = spark.createDataFrame([(1, 10, 7)], "k int, rt long, payload long")
+    got = asof_join(ldf, rdf, "k", "t", "rt", {"payload": "p"}).collect()
+    assert got[0].p == 7  # <= semantics
+
+
+# ---------------------------------------------------------- dedup family
+
+@pytest.fixture(scope="module")
+def near_dup_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    docs = []
+    for i in range(30):
+        docs.append((i, base + f" variant {i}"))  # high overlap family
+    docs.append((100, "completely different text about spark shuffles and partitions here"))
+    docs.append((101, "completely different text about spark shuffles and partitions here now"))
+    docs.append((200, "unrelated singleton document with its own vocabulary entirely"))
+    docs.append((300, "byte for byte identical duplicate document for simhash checks"))
+    docs.append((301, "byte for byte identical duplicate document for simhash checks"))
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def brute_force_pairs(spark, df, threshold, shingle_n=2):
+    withsh = df.select("doc_id", word_shingles(F.col("text"), shingle_n).alias("sh"))
+    a = withsh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = withsh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("j", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("j") >= threshold)
+        .collect()
+    }
+
+
+def test_minhash_lsh_recall_vs_bruteforce(spark, near_dup_corpus):
+    exact = brute_force_pairs(spark, near_dup_corpus, threshold=0.7, shingle_n=2)
+    assert exact, "fixture should contain true near-duplicates"
+    candidates = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            near_dup_corpus, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2
+        ).collect()
+    }
+    # banding with b=16,r=4 catches j≥0.7 pairs with prob ≈ 0.975 each;
+    # on this fixture the candidate set must cover all true pairs
+    missed = exact - candidates
+    assert len(missed) <= max(1, len(exact) // 20), f"LSH missed too many: {missed}"
+
+
+def test_simhash_pairs_are_low_hamming(spark, near_dup_corpus):
+    pairs = simhash_near_duplicates(near_dup_corpus, "doc_id", "text", max_hamming=3).collect()
+    assert all(r.hamming <= 3 for r in pairs)
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (300, 301) in ids  # identical docs → hamming 0
+
+
+def test_simhash_similarity_orders_hamming(spark, near_dup_corpus):
+    from gomaxscale_spark.operators.dedup import simhash_signatures
+
+    sig = {
+        r.doc_id: r.simhash
+        for r in simhash_signatures(near_dup_corpus, "doc_id", "text").collect()
+    }
+    ham = lambda a, b: bin((sig[a] ^ sig[b]) & (2**64 - 1)).count("1")
+    assert ham(300, 301) == 0
+    # one-token difference is closer than unrelated vocabulary
+    assert ham(100, 101) < ham(100, 200)
+
+
+# ------------------------------------------------------------ CDC snapshot
+
+def test_snapshot_fold_insert_update_delete(spark):
+    rows = [
+        # key 1: insert → update (before+after) → survives with v=20
+        (1, "insert", 10.0, 100, 1),
+        (1, "update_before", 10.0, 200, 1),
+        (1, "update_after", 20.0, 200, 2),
+        # key 2: insert → delete → gone
+        (2, "insert", 5.0, 150, 1),
+        (2, "delete", 5.0, 250, 1),
+        # key 3: two inserts, later offset wins
+        (3, "insert", 1.0, 300, 1),
+        (3, "insert", 2.0, 300, 2),
+    ]
+    df = spark.createDataFrame(rows, "id int, event_type string, v double, seq long, event_number int")
+    snap = materialize_snapshot(df, ["id"], ["seq", "event_number"]).collect()
+    state = {r.id: r.v for r in snap}
+    assert state == {1: 20.0, 3: 2.0}
+
+
+def test_snapshot_as_of_time_travel(spark):
+    rows = [(1, "insert", 1.0, 100, 1), (1, "update_after", 2.0, 200, 1)]
+    df = spark.createDataFrame(rows, "id int, event_type string, v double, seq long, event_number int")
+    snap = materialize_snapshot(df, ["id"], ["seq", "event_number"], as_of=F.col("seq") <= 150)
+    assert snap.head().v == 1.0
+
+
+# ---------------------------------------------------------------- text ops
+
+def test_language_id_on_real_sentences(spark):
+    fixtures = [
+        (1, "the quick brown fox jumps over the lazy dog in the garden", "en"),
+        (2, "der schnelle braune fuchs springt über den faulen hund im garten gerne", "de"),
+        (3, "le renard brun rapide saute par dessus le chien paresseux dans le jardin", "fr"),
+        (4, "el rapido zorro marron salta sobre el perro perezoso en el jardin", "es"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in fixtures], "id long, text string")
+    got = {r.id: r.guess for r in df.select("id", language_id(F.col("text")).alias("guess")).collect()}
+    expected = {i: lang for i, _, lang in fixtures}
+    hits = sum(got[i] == expected[i] for i in expected)
+    assert hits >= 3, f"language-ID accuracy too low: {got} vs {expected}"
+
+
+# ---------------------------------------------------------------- multimodal
+
+def test_multimodal_decode_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out1 = {r.doc_id: (r.byte_len, r.width, r.height, r.mean_intensity)
+            for r in decode_media(attach_media(docs)).collect()}
+    out2 = {r.doc_id: (r.byte_len, r.width, r.height, r.mean_intensity)
+            for r in decode_media(attach_media(docs)).collect()}
+    assert out1 == out2
+    assert all(v[0] > 0 for v in out1.values())
+
+
+def test_multimodal_real_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG...")
+    feats = fake_decode_features(b"hello world")
+    assert feats["byte_len"] == 11

@@ -1,0 +1,142 @@
+"""Structured Streaming semantics (SURVEY §2 B14): batch ≡ stream on a
+parquet replay, watermark-bounded dedup, and the WithStats-parity
+listener."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gomaxscale_spark.catalog import load_table
+from gomaxscale_spark.streaming.ops import (
+    dedup_within_watermark,
+    replay_parquet_stream,
+    tumbling_counts,
+)
+from gomaxscale_spark.streaming.stats import Stats, StatsListener
+
+
+@pytest.fixture(scope="module")
+def events_stream_source(spark, sf_dir, tmp_path_factory):
+    """The events table rewritten as many small parquet files so the
+    replay produces several micro-batches (availableNow-style)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    df = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type", "value", "event_id"
+    )
+    # chronological files: the replay must deliver roughly time-ordered
+    # micro-batches or the watermark (correctly) drops the scrambled
+    # tail as late data. FileStreamSource picks files by modification
+    # time, so stagger mtimes to match the range partition order.
+    import glob
+    import os
+
+    df.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.mode("overwrite").parquet(path)
+    for i, f in enumerate(sorted(glob.glob(f"{path}/part-*"))):
+        os.utime(f, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return path, df.schema
+
+
+def run_to_completion(sdf, name: str):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if sdf.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_batch_equals_stream(spark, sf_dir, events_stream_source):
+    path, schema = events_stream_source
+    batch_df = load_table(spark, sf_dir, "events")
+    expected = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in tumbling_counts(batch_df).collect()
+    }
+
+    stream = replay_parquet_stream(spark, path, schema)
+    q = (
+        tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    # append mode emits only watermark-closed windows: every emitted
+    # window must match batch exactly; the tail (watermark lags one
+    # micro-batch + the 2h delay) legitimately stays open
+    assert got, "stream produced no windows"
+    for key, val in got.items():
+        assert expected[key] == val
+    assert len(got) >= 0.6 * len(expected), f"only {len(got)}/{len(expected)} windows closed"
+
+
+def _run_dedup(spark, path, schema, watermark, name):
+    stream = replay_parquet_stream(spark, path, schema)
+    deduped = dedup_within_watermark(stream, ["user_id", "event_type"], watermark=watermark)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT count(*) FROM {name}").head()[0]
+
+
+def test_dedup_within_watermark_stream(spark, events_stream_source):
+    path, schema = events_stream_source
+    batch = spark.read.schema(schema).parquet(path)
+    n_batch = batch.dropDuplicates(["user_id", "event_type"]).count()
+
+    # horizon ≥ the whole corpus span → exact global dedup
+    n_wide = _run_dedup(spark, path, schema, "90 days", "dedup_wide")
+    assert n_wide == n_batch
+
+    # short horizon → state is (correctly) evicted; duplicates farther
+    # apart than the horizon re-emit — bounded state is the 100 TB
+    # contract: never fewer rows than exact dedup, never more than input
+    n_short = _run_dedup(spark, path, schema, "5 days", "dedup_short")
+    n_input = batch.count()
+    assert n_batch <= n_short <= n_input
+    assert n_short > n_batch  # this corpus has >5-day duplicate gaps
+
+
+def test_stats_listener_parity(spark, events_stream_source):
+    path, schema = events_stream_source
+    seen: list[Stats] = []
+    listener = StatsListener(seen.append)
+    spark.streams.addListener(listener)
+    try:
+        stream = replay_parquet_stream(spark, path, schema)
+        q = (
+            stream.groupBy("event_type")
+            .count()
+            .writeStream.format("memory")
+            .queryName("stats_out")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        time.sleep(1.0)  # listener bus is async
+    finally:
+        spark.streams.removeListener(listener)
+    n_input = sum(s.number_of_events for s in seen)
+    batch_count = spark.read.schema(schema).parquet(path).count()
+    assert n_input == batch_count
+    assert listener.totals.processing_time_ms > 0
+    assert listener.totals.events_per_second > 0
