@@ -77,9 +77,18 @@ def asof_join(
         .orderBy("__t", "__tag")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    merged = tagged_r.unionByName(tagged_l)
-    for dst in payload.values():
-        merged = merged.withColumn(f"__p_{dst}", F.last(f"__p_{dst}", ignorenulls=True).over(w))
+    merged = tagged_r.unionByName(tagged_l).select(
+        # one select → one Window node (a withColumn loop planned N
+        # windows over the same spec)
+        "__k",
+        "__t",
+        "__tag",
+        *[F.col(f"__l_{name}") for name in lcols],
+        *[
+            F.last(f"__p_{dst}", ignorenulls=True).over(w).alias(f"__p_{dst}")
+            for dst in payload.values()
+        ],
+    )
     out = merged.filter(F.col("__tag") == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
         *[F.col(f"__p_{dst}").alias(dst) for dst in payload.values()],

@@ -380,3 +380,21 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("frame_no"),
     )
     return frames.withColumn("frame_offset_bytes", F.col("frame_no") * 640)
+
+
+@query(
+    "dedup_exact_hashed",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="B15 exact dedup, scale form: group on a digest of the content "
+    "so the shuffle key is 32 bytes instead of the whole document — "
+    "the 100 TB variant of dedup_exact_documents (md5 here because both "
+    "engines implement it identically; xxhash64 in production).",
+)
+def dedup_exact_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.encode("text", "utf-8")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
