@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -147,6 +147,68 @@ def lsh_bucket_topk(
     return (
         bucketed.filter(F.col("__sig") == qsig)
         .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize vectors to their nearest centroid,
+    then scan only the `n_probe` centroids nearest the query.
+
+    Centroids here are a deterministic sample (the first `n_centroids`
+    vectors by id) — production would k-means them; the *plumbing*
+    (assignment join, inverted-list pruning, probe-side recall/latency
+    dial) is identical. Assignment is ingest-time computable → the
+    centroid id doubles as a partition/cluster key, so a probe reads
+    ~n_probe/n_centroids of the data.
+
+    Scale: the centroid table is O(n_centroids) → broadcast; assignment
+    is a map; the probe filter prunes partitions when the table is
+    clustered by centroid_id.
+    """
+    centroids = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(W.orderBy(id_col)).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # nearest centroids to the query (tiny: n_centroids rows)
+    probe_ids = [
+        r.centroid_id
+        for r in centroids.select(
+            "centroid_id", cosine(F.col("centroid_vec"), q).alias("s")
+        )
+        .orderBy(F.desc("s"), F.col("centroid_id"))
+        .limit(n_probe)
+        .collect()
+    ]
+    assigned = (
+        embeddings.join(F.broadcast(centroids))
+        .withColumn("s", cosine(F.col(vec_col), F.col("centroid_vec")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy(F.desc("s"), F.col("centroid_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+    probed = assigned.filter(F.col("centroid_id").isin(probe_ids))
+    return (
+        probed.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )

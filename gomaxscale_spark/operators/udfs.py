@@ -83,3 +83,15 @@ def doc_stats_mapinpandas(documents: DataFrame) -> DataFrame:
             )
 
     return documents.mapInPandas(stats, schema=schema)
+
+
+def mean_abs_deviation(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (Series → scalar): per-group mean
+    absolute deviation — the UDAF shape. One shuffle on the group key;
+    Arrow moves each group's values once."""
+
+    @pandas_udf("double")
+    def mad(v: pd.Series) -> float:
+        return float((v - v.mean()).abs().mean())
+
+    return df.groupBy(group_col).agg(F.round(mad(F.col(value_col)), 4).alias("mad"))

@@ -398,3 +398,75 @@ def dedup_exact_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy(F.md5(F.encode("text", "utf-8")).alias("text_hash")).agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
     )
+
+
+@query(
+    "similarity_ivf_topk",
+    oracle=None,  # approximate (probe-pruned recall) → rows-only;
+    # recall vs brute force pytest-checked.
+    doc="B16 IVF-flat ANN: coarse-quantize to centroids, probe the "
+    "nearest n_probe inverted lists. The 100 TB path when signatures "
+    "cluster the table — a probe reads ~n_probe/n_centroids of it.",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(e, _query_vector(spark, sf_dir), k=10, n_centroids=16, n_probe=4)
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word
+    ), n AS (SELECT count(*) AS n FROM documents)
+    SELECT tf.doc_id, tf.word, tf.tf,
+           round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (word), n
+    WHERE tf.tf >= 2
+    """,
+    doc="B17 TF-IDF: term frequency × inverse document frequency per "
+    "(doc, term). Scale: one explode + two hash aggs; the df table is "
+    "vocabulary-sized → broadcast into the final join. No ranking in "
+    "the output (rank ties on mathematically-equal tfidf values are "
+    "engine-dependent at the last ulp).",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), " "), lambda x: x != "")).alias("word"),
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    return (
+        tf.join(F.broadcast(df_), "word")
+        .filter(F.col("tf") >= 2)
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "udf_grouped_agg_mad",
+    oracle="""
+    WITH m AS (SELECT user_id, avg(value) AS am FROM events GROUP BY user_id)
+    SELECT e.user_id, round(avg(abs(e.value - m.am)), 4) AS mad
+    FROM events e JOIN m USING (user_id)
+    GROUP BY e.user_id
+    """,
+    doc="B18 grouped-aggregate pandas UDF (Series → scalar UDAF shape): "
+    "per-user mean absolute deviation.",
+)
+def udf_grouped_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return U.mean_abs_deviation(e, "user_id", "value")

@@ -1,0 +1,111 @@
+"""Custom stateful streaming op (applyInPandasWithState), salted-join
+skew handling, and IVF ANN recall."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gomaxscale_spark.catalog import load_table
+from gomaxscale_spark.operators.similarity import cosine_topk, ivf_topk
+from gomaxscale_spark.operators.skew import key_histogram, salted_join
+from gomaxscale_spark.streaming.stateful import running_totals
+
+
+def test_running_totals_stateful_stream(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events").select("user_id", "value", "event_id")
+    path = str(tmp_path / "ev")
+    events.repartitionByRange(6, "event_id").sortWithinPartitions("event_id").write.mode(
+        "overwrite"
+    ).parquet(path)
+    for i, f in enumerate(sorted(glob.glob(f"{path}/part-*"))):
+        os.utime(f, (1_700_000_000 + i * 60,) * 2)
+
+    stream = spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # update-mode memory sink appends every per-batch emission: the last
+    # emission per key must equal the batch aggregate
+    import pandas as pd
+
+    out = spark.sql("SELECT * FROM running_out").toPandas()
+    final = out.groupby("user_id").last()
+    expected = (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total"),
+            F.expr("max_by(value, event_id)").alias("last_value"),
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert len(final) == len(expected)
+    for uid, row in expected.iterrows():
+        got = final.loc[uid]
+        assert int(got["n_events"]) == int(row["n_events"])
+        assert abs(float(got["total"]) - float(row["total"])) < 1e-6
+        assert float(got["last_value"]) == float(row["last_value"])
+
+
+def test_salted_join_equals_plain_join(spark):
+    # heavy skew: key 0 holds half the fact rows
+    fact = spark.createDataFrame(
+        [(0 if i % 2 == 0 else i % 50, float(i)) for i in range(10_000)], "k int, v double"
+    )
+    dim = spark.createDataFrame([(i, f"dim_{i}") for i in range(50)], "k int, name string")
+
+    plain = (
+        fact.join(dim, "k")
+        .groupBy("k", "name")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("s"))
+    )
+    salted = (
+        salted_join(fact, dim, "k", n_salts=8)
+        .groupBy("k", "name")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("s"))
+    )
+    p = {(r.k, r.name): (r.n, r.s) for r in plain.collect()}
+    s = {(r.k, r.name): (r.n, r.s) for r in salted.collect()}
+    assert p == s
+
+
+def test_salted_join_hot_keys_only(spark):
+    fact = spark.createDataFrame([(i % 10, i) for i in range(1000)], "k int, v long")
+    dim = spark.createDataFrame([(i, str(i)) for i in range(10)], "k int, name string")
+    plain = sorted((r.k, r.v) for r in fact.join(dim, "k").select("k", "v").collect())
+    salted = sorted(
+        (r.k, r.v)
+        for r in salted_join(fact, dim, "k", n_salts=4, hot_keys=[0, 1]).select("k", "v").collect()
+    )
+    assert plain == salted
+
+
+def test_key_histogram_orders_heaviest_first(spark):
+    df = spark.createDataFrame([(0,)] * 50 + [(1,)] * 10 + [(2,)] * 3, "k int")
+    hist = key_histogram(df, "k").collect()
+    assert [(r.k, r.n_rows) for r in hist] == [(0, 50), (1, 10), (2, 3)]
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    exact = [r.vec_id for r in cosine_topk(e, qv, k=10).collect()]
+    approx = [r.vec_id for r in ivf_topk(e, qv, k=10, n_centroids=8, n_probe=4).collect()]
+    # probing half the lists must recover a majority of the true top-10
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 5, f"IVF recall too low: {overlap}/10"
+    assert approx[0] == 0  # the query vector itself lives in a probed list
