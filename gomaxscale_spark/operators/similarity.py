@@ -75,21 +75,37 @@ def pairwise_near_duplicates(
     Scale: the blocking key bounds the quadratic blowup — a shuffle-hash
     self-join on ``block_col`` scores only within-block pairs. For
     unblocked corpora use LSH bucketing (below) as the blocker instead.
+    Norms are precomputed per vector (O(n)) instead of per pair (O(n²))
+    — numerically identical, ~2 of the 3 folds removed from the pair
+    loop.
     """
-    a = embeddings.select(
+    with_norm = embeddings.select(
         F.col(block_col).alias("b_key"),
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("__norm"),
+    )
+    a = with_norm.select(
+        "b_key",
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
+        F.col("__norm").alias("norm_a"),
     )
-    b = embeddings.select(
-        F.col(block_col).alias("b_key"),
+    b = with_norm.select(
+        "b_key",
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
+        F.col("__norm").alias("norm_b"),
     )
     return (
         a.join(b, "b_key")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("score", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .withColumn(
+            "score",
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")), 6
+            ),
+        )
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )

@@ -60,7 +60,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle="""
     WITH sh AS (
-      SELECT doc_id, lang, n_chars // 100 AS len_band,
+      SELECT doc_id, lang, n_chars // 50 AS len_band,
              list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
       FROM documents
     )
@@ -81,7 +81,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").withColumn(
-        "len_band", F.floor(F.col("n_chars") / 100).cast("long")
+        "len_band", F.floor(F.col("n_chars") / 50).cast("long")
     )
     return D.ngram_jaccard_pairs(
         d, "doc_id", "text", ["lang", "len_band"], threshold=0.5, shingle_n=1
