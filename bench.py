@@ -41,6 +41,12 @@ HEADLINE = [
     "text_quality_score",
     "text_token_stats",
     "udf_grouped_zscore",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "range_join_bucketed",
+    "dedup_embedding_cosine",
+    "text_tfidf",
+    "dedup_simhash",
 ]
 
 

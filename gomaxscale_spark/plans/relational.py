@@ -999,3 +999,79 @@ def map_funcs_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "type").alias("type_val"),
         F.element_at(m, "bucket").alias("bucket_val"),
     )
+
+
+@query(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value FROM part
+    """,
+    doc="B13-adjacent unpivot/melt (wide → long) via the native unpivot "
+    "operator — an Expand node, no shuffle, no UDF.",
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "value")
+
+
+@query(
+    "subquery_above_nation_avg",
+    oracle="""
+    SELECT c.c_custkey, c.c_nationkey, round(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    doc="B2/B6 correlated scalar subquery (SQL API): Catalyst de-"
+    "correlates it into an aggregate + join — no per-row re-execution, "
+    "unlike a naive nested-loop interpretation. The decorrelation IS "
+    "the scale story.",
+)
+def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "customer").createOrReplaceTempView("__cust_sq")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_nationkey, round(c.c_acctbal, 2) AS acctbal
+        FROM __cust_sq c
+        WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM __cust_sq c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="B10 exceptAll (bag semantics — multiplicity-aware).",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.exceptAll(b)
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="B10 intersectAll (bag semantics).",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersectAll(b)

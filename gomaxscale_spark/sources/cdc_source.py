@@ -99,7 +99,7 @@ class MaxScaleCDCStreamReader(SimpleDataSourceStreamReader):
         self._eof = False
 
     def initialOffset(self) -> dict:
-        return {"pos": 0, "gtid": self.options.get("gtid", "")}
+        return {"pos": 0, "gtid": self.options.get("gtid", ""), "last": None}
 
     def _ensure_client(self, gtid: str) -> CDCClient:
         if self._client is None:
@@ -108,17 +108,40 @@ class MaxScaleCDCStreamReader(SimpleDataSourceStreamReader):
             self._eof = False
         return self._client
 
+    @staticmethod
+    def _position_of(ev: CDCEventFrame) -> list | None:
+        """Total order of the stream: the GTID/binlog tuple
+        (domain, server_id, sequence, event_number) — types.go:173-176."""
+        if ev.kind != "dml":
+            return None
+        d = ev.data
+        if d.get("domain") is None:
+            return None
+        return [
+            int(d.get("domain") or 0),
+            int(d.get("server_id") or 0),
+            int(d.get("sequence") or 0),
+            int(d.get("event_number") or 0),
+        ]
+
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         """One micro-batch: drain what the socket has, bounded by
         max_events_per_batch (maxOffsetsPerTrigger-style rate limiting).
         A quiet period (read timeout) ends the batch — possibly empty;
-        EOF marks the source closed (query sees no further data) and a
-        later read() reconnects from the last GTID, the reference's
-        restart semantics (gomaxscale.go:46-53)."""
+        on EOF the next read() reconnects with REQUEST-DATA <last gtid>
+        — the reference's restart semantics (gomaxscale.go:46-53).
+
+        Exactly-once across reconnects: MaxScale's GTID resume is
+        *inclusive* (events from the requested GTID onward are
+        re-delivered), so every DML at or below the last delivered
+        (domain, server_id, sequence, event_number) position is dropped.
+        This also absorbs servers that replay more history than asked.
+        """
         import socket as _socket
 
         rows: list[tuple] = []
         gtid = start.get("gtid", "")
+        last = start.get("last")
         if self._eof:
             self._client = None  # reconnect from last GTID
         client = self._ensure_client(gtid)
@@ -135,10 +158,50 @@ class MaxScaleCDCStreamReader(SimpleDataSourceStreamReader):
                 # log-and-continue class (gomaxscale.go:152-157)
                 continue
             for ev in events:
+                pos = self._position_of(ev)
+                if pos is not None and last is not None and pos <= last:
+                    continue  # replayed history (inclusive-GTID resume)
                 rows.append(_frame_to_row(ev))
+                if pos is not None:
+                    last = pos
                 gtid = _gtid_of(ev) or gtid
-        end = {"pos": start.get("pos", 0) + len(rows), "gtid": gtid}
+        end = {"pos": start.get("pos", 0) + len(rows), "gtid": gtid, "last": last}
         return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        """Checkpoint-recovery replay (reference restart semantics,
+        gomaxscale.go:46-53): a planned-but-unreplayed batch is re-read
+        by reconnecting at the start offset's GTID and pulling the
+        batch's event count. Requires the server to honor REQUEST-DATA
+        gtid resume — which is the protocol's contract."""
+        import socket as _socket
+
+        n = int(end.get("pos", 0)) - int(start.get("pos", 0))
+        if n <= 0:
+            return iter(())
+        client = _client_from_options(self.options, start.get("gtid", ""))
+        client.connect()
+        rows: list[tuple] = []
+        last = start.get("last")
+        try:
+            while len(rows) < n:
+                try:
+                    for ev in client.scan():
+                        pos = self._position_of(ev)
+                        if pos is not None and last is not None and pos <= last:
+                            continue  # inclusive-GTID replayed history
+                        rows.append(_frame_to_row(ev))
+                        if pos is not None:
+                            last = pos
+                        if len(rows) >= n:
+                            break
+                except (_socket.timeout, TimeoutError):
+                    break
+                except EOFError:
+                    break
+        finally:
+            client.close()
+        return iter(rows)
 
     def commit(self, end: dict) -> None:
         # offsets are persisted by the engine's checkpoint; the CDC

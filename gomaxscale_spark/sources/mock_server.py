@@ -38,6 +38,10 @@ class MockMaxScaleServer:
     #: inter-write delay (seconds) to let client polls interleave
     write_delay: float = 0.0
     keep_open: float = 0.25  # linger after the script so the client can drain
+    port: int = 0  # 0 = random; fix it to restart a server on the same address
+    #: honor REQUEST-DATA's trailing GTID like the real avrorouter:
+    #: replay dict-script DML events from that GTID onward (INCLUSIVE)
+    honor_gtid: bool = True
 
     def __post_init__(self) -> None:
         self.requests: list[bytes] = []
@@ -53,7 +57,8 @@ class MockMaxScaleServer:
             def handle(self) -> None:  # noqa: D102
                 outer._handle(self.request)
 
-        self._server = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+        socketserver.ThreadingTCPServer.allow_reuse_address = True
+        self._server = socketserver.ThreadingTCPServer(("127.0.0.1", self.port), Handler)
         self._server.daemon_threads = True
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
         self._thread.start()
@@ -115,8 +120,29 @@ class MockMaxScaleServer:
                 conn.sendall(b"ERR events failed")
                 return
 
-            # scripted events
+            # scripted events, optionally resumed from the requested GTID
+            resume_from: tuple | None = None
+            if self.honor_gtid:
+                parts = sub.decode(errors="replace").split()
+                if len(parts) >= 3:  # REQUEST-DATA db.table <gtid>
+                    try:
+                        d, s, q = (int(x) for x in parts[2].split("-"))
+                        resume_from = (d, s, q)
+                    except ValueError:
+                        pass
             for item in self.script:
+                if (
+                    resume_from is not None
+                    and isinstance(item, dict)
+                    and item.get("domain") is not None
+                    and (
+                        int(item.get("domain", 0)),
+                        int(item.get("server_id", 0)),
+                        int(item.get("sequence", 0)),
+                    )
+                    < resume_from
+                ):
+                    continue  # before the requested GTID (resume is inclusive)
                 payload = (
                     json.dumps(item).encode() + b"\n" if isinstance(item, dict) else item
                 )

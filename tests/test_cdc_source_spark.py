@@ -134,3 +134,64 @@ def test_streaming_offsets_track_gtid(registered):
         reader.stop()
     assert end["pos"] == len(rows) == 2
     assert end["gtid"] == "0-1-9"
+
+
+def test_streaming_checkpoint_restart_exactly_once(registered, tmp_path):
+    """A14/A15: stop a streaming query mid-stream, restart from the
+    checkpoint against a (GTID-honoring) server — the file sink must end
+    up with every event exactly once."""
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    first = [dml(i, id=i) for i in range(1, 4)]
+    srv1 = MockMaxScaleServer(script=first, write_delay=0.05, keep_open=3.0)
+    host, port = srv1.start()
+    opts = read_options((host, port))
+
+    def start_query():
+        return (
+            registered.readStream.format("maxscale_cdc")
+            .options(**opts)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+    q = start_query()
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        try:
+            if registered.read.parquet(out).count() >= 3:
+                break
+        except Exception:
+            pass
+        time.sleep(0.3)
+    q.stop()
+    srv1.stop()
+
+    # the restarted server holds the FULL history; honoring the
+    # requested GTID (inclusive) it replays 3..6 — the reader's
+    # position dedup must drop the re-delivered 3
+    second = [dml(i, id=i) for i in range(1, 7)]
+    srv2 = MockMaxScaleServer(script=second, write_delay=0.05, keep_open=3.0, port=port)
+    srv2.start()
+    q = start_query()
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        try:
+            if registered.read.parquet(out).count() >= 6:
+                break
+        except Exception:
+            pass
+        time.sleep(0.3)
+    q.stop()
+    # the reconnect must have asked to resume at the stored GTID
+    assert any(b"REQUEST-DATA example.users 0-1-3" == r for r in srv2.requests), srv2.requests
+    srv2.stop()
+
+    rows = registered.read.parquet(out).collect()
+    seqs = sorted(r.sequence for r in rows if r.kind == "dml")
+    assert seqs == [1, 2, 3, 4, 5, 6], f"not exactly-once: {seqs}"
