@@ -97,6 +97,8 @@ class MaxScaleCDCStreamReader(SimpleDataSourceStreamReader):
         self.max_events_per_batch = int(options.get("max_events_per_batch", "10000"))
         self._client: CDCClient | None = None
         self._eof = False
+        #: events scanned past a batch cap, delivered first next batch
+        self._pending: list[CDCEventFrame] = []
 
     def initialOffset(self) -> dict:
         return {"pos": 0, "gtid": self.options.get("gtid", ""), "last": None}
@@ -142,6 +144,24 @@ class MaxScaleCDCStreamReader(SimpleDataSourceStreamReader):
         rows: list[tuple] = []
         gtid = start.get("gtid", "")
         last = start.get("last")
+
+        def admit(ev: CDCEventFrame) -> bool:
+            nonlocal gtid, last
+            if len(rows) >= self.max_events_per_batch:
+                return False
+            pos = self._position_of(ev)
+            if pos is not None and last is not None and pos <= last:
+                return True  # replayed history (inclusive-GTID resume) — drop
+            rows.append(_frame_to_row(ev))
+            if pos is not None:
+                last = pos
+            gtid = _gtid_of(ev) or gtid
+            return True
+
+        # leftovers a previous batch's cap pushed out come first
+        while self._pending and len(rows) < self.max_events_per_batch:
+            admit(self._pending.pop(0))
+
         if self._eof:
             self._client = None  # reconnect from last GTID
         client = self._ensure_client(gtid)
@@ -157,14 +177,10 @@ class MaxScaleCDCStreamReader(SimpleDataSourceStreamReader):
                 # in-band server error text: skip, like the reference's
                 # log-and-continue class (gomaxscale.go:152-157)
                 continue
-            for ev in events:
-                pos = self._position_of(ev)
-                if pos is not None and last is not None and pos <= last:
-                    continue  # replayed history (inclusive-GTID resume)
-                rows.append(_frame_to_row(ev))
-                if pos is not None:
-                    last = pos
-                gtid = _gtid_of(ev) or gtid
+            for i, ev in enumerate(events):
+                if not admit(ev):
+                    self._pending.extend(events[i:])
+                    break
         end = {"pos": start.get("pos", 0) + len(rows), "gtid": gtid, "last": last}
         return iter(rows), end
 

@@ -195,3 +195,23 @@ def test_streaming_checkpoint_restart_exactly_once(registered, tmp_path):
     rows = registered.read.parquet(out).collect()
     seqs = sorted(r.sequence for r in rows if r.kind == "dml")
     assert seqs == [1, 2, 3, 4, 5, 6], f"not exactly-once: {seqs}"
+
+
+def test_rate_limit_max_events_per_batch(registered):
+    """Backpressure (the reference's unbuffered-channel blocking,
+    gomaxscale.go:52): max_events_per_batch caps one micro-batch."""
+    from gomaxscale_spark.sources.cdc_source import MaxScaleCDCStreamReader
+
+    script = [dml(i, id=i) for i in range(10)]
+    with MockMaxScaleServer(script=script, keep_open=1.0) as addr:
+        opts = dict(read_options(addr), max_events_per_batch="3")
+        reader = MaxScaleCDCStreamReader(opts)
+        rows1, end1 = reader.read(reader.initialOffset())
+        rows1 = list(rows1)
+        rows2, end2 = reader.read(end1)
+        rows2 = list(rows2)
+        reader.stop()
+    assert len(rows1) == 3
+    assert end1["pos"] == 3
+    assert len(rows2) == 3
+    assert [r[2] for r in rows1 + rows2] == list(range(6))  # sequence column
