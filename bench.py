@@ -54,6 +54,58 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def cdc_ingest_events_per_sec(n_events: int = 100_000) -> float:
+    """The reference's own benchmark (gomaxscale_test.go:262-307):
+    events/sec through the consumer path (socket → framing → dispatch)
+    against an in-process mock server pumping insert events."""
+    import json as _json
+
+    from gomaxscale_spark.sources.client import CDCClient
+    from gomaxscale_spark.sources.mock_server import MockMaxScaleServer
+
+    events = [
+        _json.dumps(
+            {
+                "domain": 0,
+                "server_id": 1,
+                "sequence": i,
+                "event_number": 1,
+                "timestamp": 1704067200 + i,
+                "event_type": "insert",
+                "id": i,
+                "name": f"user-{i}",
+                "email": f"user-{i}@example.com",
+            }
+        ).encode()
+        for i in range(n_events)
+    ]
+    blob = b"".join(events)
+    # 64 KiB wire chunks: realistic TCP segmentation, no per-event sendall
+    script = [blob[i : i + 65536] for i in range(0, len(blob), 65536)]
+    with MockMaxScaleServer(script=script, keep_open=2.0, honor_gtid=False) as (host, port):
+        client = CDCClient(
+            host,
+            port,
+            "example",
+            "users",
+            user="u",
+            password="p",
+            read_timeout=1.0,
+            buffer_size=65536,
+        )
+        client.connect()
+        start = time.perf_counter()
+        n = 0
+        for _ in client.events(max_idle_polls=2):
+            n += 1
+            if n >= n_events:
+                break  # stop the clock at the last event, not at EOF-drain
+        elapsed = time.perf_counter() - start
+        client.close()
+    assert n == n_events, f"ingest dropped events: {n}/{n_events}"
+    return round(n / elapsed, 0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -78,6 +130,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cdc_ingest_events_per_sec": cdc_ingest_events_per_sec(),
             }
         )
     )

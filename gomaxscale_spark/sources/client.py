@@ -56,9 +56,11 @@ def classify_frame(frame: Frame) -> CDCEventFrame | None:
     else is checked for the 'err' substring and otherwise rejected."""
     if frame.kind == "json":
         if b'{"namespace":' in frame.payload:
-            return CDCEventFrame("ddl", json.loads(frame.payload), frame.payload)
+            data = frame.obj if isinstance(frame.obj, dict) else json.loads(frame.payload)
+            return CDCEventFrame("ddl", data, frame.payload)
         if b'{"domain":' in frame.payload:
-            return CDCEventFrame("dml", json.loads(frame.payload), frame.payload)
+            data = frame.obj if isinstance(frame.obj, dict) else json.loads(frame.payload)
+            return CDCEventFrame("dml", data, frame.payload)
     if is_error_response(frame.payload):
         raise CDCProtocolError(f"error raised from maxscale: {frame.payload.decode(errors='replace')}")
     raise CDCProtocolError(f"unknown maxscale event type: {frame.payload.decode(errors='replace')}")
