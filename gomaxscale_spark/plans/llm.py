@@ -470,3 +470,29 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udf_grouped_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     return U.mean_abs_deviation(e, "user_id", "value")
+
+
+@query(
+    "text_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER)
+               AS n_bpe_tokens,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER)
+               AS n_ws_tokens
+    FROM documents
+    """,
+    doc="B17 token counting, BPE-ish: a GPT-2-style pre-tokenizer regex "
+    "(letter runs | digit runs | single punctuation) as the context-"
+    "length budget estimator, next to the whitespace count. Row-local "
+    "regexp — map-only at any scale.",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).alias("n_ws_tokens"),
+    )

@@ -1075,3 +1075,47 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return a.intersectAll(b)
+
+
+@query(
+    "histogram_event_values",
+    oracle="""
+    SELECT least(CAST(floor(value / 25.0) AS BIGINT), 19) AS bucket,
+           count(*) AS n, round(min(value), 2) AS lo, round(max(value), 2) AS hi
+    FROM events GROUP BY 1
+    """,
+    doc="B6 numeric histogram via explicit bucket arithmetic (the "
+    "portable width_bucket): one hash agg over 20 keys — the profile-"
+    "a-column primitive for 100 TB data exploration.",
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25.0).cast("long"), F.lit(19).cast("long"))
+    return e.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+           arg_min(event_id, ts) AS first_event_id,
+           arg_max(event_id, ts) AS last_event_id
+    FROM events GROUP BY user_id
+    """,
+    doc="B6/B13 collection aggregates: sorted distinct collect_set (the "
+    "deterministic form — raw collect order is partition-dependent) "
+    "plus min_by/max_by. Scale: collect_* is bounded here by the tiny "
+    "per-user type domain; unbounded collects belong in explode-side "
+    "processing instead.",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.expr("min_by(event_id, ts_ns)").alias("first_event_id"),
+        F.expr("max_by(event_id, ts_ns)").alias("last_event_id"),
+    )

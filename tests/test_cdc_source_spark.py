@@ -215,3 +215,34 @@ def test_rate_limit_max_events_per_batch(registered):
     assert end1["pos"] == 3
     assert len(rows2) == 3
     assert [r[2] for r in rows1 + rows2] == list(range(6))  # sequence column
+
+
+def test_two_table_sources_compose(registered):
+    """One consumer per db.table (the reference's model,
+    gomaxscale.go:96-100): two registered sources read different tables
+    concurrently and their typed snapshots join."""
+    users = [dict(dml(i, id=i), name=f"user-{i}") for i in range(1, 4)]
+    orders = [dict(dml(i + 10, id=i + 10), user_id=i, amount=i * 10.0) for i in range(1, 4)]
+    s_users = MockMaxScaleServer(script=users, keep_open=1.0)
+    s_orders = MockMaxScaleServer(script=orders, keep_open=1.0)
+    ua, oa = s_users.start(), s_orders.start()
+    try:
+        u_df = (
+            registered.read.format("maxscale_cdc")
+            .options(**dict(read_options(ua), table="users"))
+            .load()
+            .select(F.get_json_object("raw", "$.id").cast("int").alias("uid"),
+                    F.get_json_object("raw", "$.name").alias("name"))
+        )
+        o_df = (
+            registered.read.format("maxscale_cdc")
+            .options(**dict(read_options(oa), table="orders"))
+            .load()
+            .select(F.get_json_object("raw", "$.user_id").cast("int").alias("uid"),
+                    F.get_json_object("raw", "$.amount").cast("double").alias("amount"))
+        )
+        joined = {(r.name, r.amount) for r in u_df.join(o_df, "uid").collect()}
+    finally:
+        s_users.stop()
+        s_orders.stop()
+    assert joined == {("user-1", 10.0), ("user-2", 20.0), ("user-3", 30.0)}

@@ -122,3 +122,20 @@ def test_cli_requires_database_and_table():
     from gomaxscale_spark.cli import main
 
     assert main(["--host", "x"]) == 2
+
+
+def test_cdc_snapshot_sink_idempotent_replay(spark, tmp_path):
+    """foreachBatch may re-run a batch after failure; the latest-wins
+    fold of (current ∪ batch) makes re-application a no-op — the
+    exactly-once story for the sink side."""
+    path = str(tmp_path / "snap_idem")
+    sink = CDCSnapshotSink(path, key_cols=["id"], order_cols=["seq"])
+    batch = spark.createDataFrame(
+        [(1, "insert", 1.0, 10), (2, "insert", 2.0, 11), (1, "delete", 1.0, 12)],
+        "id int, event_type string, v double, seq long",
+    )
+    sink.apply_batch(batch)
+    state1 = sorted((r.id, r.v) for r in sink.read_snapshot(spark).collect())
+    sink.apply_batch(batch)  # replay the exact same epoch
+    state2 = sorted((r.id, r.v) for r in sink.read_snapshot(spark).collect())
+    assert state1 == state2 == [(2, 2.0)]
