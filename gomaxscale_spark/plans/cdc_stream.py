@@ -211,3 +211,84 @@ def flagship_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("k"), 4).alias("avg_k"),
         )
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'click')    AS first_click,
+             min(ts) FILTER (WHERE event_type = 'view')     AS first_view,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(first_click) AS clicked,
+           count(*) FILTER (WHERE first_click IS NOT NULL
+                            AND first_view > first_click) AS then_viewed,
+           count(*) FILTER (WHERE first_click IS NOT NULL
+                            AND first_view > first_click
+                            AND first_purchase > first_view) AS then_purchased
+    FROM per_user
+    """,
+    doc="Stream-analytics: click→view→purchase funnel (ordered first-"
+    "occurrence per user). One shuffle on user_id with conditional "
+    "min aggregates — the product-analytics staple over CDC events. "
+    "µs-domain comparisons only (ts precision discipline).",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    viewed = F.col("first_click").isNotNull() & (F.col("first_view") > F.col("first_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_click").alias("clicked"),
+        F.count(F.when(viewed, F.lit(1))).alias("then_viewed"),
+        F.count(
+            F.when(viewed & (F.col("first_purchase") > F.col("first_view")), F.lit(1))
+        ).alias("then_purchased"),
+    )
+
+
+@query(
+    "retention_daily_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort_day FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             CAST(datediff('day', f.cohort_day, date_trunc('day', e.ts)) AS INTEGER) AS day_n
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_day, day_n, count(*) AS active_users
+    FROM activity WHERE day_n <= 7 GROUP BY cohort_day, day_n
+    """,
+    doc="Stream-analytics: daily cohort retention (day-N active users "
+    "per first-seen cohort). Two shuffles (user fold + cohort agg); "
+    "the firsts table is user-cardinality and joins broadcast-or-"
+    "shuffled by AQE.",
+)
+def retention_daily_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("int")
+            .alias("day_n"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_n") <= 7)
+        .groupBy(F.col("cohort_day").cast("timestamp_ntz").alias("cohort_day"), "day_n")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )

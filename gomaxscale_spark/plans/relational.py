@@ -1119,3 +1119,18 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("min_by(event_id, ts_ns)").alias("first_event_id"),
         F.expr("max_by(event_id, ts_ns)").alias("last_event_id"),
     )
+
+
+@query(
+    "agg_approx_percentile",
+    oracle=None,  # sketch-based (different algorithms per engine) → rows-only
+    doc="B6 approx_percentile (t-digest-style sketch): bounded memory "
+    "per group at any cardinality — the 100 TB replacement for exact "
+    "percentiles (percentiles_per_status is the exact twin).",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("pctiles"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
