@@ -292,3 +292,59 @@ def retention_daily_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cohort_day").cast("timestamp_ntz").alias("cohort_day"), "day_n")
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@query(
+    "streaming_tumbling_availablenow",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="B14 with the REAL streaming engine in the correctness gate: "
+    "the events table replayed through readStream → windowed agg → "
+    "complete-mode memory sink, driven to completion with availableNow. "
+    "Same oracle as the batch twin (complete mode emits every window), "
+    "so the value-hash check covers Structured Streaming execution "
+    "itself — state store, watermark bookkeeping, micro-batch planning.",
+)
+def streaming_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from ..session import configure
+
+    configure(spark)
+    # the streaming file source wants a directory; expose the single
+    # parquet file through a symlinked temp dir (no data copy)
+    replay_dir = tempfile.mkdtemp(prefix="events_replay_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{replay_dir}/events.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts as long (nanos)
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(replay_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    name = f"stream_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
