@@ -98,3 +98,46 @@ def test_registry_field_count_and_nullability(fields):
     for (name, ftype) in fields:
         expected_nullable = isinstance(ftype, list) and "null" in ftype
         assert struct[name].nullable == expected_nullable
+
+
+# -- CDC snapshot fold (model-based) ---------------------------------------
+
+import pytest
+
+op_strategy = st.sampled_from(["insert", "update_before", "update_after", "delete"])
+change_stream = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),   # key
+        op_strategy,
+        st.floats(min_value=0, max_value=100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@pytest.fixture(scope="module")
+def _spark_for_props(spark):
+    return spark
+
+
+@given(changes=change_stream)
+@settings(max_examples=30, deadline=None)
+def test_snapshot_fold_matches_dict_replay(_spark_for_props, changes):
+    """materialize_snapshot ≡ the obvious sequential dict replay."""
+    from gomaxscale_spark.operators.snapshot import materialize_snapshot
+
+    spark = _spark_for_props
+    rows = [(k, op, v, seq) for seq, (k, op, v) in enumerate(changes)]
+    df = spark.createDataFrame(rows, "id int, event_type string, v double, seq long")
+    got = {r.id: r.v for r in materialize_snapshot(df, ["id"], ["seq"]).collect()}
+
+    model: dict[int, float] = {}
+    for k, op, v in changes:
+        if op == "update_before":
+            continue
+        if op == "delete":
+            model.pop(k, None)
+        else:
+            model[k] = v
+    assert got == model
