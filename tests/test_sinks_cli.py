@@ -139,3 +139,29 @@ def test_cdc_snapshot_sink_idempotent_replay(spark, tmp_path):
     sink.apply_batch(batch)  # replay the exact same epoch
     state2 = sorted((r.id, r.v) for r in sink.read_snapshot(spark).collect())
     assert state1 == state2 == [(2, 2.0)]
+
+
+@pytest.mark.slow
+def test_cli_streaming_mode_prints_stats():
+    """The default streaming mode: console sink + per-batch stats lines
+    (the reference's WithStats output, gomaxscale_test.go:296-297)."""
+    script = [dict(DML, sequence=i) for i in range(1, 6)]
+    with MockMaxScaleServer(script=script, write_delay=0.1, keep_open=8.0) as (host, port):
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "gomaxscale_spark.cli",
+                "--host", host, "--port", str(port),
+                "--database", "example", "--table", "users",
+                "--user", "u", "--password", "p",
+                "--read-timeout", "0.2",
+                "--duration", "12",
+                "--cpus", "2",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=240,
+        )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # console sink batches reached stdout; stats lines reached stderr
+    assert "Batch:" in proc.stdout
+    assert "events/second" in proc.stderr
