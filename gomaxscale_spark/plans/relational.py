@@ -1134,3 +1134,92 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("pctiles"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
     )
+
+
+@query(
+    "scalar_string_extras",
+    oracle="""
+    SELECT p_partkey,
+           reverse(p_name)                       AS name_rev,
+           split_part(p_name, ' ', 2)            AS second_word,
+           translate(p_brand, '#', '-')          AS brand_dashed,
+           left(p_type, 3)                       AS type_left,
+           right(p_type, 3)                      AS type_right,
+           repeat(p_brand, 2)                    AS brand_twice,
+           starts_with(p_name, 'red')            AS is_red,
+           ends_with(p_name, 'bolt')             AS is_bolt,
+           contains(p_name, 'wid')               AS has_wid
+    FROM part
+    """,
+    doc="B11 string functions, second battery (reverse/split_part/"
+    "translate/left/right/repeat/prefix-suffix-contains predicates).",
+)
+def scalar_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.reverse("p_name").alias("name_rev"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.substring("p_type", 1, 3).alias("type_left"),
+        F.expr("right(p_type, 3)").alias("type_right"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.startswith(F.col("p_name"), F.lit("red")).alias("is_red"),
+        F.endswith(F.col("p_name"), F.lit("bolt")).alias("is_bolt"),
+        F.contains(F.col("p_name"), F.lit("wid")).alias("has_wid"),
+    )
+
+
+@query(
+    "scalar_date_extras",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(dayofyear(o_orderdate) AS INTEGER)       AS doy,
+           CAST(o_orderdate + INTERVAL 1 MONTH AS TIMESTAMP) AS next_month
+    FROM orders
+    """,
+    doc="B11 date functions, second battery (last_day/dayofyear/"
+    "month arithmetic with end-of-month clamping).",
+)
+def scalar_date_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        # date-typed outputs render differently across engines (DATE vs
+        # datetime64) — normalize to timestamp on both sides
+        F.last_day(F.col("o_orderdate").cast("date")).cast("timestamp_ntz").alias("month_end"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 MONTH")).alias("next_month"),
+    )
+
+
+@query(
+    "window_rank_fractions",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6)    AS cd,
+           first_value(c_custkey) OVER w   AS poorest_custkey,
+           last_value(c_custkey) OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest_custkey
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="B8 fractional ranks + first_value/last_value with explicit "
+    "full frame (the default frame truncates last_value at the current "
+    "row — a classic cross-engine trap, avoided identically here).",
+)
+def window_rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.first("c_custkey").over(w).alias("poorest_custkey"),
+        F.last("c_custkey").over(w_full).alias("richest_custkey"),
+    )
