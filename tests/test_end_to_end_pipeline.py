@@ -135,3 +135,55 @@ def test_full_cdc_pipeline_to_snapshot(spark, tmp_path):
     symbols = typed_schema["state"].metadata["enum_symbols"]
     n_bad = snap.filter(~enum_domain_check("state", symbols)).count()
     assert n_bad == 0
+
+
+DDL_V2 = dict(
+    DDL,
+    version=2,
+    gtid="0-1-8",
+    fields=DDL["fields"] + [{"name": "age", "type": ["null", "int"], "real_type": "int"}],
+)
+
+
+def test_schema_evolution_mid_stream(spark, tmp_path):
+    """C4: a version-2 DDL arrives mid-stream (ALTER TABLE added a
+    column); rows before and after parse against their own schema
+    version and merge with unionByName — the registry-driven evolution
+    path (reference types.go:36, gomaxscale_options.go:84-88)."""
+    spark.dataSource.register(MaxScaleCDCDataSource)
+    changelog = [
+        DDL,
+        ev(1, 1, "insert", id=1, name="alice", state="active"),
+        DDL_V2,
+        ev(9, 1, "insert", id=5, name="eve", state="active", age=30),
+    ]
+    with MockMaxScaleServer(script=changelog, keep_open=1.0) as (host, port):
+        df = (
+            spark.read.format("maxscale_cdc")
+            .options(
+                host=host, port=str(port), database="example", table="users",
+                user="u", password="p", read_timeout="0.2", max_idle_polls="3",
+            )
+            .load()
+        )
+        rows = df.collect()
+
+    registry = SchemaRegistry()
+    for r in rows:
+        if r.kind == "ddl":
+            registry.register(r.raw)
+    assert registry.versions("example", "users") == [1, 2]
+
+    dml_df = spark.createDataFrame(
+        [(r.raw,) for r in rows if r.kind == "dml"], "raw string"
+    )
+    v1 = dml_df.select(
+        F.from_json("raw", registry.full_dml_schema("example", "users", version=1)).alias("r")
+    ).select("r.*").filter(F.col("sequence") < 9)
+    v2 = dml_df.select(
+        F.from_json("raw", registry.full_dml_schema("example", "users", version=2)).alias("r")
+    ).select("r.*").filter(F.col("sequence") >= 9)
+    merged = v1.unionByName(v2, allowMissingColumns=True)
+
+    got = {r.id: (r.name, r.age if "age" in merged.columns else None) for r in merged.collect()}
+    assert got == {1: ("alice", None), 5: ("eve", 30)}
