@@ -496,3 +496,35 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).alias("n_ws_tokens"),
     )
+
+
+@query(
+    "fuzzy_match_part_names",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    doc="B15-adjacent fuzzy matching: near-identical part names by edit "
+    "distance within brand blocks. Scale: the brand block bounds the "
+    "quadratic pair count; at corpus scale the blocker becomes a cheap "
+    "signature (length band + first-char or LSH bucket). Levenshtein "
+    "is implemented identically in both engines → oracle-checkable.",
+)
+def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.select(
+        F.col("p_brand").alias("bk"), F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a")
+    )
+    b = p.select(
+        F.col("p_brand").alias("bk"), F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b")
+    )
+    return (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("id_a", "id_b", "edit_dist")
+    )
