@@ -140,3 +140,35 @@ def test_stats_listener_parity(spark, events_stream_source):
     assert n_input == batch_count
     assert listener.totals.processing_time_ms > 0
     assert listener.totals.events_per_second > 0
+
+
+def test_session_windows_batch_equals_stream(spark, sf_dir, events_stream_source):
+    """Session windows in append mode: every closed session must match
+    the batch sessionization exactly."""
+    from gomaxscale_spark.streaming.ops import session_counts
+
+    path, schema = events_stream_source
+    batch_df = load_table(spark, sf_dir, "events")
+    expected = {
+        (r.user_id, r.session_start): r.n_events
+        for r in session_counts(batch_df).collect()
+    }
+
+    stream = replay_parquet_stream(spark, path, schema)
+    q = (
+        session_counts(stream)
+        .writeStream.format("memory")
+        .queryName("session_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.sql("SELECT * FROM session_out").collect()
+    }
+    assert got, "no sessions closed"
+    for key, n in got.items():
+        assert expected[key] == n, f"session {key}: stream={n} batch={expected[key]}"
+    assert len(got) >= 0.5 * len(expected)
