@@ -193,3 +193,15 @@ def test_multimodal_real_codec_is_stubbed():
         decode_image_real(b"\x89PNG...")
     feats = fake_decode_features(b"hello world")
     assert feats["byte_len"] == 11
+
+
+def test_route_by_event_type_partitions_stream(spark):
+    from gomaxscale_spark.operators.snapshot import route_by_event_type
+
+    rows = [(i, t) for i, t in enumerate(["insert", "update_before", "update_after", "delete", "insert"])]
+    df = spark.createDataFrame(rows, "id int, event_type string")
+    routes = route_by_event_type(df)
+    counts = {k: v.count() for k, v in routes.items()}
+    assert counts == {"insert": 2, "update_before": 1, "update_after": 1, "delete": 1}
+    # routes are disjoint and complete
+    assert sum(counts.values()) == df.count()

@@ -172,3 +172,26 @@ def test_session_windows_batch_equals_stream(spark, sf_dir, events_stream_source
     for key, n in got.items():
         assert expected[key] == n, f"session {key}: stream={n} batch={expected[key]}"
     assert len(got) >= 0.5 * len(expected)
+
+
+def test_sliding_windows_batch_equals_stream(spark, events_stream_source):
+    from gomaxscale_spark.streaming.ops import sliding_counts
+
+    path, schema = events_stream_source
+    batch = spark.read.schema(schema).parquet(path)
+    expected = {r.window_start: r.n for r in sliding_counts(batch).collect()}
+
+    stream = replay_parquet_stream(spark, path, schema)
+    q = (
+        sliding_counts(stream)
+        .writeStream.format("memory")
+        .queryName("sliding_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.window_start: r.n for r in spark.sql("SELECT * FROM sliding_out").collect()}
+    assert got, "no sliding windows closed"
+    for key, n in got.items():
+        assert expected[key] == n
