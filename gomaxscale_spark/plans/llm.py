@@ -528,3 +528,39 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 3)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+@query(
+    "text_chunk_documents",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, CAST(s.start AS INTEGER) AS chunk_start,
+           array_to_string(toks[s.start:s.start+63], ' ') AS chunk_text,
+           CAST(least(64, len(toks) - s.start + 1) AS INTEGER) AS n_chunk_tokens
+    FROM d, LATERAL (SELECT unnest(range(1, len(toks) + 1, 48)) AS start) s
+    WHERE len(toks) >= 1
+    """,
+    doc="Training-data chunking: split each document into 64-token "
+    "chunks with stride 48 (16-token overlap) — the context-window "
+    "prep step before tokenization. Scale: explode fans out ~tokens/48 "
+    "chunks per doc, map-only (no shuffle); chunk ids are (doc_id, "
+    "start) so downstream dedup/packing can shuffle on them.",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    with_toks = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 1)
+    chunks = with_toks.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks"), F.lit(48))).alias("chunk_start"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_start",
+        F.concat_ws(" ", F.slice(F.col("toks"), F.col("chunk_start"), 64)).alias("chunk_text"),
+        F.least(F.lit(64), F.size("toks") - F.col("chunk_start") + 1).alias("n_chunk_tokens"),
+    )
