@@ -564,3 +564,64 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice(F.col("toks"), F.col("chunk_start"), 64)).alias("chunk_text"),
         F.least(F.lit(64), F.size("toks") - F.col("chunk_start") + 1).alias("n_chunk_tokens"),
     )
+
+
+@query(
+    "text_pack_sequences",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, CAST(s.start AS INTEGER) AS chunk_start,
+             CAST(least(64, len(toks) - s.start + 1) AS INTEGER) AS n_tokens,
+             doc_id % 8 AS pack_bucket
+      FROM d, LATERAL (SELECT unnest(range(1, len(toks) + 1, 48)) AS start) s
+      WHERE len(toks) >= 1
+    )
+    SELECT doc_id, chunk_start, pack_bucket,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY pack_bucket
+                 ORDER BY doc_id, chunk_start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                / 512.0) AS BIGINT) AS sequence_id
+    FROM chunks
+    """,
+    doc="Training-data sequence packing: chunks fill 512-token training "
+    "sequences in deterministic order within hash buckets — running "
+    "token cumsum over a window, sequence_id = floor(offset/512). "
+    "Scale: one shuffle on the pack bucket (cardinality = parallelism "
+    "knob); the greedy fill is streaming within each sorted partition. "
+    "The bucket count trades packing efficiency for parallelism — the "
+    "standard distributed-packing compromise.",
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    chunks = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("toks"), F.lit(48))).alias("chunk_start"),
+            F.size("toks").alias("__n_toks"),
+        )
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.least(F.lit(64), F.col("__n_toks") - F.col("chunk_start") + 1).alias("n_tokens"),
+            (F.col("doc_id") % 8).alias("pack_bucket"),
+        )
+    )
+    w = (
+        W.partitionBy("pack_bucket")
+        .orderBy("doc_id", "chunk_start")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_start",
+        "pack_bucket",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512.0).alias("sequence_id"),
+    )
