@@ -153,6 +153,71 @@ def minhash_lsh_candidates(
     )
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 30
+) -> DataFrame:
+    """Duplicate clusters from pairwise matches: connected components by
+    iterative min-label propagation (label = smallest id reachable).
+
+    The missing last stage of every dedup pipeline — pairwise candidates
+    (MinHash-LSH / Jaccard / SimHash) say "a~b, b~c"; keeping one
+    representative requires the {a,b,c} cluster, i.e. connected
+    components of the match graph.
+
+    Each iteration: label'(v) = min(label(v), min over neighbors u of
+    label(u)); stop when no label changes (exact fixpoint, so the result
+    is deterministic and oracle-comparable). Convergence in O(diameter)
+    rounds — near-dup graphs are dense clique-ish clusters, so the
+    diameter is tiny in practice.
+
+    Scale: each round is one shuffle join on the edge list (ids only —
+    documents never move) plus a min-aggregate; `localCheckpoint`
+    truncates the growing lineage so round N doesn't replay rounds
+    1..N-1 (on a cluster use `checkpoint` to HDFS instead). For
+    web-scale graphs swap the propagation loop for the large-star/
+    small-star algorithm (Kiveris et al., same DataFrame shape, fewer
+    rounds on high-degree graphs).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(labels["label"], F.coalesce("nbr_label", labels["label"])).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two string arrays (assumed distinct elements).
 

@@ -1,0 +1,64 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Train/val/test assignment and stratified sampling must be *stable
+functions of the record id* — not `rand()` — so that (a) re-runs and
+backfills land every row in the same split, (b) the split survives
+repartitioning, and (c) an oracle can verify it. The multiplicative
+(Knuth/Fibonacci) hash used here is plain integer arithmetic, so it is
+reproducible in any engine; production code with richer ids would use
+xxhash64(id) mod N (same shape, engine-native hash).
+
+Scale: split assignment is a pure map (no shuffle); the stratified
+sampler is one window over the stratum key — a single shuffle on the
+stratum, which is the minimum any per-group quota needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+#: Knuth's multiplicative hash constant (2^32 / golden ratio, odd).
+KNUTH_MULT = 2654435761
+
+
+def hash_bucket(id_col: Column, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets) from an integer id."""
+    return (id_col.cast("long") * F.lit(KNUTH_MULT)) % F.lit(int(n_buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Adds `bucket` (0-99) and `split` ∈ {train, val, test} columns."""
+    b = hash_bucket(F.col(id_col))
+    split = (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("bucket", b).withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, id_col: str, fraction: float
+) -> DataFrame:
+    """Deterministic per-stratum sample: rank rows inside each stratum
+    by hash order (unique-id tie-break) and keep ceil(fraction·|stratum|).
+
+    Unlike `df.sampleBy` (seeded Bernoulli: only the *expected* fraction
+    per stratum, and row-order-dependent), this gives an exact quota and
+    a reproducible member set.
+    """
+    w = W.partitionBy(stratum_col).orderBy(
+        hash_bucket(F.col(id_col), 997), F.col(id_col)
+    )
+    n = W.partitionBy(stratum_col)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("__quota", F.ceil(F.count(F.lit(1)).over(n) * F.lit(fraction)))
+        .filter(F.col("rn") <= F.col("__quota"))
+        .drop("__quota")
+    )

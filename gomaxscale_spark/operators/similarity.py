@@ -228,3 +228,45 @@ def ivf_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def label_centroids(embeddings: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """Per-label, per-dimension centroid: (label, dim_idx, centroid, n).
+
+    The k-means "update" step / class-prototype computation, expressed
+    as posexplode + hash agg. Scale: the shuffle carries (label, dim)
+    partial sums — map-side combine reduces dims×labels rows per
+    partition, independent of corpus size. The long (label, dim) layout
+    avoids any array re-assembly until a consumer needs it
+    (`collect_list` sorted by dim_idx reassembles vectors).
+    """
+    exploded = embeddings.select(
+        F.col(label_col), F.posexplode(vec_col).alias("dim_idx", "val")
+    )
+    return exploded.groupBy(label_col, "dim_idx").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+def quantize_int8(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric int8 quantization: q[i] = round(v[i] · 127/max|v|),
+    exploded to (id, dim_idx, q) rows.
+
+    The storage-side half of quantized ANN (IVF-PQ-lite): int8 vectors
+    are 4× smaller than float32 — at 100 TB that is the difference
+    between an index that fits executor memory and one that doesn't.
+    Pure per-row map (scale factor is a fold over the row's own array),
+    no shuffle; dequantization error is bounded by max|v|/254 per dim.
+    """
+    scale = F.lit(127.0) / F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    return embeddings.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("int")
+            )
+        ).alias("dim_idx", "q"),
+    )

@@ -100,6 +100,33 @@ def language_id(text: Column) -> Column:
     return best
 
 
+def repetition_stats(df, id_col: str, text_col: str):
+    """Gopher-style repetition signals per document: duplicate-token
+    ratio (1 − distinct/total) and top-token ratio (most frequent token
+    / total). High values flag boilerplate / degenerate text — the
+    standard pre-training repetition filters (Rae et al. 2021, §A1.1).
+
+    Shape: explode → two hash aggregations keyed by doc. Scale: the
+    (doc_id, token) partial agg combines map-side, so the shuffle
+    carries one row per distinct (doc, token), never raw token streams;
+    everything stays JVM-side.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokenize(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    counts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("c").cast("double"), 6
+        ).alias("dup_token_ratio"),
+        F.round(F.max("c").cast("double") / F.sum("c").cast("double"), 6).alias(
+            "top_token_ratio"
+        ),
+    )
+
+
 FINGERPRINT_MOD = 2_147_483_647  # 2³¹−1 (Mersenne prime) — keeps the fold in long range
 
 

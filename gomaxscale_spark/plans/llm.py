@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup as D
 from ..operators import multimodal as M
+from ..operators import sampling as SA
 from ..operators import similarity as S
 from ..operators import text as TX
 from ..operators import udfs as U
@@ -625,3 +626,168 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pack_bucket",
         F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512.0).alias("sequence_id"),
     )
+
+
+@query(
+    "dedup_connected_components",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang, n_chars // 50 AS len_band,
+             list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.len_band = b.len_band
+                          AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+            / (len(a.toks) + len(b.toks)
+               - len(list_filter(a.toks, x -> list_contains(b.toks, x)))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach AS (
+      SELECT src AS id, src AS lbl FROM edges
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    """,
+    doc="B15 duplicate clustering: connected components over the exact-"
+    "Jaccard match graph (the last dedup stage — pairs say a~b, b~c; "
+    "keeping one representative needs the {a,b,c} cluster). Spark side "
+    "is iterative min-label propagation to exact fixpoint "
+    "(operators/dedup.py connected_components); oracle is the same "
+    "graph closed with a recursive CTE. cluster_id = min doc_id in the "
+    "component, so representatives are deterministic.",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").withColumn(
+        "len_band", F.floor(F.col("n_chars") / 50).cast("long")
+    )
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", ["lang", "len_band"], threshold=0.5, shingle_n=1
+    )
+    return D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+               AS dup_token_ratio,
+           round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+               AS top_token_ratio
+    FROM cnt GROUP BY doc_id
+    """,
+    doc="B17 Gopher-style repetition filters (Rae et al. 2021 §A1.1): "
+    "duplicate-token ratio and most-frequent-token share per document — "
+    "the standard boilerplate/degenerate-text signals. Scale: map-side "
+    "combined (doc, token) agg; token strings shuffle once as distinct "
+    "counts, never as raw streams.",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return TX.repetition_stats(d, "doc_id", "text")
+
+
+@query(
+    "sampling_hash_split",
+    oracle="""
+    SELECT doc_id,
+           CAST((doc_id * 2654435761) % 100 AS BIGINT) AS bucket,
+           CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic train/val/test split by multiplicative id hash — "
+    "stable under re-runs, backfills and repartitioning, unlike "
+    "rand()-based splits. Pure map, no shuffle at any scale.",
+)
+def sampling_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return SA.hash_split(d, "doc_id", train_pct=80, val_pct=10).select(
+        "doc_id", "bucket", "split"
+    )
+
+
+@query(
+    "sampling_stratified_sample",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY (doc_id * 2654435761) % 997, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn
+    FROM r WHERE rn <= ceil(0.1 * n)
+    """,
+    doc="Deterministic stratified sampling: exactly ceil(10%·|stratum|) "
+    "docs per language, members chosen by hash order (reproducible, "
+    "unlike sampleBy's Bernoulli draw). Scale: one shuffle on the "
+    "stratum key — the minimum for any per-group quota.",
+)
+def sampling_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return SA.stratified_sample(d, "lang", "doc_id", 0.1).select("doc_id", "lang", "rn")
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH x AS (
+      SELECT label,
+             unnest(range(0, len(embedding))) AS dim_idx,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    )
+    SELECT label, CAST(dim_idx AS INTEGER) AS dim_idx,
+           round(avg(val), 6) AS centroid, count(*) AS n_vectors
+    FROM x GROUP BY label, dim_idx
+    """,
+    doc="B16-adjacent: per-label per-dimension centroid (the k-means "
+    "update / class-prototype step) via posexplode + hash agg. Scale: "
+    "map-side combine leaves labels×dims partial sums per partition — "
+    "shuffle size independent of corpus size. Summands are exact "
+    "float32-in-double values with bounded exponent spread → sums are "
+    "order-independent, oracle-stable.",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return S.label_centroids(e, "label", "embedding")
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(unnest(range(0, len(embedding))) AS INTEGER) AS dim_idx,
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) * scale) AS INTEGER) AS q
+    FROM s
+    """,
+    doc="B16-adjacent: symmetric int8 vector quantization (4× smaller "
+    "index — the difference between in-memory and spilled ANN at "
+    "100 TB). Row-local fold for the scale + map — no shuffle; both "
+    "engines compute the identical double product before round.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return S.quantize_int8(e, "vec_id", "embedding")

@@ -205,3 +205,108 @@ def test_route_by_event_type_partitions_stream(spark):
     assert counts == {"insert": 2, "update_before": 1, "update_after": 1, "delete": 1}
     # routes are disjoint and complete
     assert sum(counts.values()) == df.count()
+
+
+# ---------------------------------------------------------------- new ops
+
+
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3, triangle 10-11-12 (+ redundant edge), pair 20-21:
+    exact min-label clusters regardless of edge order."""
+    from gomaxscale_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.id, r.cluster_id) for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path needs ~11 propagation rounds — proves the loop
+    runs to fixpoint, not a fixed small iteration count."""
+    from gomaxscale_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "id_a long, id_b long"
+    )
+    rows = connected_components(pairs).collect()
+    assert {r.cluster_id for r in rows} == {100}
+    assert len(rows) == 12
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark, sf_dir):
+    from gomaxscale_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    strata = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    s1 = stratified_sample(d, "lang", "doc_id", 0.1)
+    got = {
+        r.lang: r.n for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    import math
+
+    assert got == {lang: math.ceil(0.1 * n) for lang, n in strata.items()}
+    # deterministic member set across runs
+    ids1 = sorted(r.doc_id for r in s1.select("doc_id").collect())
+    ids2 = sorted(
+        r.doc_id for r in stratified_sample(d, "lang", "doc_id", 0.1).select("doc_id").collect()
+    )
+    assert ids1 == ids2
+
+
+def test_hash_split_fractions(spark, sf_dir):
+    from gomaxscale_spark.operators.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    by_split = {
+        r.split: r.n
+        for r in hash_split(d, "doc_id").groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(by_split.values())
+    assert total == d.count()
+    # multiplicative hash spreads well: train within ±10pp of 80%
+    assert abs(by_split["train"] / total - 0.8) < 0.10
+
+
+def test_quantize_int8_roundtrip_error_bound(spark, sf_dir):
+    """Dequantized values are within max|v|/254 of the original per dim
+    (half a quantization step), and q stays in int8 range."""
+    from gomaxscale_spark.operators.similarity import quantize_int8
+
+    e = load_table(spark, sf_dir, "embeddings").limit(50)
+    orig = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim_idx", "val"),
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))).alias("m"),
+    )
+    q = quantize_int8(e, "vec_id", "embedding")
+    joined = orig.join(q, ["vec_id", "dim_idx"])
+    bad = joined.filter(
+        (F.abs(F.col("q")) > 127)
+        | (F.abs(F.col("q") * F.col("m") / 127.0 - F.col("val")) > F.col("m") / 254.0 + 1e-12)
+    )
+    assert bad.count() == 0
+
+
+def test_repetition_stats_flags_degenerate_text(spark):
+    from gomaxscale_spark.operators.text import repetition_stats
+
+    d = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "all four tokens differ"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(d, "doc_id", "text").collect()}
+    assert rows[1].n_tokens == 4 and rows[1].dup_token_ratio == 0.75
+    assert rows[1].top_token_ratio == 1.0
+    assert rows[2].dup_token_ratio == 0.0 and rows[2].top_token_ratio == 0.25

@@ -146,7 +146,9 @@ def test_cli_streaming_mode_prints_stats():
     """The default streaming mode: console sink + per-batch stats lines
     (the reference's WithStats output, gomaxscale_test.go:296-297)."""
     script = [dict(DML, sequence=i) for i in range(1, 6)]
-    with MockMaxScaleServer(script=script, write_delay=0.1, keep_open=8.0) as (host, port):
+    # generous keep_open/duration: the subprocess boots a second JVM,
+    # which can take >10 s when the host is loaded (full-suite runs)
+    with MockMaxScaleServer(script=script, write_delay=0.1, keep_open=25.0) as (host, port):
         proc = subprocess.run(
             [
                 sys.executable, "-m", "gomaxscale_spark.cli",
@@ -154,7 +156,7 @@ def test_cli_streaming_mode_prints_stats():
                 "--database", "example", "--table", "users",
                 "--user", "u", "--password", "p",
                 "--read-timeout", "0.2",
-                "--duration", "12",
+                "--duration", "28",
                 "--cpus", "2",
             ],
             capture_output=True,
