@@ -348,3 +348,75 @@ def streaming_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFra
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "streaming_session_availablenow",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), y AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM x
+    )
+    SELECT user_id, date_trunc('second', min(ts)) AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM y GROUP BY user_id, session_id
+    """,
+    doc="B14 with the REAL streaming engine, second surface: "
+    "session_window sessionization executed by Structured Streaming "
+    "(readStream replay → session merge state → complete-mode memory "
+    "sink, availableNow). Complete mode needs no watermark for session "
+    "windows, so every session is emitted and the DuckDB gaps-and-"
+    "islands oracle checks the streaming session-merge machinery "
+    "value-for-value (same oracle as the batch twin "
+    "session_window_per_user).",
+)
+def streaming_session_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from ..session import configure
+
+    configure(spark)
+    replay_dir = tempfile.mkdtemp(prefix="events_replay_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{replay_dir}/events.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts as long (nanos)
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(replay_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_trunc("second", F.col("sw.start"))
+            .cast("timestamp_ntz")
+            .alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_session_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

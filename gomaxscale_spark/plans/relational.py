@@ -1340,3 +1340,61 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total_qty", 2).alias("total_qty"),
         )
     )
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           round(var_samp(l_quantity), 6)                    AS var_qty,
+           round(stddev_samp(l_extendedprice), 4)            AS std_price,
+           round(median(l_quantity), 2)                      AS median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="B6 statistical-moment aggregates: corr / covar_samp / var_samp "
+    "/ stddev_samp / median per group — the profiling battery a data-"
+    "quality pass runs per column pair. Scale: all are single-pass "
+    "partial-aggregatable (co-moment merge), one shuffle of 3 groups × "
+    "a handful of moments; median is exact interpolated percentile "
+    "(full sort per group — use approx_percentile beyond memory-sized "
+    "groups, cf. agg_approx_percentile).",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.median("l_quantity"), 2).alias("median_qty"),
+    )
+
+
+@query(
+    "agg_bitwise_bool",
+    oracle="""
+    SELECT event_type,
+           bit_and(user_id) AS uid_and,
+           bit_or(user_id)  AS uid_or,
+           bit_xor(user_id) AS uid_xor,
+           bool_and(value > 0)   AS all_positive,
+           bool_or(value > 400)  AS any_large
+    FROM events GROUP BY event_type
+    """,
+    doc="B6 bitwise / boolean aggregates: bit_and/bit_or/bit_xor + "
+    "bool_and/bool_or per group — flag-mask folding and invariant "
+    "checks (e.g. 'every event in the partition passed validation'). "
+    "All trivially partial-aggregatable → map-side combine, tiny "
+    "shuffle.",
+)
+def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("uid_and"),
+        F.bit_or("user_id").alias("uid_or"),
+        F.bit_xor("user_id").alias("uid_xor"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 400).alias("any_large"),
+    )

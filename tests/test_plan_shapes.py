@@ -60,3 +60,36 @@ def test_minhash_lsh_no_string_shuffle(spark, sf_dir):
     p = plan_str(spark, sf_dir, "dedup_minhash_lsh")
     exchanges = [seg.splitlines()[0] for seg in p.split("Exchange")[1:]]
     assert all("text" not in e for e in exchanges), exchanges
+
+
+def test_q14_part_broadcast_no_lineitem_shuffle_before_join(spark, sf_dir):
+    """part is the small side → BroadcastHashJoin; lineitem must not
+    shuffle to meet it."""
+    p = plan_str(spark, sf_dir, "q14_promo_revenue_share")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    """The HAVING pre-aggregation must run below the joins (aggregate-
+    then-join), shrinking lineitem before any shuffle join."""
+    p = plan_str(spark, sf_dir, "q18_large_volume_customers")
+    agg_pos = p.find("HashAggregate")
+    join_pos = min(
+        x for x in (p.find("SortMergeJoin"), p.find("BroadcastHashJoin"), p.find("ShuffledHashJoin"))
+        if x >= 0
+    )
+    assert agg_pos >= 0 and join_pos >= 0
+    # executedPlan prints top-down: the agg node must appear BELOW (after)
+    # at least one join consuming it, with map-side partial aggregation
+    assert "partial_sum(l_quantity" in p
+    assert agg_pos > join_pos, "pre-aggregation did not stay below the join"
+
+
+def test_q10_filters_pushed_to_scans(spark, sf_dir):
+    p = plan_str(spark, sf_dir, "q10_returned_items")
+    pushed = p.split("PushedFilters: [")
+    all_pushed = " ".join(seg.split("]")[0] for seg in pushed[1:])
+    assert "l_returnflag" in all_pushed
+    assert "o_orderdate" in all_pushed
+    assert "TakeOrderedAndProject" in p  # top-20 never global-sorts
