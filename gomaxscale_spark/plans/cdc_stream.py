@@ -420,3 +420,102 @@ def streaming_session_availablenow(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "streaming_dedup_availablenow",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="B14 streaming exact dedup through the REAL engine: readStream "
+    "replay → dropDuplicates on (user_id, event_type) → append-mode "
+    "memory sink. Output is the distinct key set (key columns only), "
+    "so first-arrival nondeterminism cannot leak into the values and "
+    "the DISTINCT oracle hash-matches. Exercises the streaming dedup "
+    "state store end-to-end; the watermarked variant "
+    "(dropDuplicatesWithinWatermark) is tested in test_streaming.py "
+    "where state expiry matters.",
+)
+def streaming_dedup_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from ..session import configure
+
+    configure(spark)
+    replay_dir = tempfile.mkdtemp(prefix="events_replay_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{replay_dir}/events.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(replay_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    name = f"stream_dedup_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
+    "streaming_static_enrichment",
+    oracle="""
+    SELECT e.event_id, e.user_id, n.n_name, e.value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE e.event_type = 'purchase'
+    """,
+    doc="B14 stream-static join through the REAL engine: streaming "
+    "events joined to the static customer→nation dimension (broadcast "
+    "both sides of the static chain), append mode. The canonical "
+    "enrichment topology — at scale the static side re-broadcasts per "
+    "micro-batch, so keep it dimension-sized or use a state-store "
+    "stream-stream join instead.",
+)
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from ..session import configure
+    from ..catalog import load_table
+
+    configure(spark)
+    replay_dir = tempfile.mkdtemp(prefix="events_replay_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{replay_dir}/events.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = F.broadcast(
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+            "c_custkey", "n_name"
+        )
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(replay_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+    joined = stream.join(dim, stream["user_id"] == dim["c_custkey"]).select(
+        "event_id", "user_id", "n_name", "value"
+    )
+    name = f"stream_enrich_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

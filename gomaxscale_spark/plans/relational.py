@@ -1398,3 +1398,132 @@ def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("value") > 0).alias("all_positive"),
         F.bool_or(F.col("value") > 400).alias("any_large"),
     )
+
+
+@query(
+    "window_time_range_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2)
+               AS rolling_1h_sum,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+               AS rolling_1h_n
+    FROM events
+    """,
+    doc="B8 time-RANGE window frames: per-user rolling 1-hour sum/count "
+    "over event time — the 'activity in the trailing hour' shape that "
+    "rows-frames can't express (frame bounds are values, not row "
+    "offsets). Ordered on exact epoch micros so both engines bound the "
+    "frame identically in the µs domain. Scale: one shuffle on "
+    "user_id, sort within partitions; RANGE frames stream in a single "
+    "pass per partition.",
+)
+def window_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("rolling_1h_sum"),
+        F.count(F.lit(1)).over(w).alias("rolling_1h_n"),
+    )
+
+
+@query(
+    "scalar_null_handling",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderpriority, 'LOW')                       AS prio_or_null,
+           coalesce(nullif(o_orderpriority, 'LOW'), 'DEMOTED')  AS prio_defaulted,
+           CASE WHEN nullif(o_orderpriority, 'LOW') IS NULL
+                THEN 0 ELSE 1 END                               AS has_prio,
+           nullif(o_orderpriority, 'LOW') IS NOT DISTINCT FROM 'HIGH'
+                                                                AS null_safe_is_high
+    FROM orders
+    """,
+    doc="B11 null-semantics battery: nullif / coalesce / null-safe "
+    "equality (Spark <=> ≡ SQL IS NOT DISTINCT FROM) — the operators "
+    "that keep three-valued logic from silently dropping rows in "
+    "filters and joins. Pure map.",
+)
+def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    prio_or_null = F.nullif(F.col("o_orderpriority"), F.lit("LOW"))
+    return o.select(
+        "o_orderkey",
+        prio_or_null.alias("prio_or_null"),
+        F.coalesce(prio_or_null, F.lit("DEMOTED")).alias("prio_defaulted"),
+        F.when(prio_or_null.isNull(), F.lit(0)).otherwise(F.lit(1)).alias("has_prio"),
+        prio_or_null.eqNullSafe(F.lit("HIGH")).alias("null_safe_is_high"),
+    )
+
+
+@query(
+    "sql_api_sales_by_region",
+    oracle="""
+    SELECT r.r_name, count(DISTINCT c.c_custkey) AS n_customers,
+           round(sum(o.o_totalprice), 2) AS total_sales
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    GROUP BY r.r_name
+    """,
+    doc="The SQL entry point: the engine's tables registered as views "
+    "and queried through spark.sql() with ANSI SQL — proving the "
+    "second API surface next to the DataFrame one (same Catalyst plan "
+    "either way; region/nation broadcast, one shuffle on custkey).",
+)
+def sql_api_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name, count(DISTINCT c.c_custkey) AS n_customers,
+               round(sum(o.o_totalprice), 2) AS total_sales
+        FROM region r
+        JOIN nation n   ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        GROUP BY r.r_name
+        """
+    )
+
+
+@query(
+    "join_salted_skew_equivalence",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Skew tooling in the gate: the fact↔dim join runs through "
+    "salted_join (operators/skew.py — fact keys spread over 8 salts, "
+    "dim exploded to match) and must produce EXACTLY the plain-join "
+    "aggregate. Salting is the explicit fix when one key owns a "
+    "double-digit share of a 100 TB fact table and AQE's skew split "
+    "isn't enough (reduce-side aggs, severe skew).",
+)
+def join_salted_skew_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    e = t(spark, sf_dir, "events").withColumnRenamed("user_id", "c_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation")
+    joined = salted_join(e, c, on="c_custkey", n_salts=8)
+    return (
+        joined.join(F.broadcast(n), joined["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
