@@ -519,3 +519,127 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "streaming_sliding_availablenow",
+    oracle="""
+    WITH w AS (
+      SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS window_start, value
+      FROM events
+      UNION ALL
+      SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+                            - 1800000000) AS window_start, value
+      FROM events
+    )
+    SELECT window_start, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM w GROUP BY window_start
+    """,
+    doc="B14 sliding windows (1h/30m) through the REAL streaming engine "
+    "(complete-mode availableNow) — the two-windows-per-event fan-out "
+    "running in streaming state rather than batch. Same oracle as the "
+    "batch twin sliding_window_counts.",
+)
+def streaming_sliding_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from ..session import configure
+
+    configure(spark)
+    replay_dir = tempfile.mkdtemp(prefix="events_replay_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{replay_dir}/events.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(replay_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"), "n", "sum_value"
+        )
+    )
+    name = f"stream_sliding_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+    doc="B14 stream-stream time-interval join through the REAL engine: "
+    "purchases joined to the same user's clicks in the trailing hour — "
+    "the attribution topology. Two watermarked streams, inner join "
+    "with a time-bound condition; inner-join matches emit in-batch "
+    "(the watermark only bounds state retention), so availableNow "
+    "yields the complete exact result and the SQL range-join oracle "
+    "hash-checks it. Scale: state is bounded by the interval × rate; "
+    "both sides shuffle on user_id once.",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from ..session import configure
+
+    configure(spark)
+    replay_dir = tempfile.mkdtemp(prefix="events_replay_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{replay_dir}/events.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(replay_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_uid"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "2 hours")
+        )
+
+    purchases = side("purchase", "p")
+    clicks = side("click", "c")
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_uid = c_uid AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+        ),
+    ).select(
+        F.col("p_id").alias("purchase_id"),
+        F.col("c_id").alias("click_id"),
+        F.col("p_uid").alias("user_id"),
+    )
+    name = f"stream_ssjoin_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

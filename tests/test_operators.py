@@ -310,3 +310,43 @@ def test_repetition_stats_flags_degenerate_text(spark):
     assert rows[1].n_tokens == 4 and rows[1].dup_token_ratio == 0.75
     assert rows[1].top_token_ratio == 1.0
     assert rows[2].dup_token_ratio == 0.0 and rows[2].top_token_ratio == 0.25
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Seeded random graphs: cluster assignment must equal a reference
+    union-find's min-representative labeling."""
+    import random
+
+    from gomaxscale_spark.operators.dedup import connected_components
+
+    for seed in (7, 42, 1337):
+        rng = random.Random(seed)
+        nodes = list(range(60))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(45)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        touched = {n for e in edges for n in e}
+        comp: dict[int, list[int]] = {}
+        for n in touched:
+            comp.setdefault(find(n), []).append(n)
+        expected = {
+            n: min(members) for members in comp.values() for n in members
+        }
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+        assert got == expected, f"seed {seed}: CC mismatch"
