@@ -95,3 +95,28 @@ def mean_abs_deviation(df: DataFrame, group_col: str, value_col: str) -> DataFra
         return float((v - v.mean()).abs().mean())
 
     return df.groupBy(group_col).agg(F.round(mad(F.col(value_col)), 4).alias("mad"))
+
+
+def register_json_kv_udtf(spark) -> None:
+    """Python UDTF (Spark 3.5+ table function): expand a JSON object
+    column into (key, value) rows — the RawData pattern (types.go:181-190)
+    when the payload's keys are not known at plan time, so a fixed
+    from_json schema can't express it.
+
+    UDTFs are the fourth Python surface next to scalar pandas_udf /
+    applyInPandas / mapInPandas: one input row → N output rows, usable
+    in SQL FROM with LATERAL correlation. Built lazily (needs an active
+    session; module-level decorators don't have one).
+    """
+    import json as _json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="key string, value bigint")
+    class JsonKV:
+        def eval(self, props: str):
+            if props:
+                for k, v in _json.loads(props).items():
+                    yield k, int(v)
+
+    spark.udtf.register("json_kv", JsonKV)

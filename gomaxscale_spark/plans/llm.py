@@ -791,3 +791,52 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     return S.quantize_int8(e, "vec_id", "embedding")
+
+
+@query(
+    "udtf_json_key_values",
+    oracle="""
+    SELECT event_id, 'k' AS key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS value
+    FROM events
+    """,
+    doc="B18 Python UDTF surface: a table function expanding each "
+    "event's JSON payload into (key, value) rows via SQL LATERAL "
+    "correlation — the schema-on-read shape for payloads whose keys "
+    "aren't known at plan time (from_json needs a fixed schema). The "
+    "synthetic props carry exactly one key, so the flat-SQL oracle "
+    "states the same expansion.",
+)
+def udtf_json_key_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    U.register_json_kv_udtf(spark)
+    return spark.sql(
+        "SELECT e.event_id, j.key, j.value FROM events e, LATERAL json_kv(e.props) j"
+    )
+
+
+@query(
+    "json_variant_projection",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing
+    FROM events
+    """,
+    doc="B12 with Spark 4 VARIANT: parse_json once into the binary "
+    "variant encoding, then typed variant_get extraction — at scale "
+    "this parses each JSON document once instead of per-path "
+    "re-parsing (get_json_object), the semi-structured analog of "
+    "columnar shredding. try_variant_get returns NULL for absent "
+    "paths, matching SQL json_extract semantics.",
+)
+def json_variant_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing"),
+    )

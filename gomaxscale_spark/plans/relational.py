@@ -1527,3 +1527,35 @@ def join_salted_skew_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
+
+
+@query(
+    "scalar_try_arithmetic",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN round(value) = 0 THEN NULL
+                ELSE value / round(value) END                AS try_div,
+           round(value, 2) + 9223372036854775807 * 0         AS safe_add,
+           CASE WHEN round(value) = 0 THEN NULL
+                ELSE CAST(round(value * 100) AS BIGINT) % CAST(round(value) AS BIGINT)
+                END                                          AS try_mod
+    FROM events
+    """,
+    doc="B11 ANSI-safe arithmetic: Spark 4 runs in ANSI mode (division "
+    "by zero / overflow are runtime errors, not silent NULLs/wraps) — "
+    "the try_* family opts individual expressions back into NULL-on-"
+    "error, the right default for dirty pipeline data. The oracle "
+    "states the equivalent guarded CASE arithmetic.",
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    rv = F.round(F.col("value"))
+    return e.select(
+        "event_id",
+        # no round: the quotient is the same IEEE double on both engines,
+        # and round(±, 6) would tie on the exactly-7-decimal quotients
+        # that power-of-two denominators produce (e.g. 32.23/32)
+        F.try_divide(F.col("value"), rv).alias("try_div"),
+        (F.round(F.col("value"), 2) + F.lit(9223372036854775807) * F.lit(0)).alias("safe_add"),
+        F.try_mod(F.round(F.col("value") * 100).cast("long"), rv.cast("long")).alias("try_mod"),
+    )
