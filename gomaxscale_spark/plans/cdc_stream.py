@@ -643,3 +643,39 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "cdc_transaction_stitching",
+    oracle="""
+    SELECT event_id // 10 AS sequence,
+           count(*) AS n_events,
+           CAST(min(event_id % 10) AS BIGINT) AS first_event_number,
+           CAST(max(event_id % 10) AS BIGINT) AS last_event_number,
+           count(DISTINCT event_type) AS n_types,
+           round(sum(value), 2) AS txn_value
+    FROM events GROUP BY event_id // 10
+    """,
+    doc="C2-adjacent transaction reconstruction: DML events sharing a "
+    "binlog sequence belong to one transaction (the (domain, server_id, "
+    "sequence) triple of the reference envelope, types.go:173-176; "
+    "event_number orders rows within it) — fold the stream back into "
+    "per-transaction summaries. Here the sequence is derived "
+    "deterministically from event_id (10 events per txn). Scale: one "
+    "hash agg on the sequence key, map-side combined; transactions are "
+    "contiguous in the stream so ingest-ordered parquet gives near-"
+    "perfect partial aggregation.",
+)
+def cdc_transaction_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    seq = F.expr("event_id div 10")
+    return (
+        e.groupBy(seq.alias("sequence"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.col("event_id") % 10).alias("first_event_number"),
+            F.max(F.col("event_id") % 10).alias("last_event_number"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.sum("value"), 2).alias("txn_value"),
+        )
+    )

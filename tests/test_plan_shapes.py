@@ -93,3 +93,20 @@ def test_q10_filters_pushed_to_scans(spark, sf_dir):
     assert "l_returnflag" in all_pushed
     assert "o_orderdate" in all_pushed
     assert "TakeOrderedAndProject" in p  # top-20 never global-sorts
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
+    """A partitionBy(event_type) layout must let a reader skip
+    partitions entirely: the scan's PartitionFilters carry the
+    predicate and the non-matching directories are never listed in."""
+    from gomaxscale_spark.catalog import load_table
+
+    out = str(tmp_path / "routed")
+    load_table(spark, sf_dir, "events").write.partitionBy("event_type").parquet(out)
+    df = spark.read.parquet(out).filter("event_type = 'purchase'").select("event_id")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in p
+    pf = p.split("PartitionFilters: [")[1].split("]")[0]
+    assert "event_type" in pf, f"partition predicate not pruned: {pf}"
+    # and the data filter list must NOT carry it (no row-level work)
+    assert "event_type" not in p.split("PushedFilters: [")[1].split("]")[0]
