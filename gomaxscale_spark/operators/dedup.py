@@ -139,16 +139,31 @@ def minhash_lsh_candidates(
     exploded = sigs.select(F.col(id_col), F.explode(bands_col).alias("band")).select(
         id_col, "band.band_id", "band.band_hash"
     )
-    a = exploded.select(
-        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    # pair generation INSIDE buckets (collect_list + combination expansion)
+    # instead of a bucket-keyed self-join: a self-join would evaluate the
+    # entire signature pipeline twice (one per side — different
+    # projections, so no exchange reuse; measured ~2× the query). This
+    # shape computes signatures once and shuffles each doc's 16 band
+    # keys once; buckets are tiny by LSH construction, so the per-bucket
+    # quadratic expansion is bounded (hot-boilerplate buckets should be
+    # capped upstream at corpus scale).
+    buckets = (
+        exploded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    b = exploded.select(
-        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
     return (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -331,20 +346,33 @@ def simhash_near_duplicates(
             )
         ).alias("ck"),
     ).select(id_col, "__sh", "ck.chunk_id", "ck.chunk")
-    a = chunks.select(
-        "chunk_id", "chunk", F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")
+    # same bucket-collect pair expansion as minhash_lsh_candidates: a
+    # chunk-keyed self-join would run the 64-column signature agg twice
+    buckets = (
+        chunks.groupBy("chunk_id", "chunk")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("__sh").alias("sh")))
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
     )
-    b = chunks.select(
-        "chunk_id", "chunk", F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")
+    combos = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias("hamming"),
+                ),
+            ),
+        )
     )
     return (
-        a.join(b, ["chunk_id", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
-        )
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
