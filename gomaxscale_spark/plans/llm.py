@@ -840,3 +840,56 @@ def json_variant_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "bigint").alias("k"),
         F.try_variant_get(v, "$.missing", "bigint").alias("missing"),
     )
+
+
+@query(
+    "dedup_keep_representatives",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang, n_chars // 50 AS len_band,
+             list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.len_band = b.len_band
+                          AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+            / (len(a.toks) + len(b.toks)
+               - len(list_filter(a.toks, x -> list_contains(b.toks, x)))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach AS (
+      SELECT src AS id, src AS lbl FROM edges
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ), clusters AS (
+      SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    """,
+    doc="The dedup pipeline capstone — its actual OUTPUT: the kept "
+    "corpus. pairs (exact Jaccard in blocks) → connected components → "
+    "drop every cluster member except the min-id representative; "
+    "singletons (no near-dup) pass through via the anti-join side. At "
+    "100 TB the pair stage is MinHash-LSH + verify, and the final join "
+    "is a broadcast of the (small) non-representative id set against "
+    "the corpus scan — documents shuffle zero times end-to-end.",
+)
+def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").withColumn(
+        "len_band", F.floor(F.col("n_chars") / 50).cast("long")
+    )
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", ["lang", "len_band"], threshold=0.5, shingle_n=1
+    )
+    clusters = D.connected_components(pairs)
+    drop = clusters.filter(F.col("cluster_id") != F.col("id")).select("id")
+    return (
+        t(spark, sf_dir, "documents")
+        .join(F.broadcast(drop), F.col("doc_id") == F.col("id"), "left_anti")
+        .select("doc_id", "lang", "n_chars")
+    )
