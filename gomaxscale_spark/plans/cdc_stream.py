@@ -679,3 +679,4 @@ def cdc_transaction_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("txn_value"),
         )
     )
+

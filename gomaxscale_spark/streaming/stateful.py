@@ -72,3 +72,60 @@ def running_totals(events: DataFrame, key_col: str = "user_id", order_col: str =
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class RunningStatsProcessor:
+    """transformWithStateInPandas processor (Spark 4 stateful API v2):
+    per-key running (count, sum) with explicit ValueState.
+
+    The v2 API supersedes applyInPandasWithState with named state
+    variables (value/list/map state), timers, and TTL — this processor
+    is the same materialized-aggregate state machine as
+    `running_totals` above, expressed against the new interface.
+    Instantiated lazily inside `running_stats_v2` (the class body needs
+    pyspark imports only at call time).
+
+    NOTE: executing this requires `google.protobuf` (the TWS driver↔
+    worker state protocol), which is not installed in this container —
+    the surface is code-complete and the test skips when protobuf is
+    absent; `running_totals` above is the runnable stateful operator
+    here.
+    """
+
+    def init(self, handle):
+        self._state = handle.getValueState("agg", "n bigint, total double")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n, total = (self._state.get() or (0, 0.0)) if self._state.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 2)]}
+        )
+
+    def close(self):
+        pass
+
+
+def running_stats_v2(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Per-key running (count, sum) via transformWithStateInPandas.
+
+    Scale: identical state-store placement to a groupBy shuffle; the v2
+    API adds per-state TTL and timers for unbounded key spaces.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc_cls = type(
+        "RunningStatsProcessorImpl", (StatefulProcessor,), dict(RunningStatsProcessor.__dict__)
+    )
+    prepared = events.selectExpr(f"{key_col} AS user_id", "value")
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc_cls(),
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

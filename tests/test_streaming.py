@@ -195,3 +195,39 @@ def test_sliding_windows_batch_equals_stream(spark, events_stream_source):
     assert got, "no sliding windows closed"
     for key, n in got.items():
         assert expected[key] == n
+
+
+def test_transform_with_state_v2_running_stats(spark, sf_dir, tmp_path):
+    """The Spark 4 stateful API v2 (transformWithStateInPandas): per-key
+    running totals must equal the batch aggregate after the stream
+    drains. Skips where google.protobuf (the TWS state protocol dep) is
+    not installed."""
+    pytest.importorskip("google.protobuf")
+    import os
+
+    from gomaxscale_spark.streaming.stateful import running_stats_v2
+
+    replay = str(tmp_path / "replay")
+    os.makedirs(replay)
+    os.symlink(f"{sf_dir}/events.parquet", f"{replay}/events.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).format("parquet").load(replay)
+    q = (
+        running_stats_v2(stream)
+        .writeStream.format("memory")
+        .queryName("tws_v2_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.user_id: (r.n_events, r.sum_value) for r in spark.table("tws_v2_out").collect()}
+    expected = {
+        r.user_id: (r.n, r.s)
+        for r in spark.read.schema(schema)
+        .parquet(replay)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert got == expected
