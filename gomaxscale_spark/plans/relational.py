@@ -1559,3 +1559,119 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("value"), 2) + F.lit(9223372036854775807) * F.lit(0)).alias("safe_add"),
         F.try_mod(F.round(F.col("value") * 100).cast("long"), rv.cast("long")).alias("try_mod"),
     )
+
+
+@query(
+    "sql_correlated_min_price",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice = (SELECT min(p2.p_retailprice)
+                           FROM part p2 WHERE p2.p_brand = part.p_brand)
+    """,
+    doc="TPC-H Q2 shape: correlated scalar subquery — the cheapest part "
+    "per brand, every tie returned (deterministic, no float cutoff). "
+    "Catalyst decorrelates this into an aggregate + join, the plan a "
+    "hand-writer would build; at scale that's one shuffle on the "
+    "correlation key. Exercises the SQL parser path for correlated "
+    "subqueries next to the DSL catalog.",
+)
+def sql_correlated_min_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_brand, p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_retailprice = (SELECT min(p2.p_retailprice)
+                               FROM part p2 WHERE p2.p_brand = part.p_brand)
+        """
+    )
+
+
+@query(
+    "dq_referential_orphans",
+    oracle="""
+    SELECT 'orders_without_customer' AS check_name,
+           count(*) AS n_violations
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitems_without_order' AS check_name,
+           count(*) AS n_violations
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'events_user_not_customer' AS check_name,
+           count(*) AS n_violations
+    FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    WHERE c.c_custkey IS NULL
+    """,
+    doc="Data-quality gate, referential integrity: orphan counts across "
+    "the star schema's foreign keys — the validation pass a training "
+    "pipeline runs before trusting joins. Scale: each check is an "
+    "anti-join counted with map-side partials; dimension sides "
+    "broadcast, fact sides never materialize the orphan rows.",
+)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def orphans(name: str, fact: DataFrame, fk: str, dim: DataFrame, pk: str) -> DataFrame:
+        return (
+            fact.join(dim, fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+            .select(F.lit(name).alias("check_name"), "n_violations")
+        )
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+    e = t(spark, sf_dir, "events")
+    return (
+        orphans("orders_without_customer", o, "o_custkey", c, "c_custkey")
+        .unionAll(orphans("lineitems_without_order", li, "l_orderkey", o, "o_orderkey"))
+        .unionAll(orphans("events_user_not_customer", e, "user_id", c, "c_custkey"))
+    )
+
+
+@query(
+    "dq_column_profile",
+    oracle="""
+    SELECT 'o_totalprice' AS col_name,
+           count(*) AS n_rows,
+           count(o_totalprice) AS n_non_null,
+           round(min(o_totalprice), 2) AS min_val,
+           round(max(o_totalprice), 2) AS max_val,
+           count(DISTINCT o_totalprice) AS n_distinct,
+           CAST(count(CASE WHEN o_totalprice < 0 THEN 1 END) AS BIGINT)
+               AS n_range_violations
+    FROM orders
+    UNION ALL
+    SELECT 'value', count(*), count(value),
+           round(min(value), 2), round(max(value), 2),
+           count(DISTINCT value),
+           CAST(count(CASE WHEN value < 0 THEN 1 END) AS BIGINT)
+    FROM events
+    """,
+    doc="Data-quality gate, column profiling: completeness (null "
+    "counts), range, cardinality, constraint violations per column — "
+    "single-pass aggregates, one reduce to one row per column. The "
+    "per-column profile a pipeline records per ingest batch.",
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def profile(df: DataFrame, col: str) -> DataFrame:
+        return df.agg(
+            F.lit(col).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_non_null"),
+            F.round(F.min(col), 2).alias("min_val"),
+            F.round(F.max(col), 2).alias("max_val"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.count(F.when(F.col(col) < 0, F.lit(1))).alias("n_range_violations"),
+        ).select(
+            "col_name", "n_rows", "n_non_null", "min_val", "max_val",
+            "n_distinct", "n_range_violations",
+        )
+
+    o = t(spark, sf_dir, "orders")
+    e = t(spark, sf_dir, "events")
+    return profile(o, "o_totalprice").unionAll(profile(e, "value"))
