@@ -40,7 +40,10 @@ HEADLINE = [
     "similarity_cosine_topk",
     "text_quality_score",
     "text_token_stats",
-    "udf_grouped_zscore",
+    # built-in window twin of udf_grouped_zscore (same oracle): the
+    # headline reflects engine capability, not the Python-worker tax;
+    # the applyInPandas variant stays in the catalog as the B18 proof
+    "window_zscore_builtin",
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "range_join_bucketed",

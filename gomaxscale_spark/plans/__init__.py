@@ -1,6 +1,14 @@
 """Query catalog: every operator from SURVEY.md §2 exposed as a
 ``(spark, sf_dir) -> DataFrame`` callable plus (where SQL-expressible)
 a DuckDB oracle twin. The driver consumes these via ``__spark_entry__``.
+
+Ordering matters: the driver's correctness gate evaluates the FIRST 50
+registry entries, so ``all_queries`` returns an explicitly prioritized
+ordering — one-or-more representatives of EVERY SURVEY §2 family
+(B1-B18, C1-C4) plus the DQ / SQL-API / sampling / multimodal surfaces
+inside the first 50, long-tail variants of already-represented families
+after. Tier 2 leads with the near-miss family variants so a wider gate
+window still picks high-information queries first.
 """
 
 from __future__ import annotations
@@ -12,6 +20,112 @@ from . import relational as _relational  # noqa: E402,F401
 from . import llm as _llm  # noqa: E402,F401
 from . import cdc_stream as _cdc_stream  # noqa: E402,F401
 
+#: First 50 = the driver's correctness window. Grouped by SURVEY §2
+#: family; every family has at least one entry here.
+_PRIORITY: list[str] = [
+    # B1/B2 scan + filter + project
+    "scan_filter_project",
+    # B6 aggregates (incl. the round-2 canonicalizer/no-oracle fixes)
+    "q1_pricing_summary",
+    "agg_collect_sorted",
+    "agg_approx_percentile",
+    "agg_approx_count_distinct",
+    # B3 join family
+    "join_inner_customer_orders",
+    # B4 theta/range join
+    "range_join_bucketed",
+    # B5 as-of join
+    "asof_join_purchase_attribution",
+    # B7 rollup/cube/grouping sets
+    "rollup_lineitem",
+    # B8 window functions
+    "window_time_range_sum",
+    # B9 sort/limit/top-k
+    "topn_global_orders",
+    # B10 set ops
+    "setop_intersect_all",
+    # B11 scalar functions
+    "scalar_null_handling",
+    # B12 JSON / VARIANT
+    "json_variant_projection",
+    # B13 pivot/explode
+    "pivot_event_type_counts",
+    # C3 typed payload projection
+    "json_typed_projection",
+    # C4 schema evolution
+    "schema_evolution_union_by_name",
+    # B14 streaming: the 6 real-engine gates + batch flagship
+    "streaming_tumbling_availablenow",
+    "streaming_session_availablenow",
+    "streaming_dedup_availablenow",
+    "streaming_static_enrichment",
+    "streaming_sliding_availablenow",
+    "streaming_stream_stream_join",
+    "flagship_user_activity",
+    # sampling / splits
+    "sampling_hash_split",
+    # C1/C2 CDC-relational bridge
+    "cdc_event_routing",
+    "cdc_snapshot_latest_state",
+    "cdc_transaction_stitching",
+    # B15 dedup
+    "dedup_exact_documents",
+    "text_language_id",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_connected_components",
+    "dedup_keep_representatives",
+    # B16 similarity
+    "similarity_cosine_topk",
+    "similarity_lsh_bucketed",
+    "similarity_ivf_topk",
+    "embedding_centroids",
+    "embedding_quantize_int8",
+    # B17 text analysis
+    "text_tfidf",
+    "text_quality_score",
+    "text_repetition_stats",
+    # B18 UDF shapes (all five)
+    "udf_pandas_scalar_log1p",
+    "udf_grouped_zscore",
+    "udf_mapinpandas_doc_stats",
+    "udf_grouped_agg_mad",
+    "udtf_json_key_values",
+    # data-quality gate
+    "dq_referential_orphans",
+    # SQL API (correlated subquery)
+    "sql_correlated_min_price",
+    # multimodal plumbing
+    "multimodal_decode_features",
+]
+
+#: Tier 2: nearest-miss variants of families already represented above —
+#: first in line if the gate window ever widens.
+_TIER2: list[str] = [
+    "dedup_ngram_jaccard",
+    "dedup_exact_hashed",
+    "multimodal_frame_sample",
+    "sampling_stratified_sample",
+    "dq_column_profile",
+    "sql_api_sales_by_region",
+    "window_zscore_builtin",
+    "tumbling_window_counts",
+    "session_window_per_user",
+    "percentiles_per_status",
+    "q5_region_revenue",
+    "text_token_stats",
+    "text_fingerprint",
+]
+
 
 def all_queries() -> dict[str, Query]:
-    return dict(REGISTRY)
+    missing = [n for n in _PRIORITY + _TIER2 if n not in REGISTRY]
+    if missing:  # fail loudly — a silent KeyError here would shift the window
+        raise KeyError(f"priority list names unknown queries: {missing}")
+    ordered: dict[str, Query] = {}
+    for name in _PRIORITY + _TIER2:
+        ordered[name] = REGISTRY[name]
+    for name, q in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = q
+    return ordered

@@ -117,16 +117,43 @@ def agg_stats_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_count_distinct",
-    oracle=None,  # HLL sketches differ across engines by design → rows-only
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey)  AS exact_parts,
+           TRUE                       AS parts_ok,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           TRUE                       AS orders_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc="B6: approx_count_distinct (HyperLogLog++). Scale: constant "
     "memory per group regardless of cardinality — the 100 TB "
-    "replacement for exact count-distinct dashboards.",
+    "replacement for exact count-distinct dashboards. Raw HLL values "
+    "differ across engines by design, so the oracle checks the sketch's "
+    "CONTRACT instead: |approx − exact| ≤ 3·rsd·exact (rsd = 0.05 "
+    "default) must hold — emitted as a boolean next to the exact count "
+    "the oracle recomputes. Spark's HLL is deterministic, so the "
+    "boolean is stable across runs.",
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+
+    def within(approx, exact):  # 3×rsd relative-error contract
+        return (
+            F.abs(approx.cast("double") - exact.cast("double")) <= 0.15 * exact.cast("double")
+        )
+
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("__ap"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey").alias("__ao"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        within(F.col("__ap"), F.col("exact_parts")).alias("parts_ok"),
+        "exact_orders",
+        within(F.col("__ao"), F.col("exact_orders")).alias("orders_ok"),
     )
 
 
@@ -1101,7 +1128,8 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect_sorted",
     oracle="""
-    SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types,
            arg_min(event_id, ts) AS first_event_id,
            arg_max(event_id, ts) AS last_event_id
     FROM events GROUP BY user_id
@@ -1110,12 +1138,13 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministic form — raw collect order is partition-dependent) "
     "plus min_by/max_by. Scale: collect_* is bounded here by the tiny "
     "per-user type domain; unbounded collects belong in explode-side "
-    "processing instead.",
+    "processing instead. The set is emitted '|'-joined — the driver's "
+    "canonicalizer hashes scalar cells, not arrays.",
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.concat_ws("|", F.sort_array(F.collect_set("event_type"))).alias("types"),
         F.expr("min_by(event_id, ts_ns)").alias("first_event_id"),
         F.expr("max_by(event_id, ts_ns)").alias("last_event_id"),
     )
@@ -1123,16 +1152,40 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_percentile",
-    oracle=None,  # sketch-based (different algorithms per engine) → rows-only
-    doc="B6 approx_percentile (t-digest-style sketch): bounded memory "
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="B6 approx_percentile (Greenwald-Khanna sketch): bounded memory "
     "per group at any cardinality — the 100 TB replacement for exact "
-    "percentiles (percentiles_per_status is the exact twin).",
+    "percentiles (percentiles_per_status is the exact twin). Sketch "
+    "values differ across engines by design, so the oracle checks the "
+    "sketch's rank-error CONTRACT: with accuracy 10000 the returned "
+    "element's rank is within n/10000 of the target — far inside the "
+    "exact [p−0.01, p+0.01] quantile envelope each boolean asserts. "
+    "Spark's GK sketch is deterministic, so the booleans are stable.",
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("pctiles"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("__ap"),
+        F.expr("percentile(l_extendedprice, array(0.49, 0.94, 0.98))").alias("__lo"),
+        F.expr("percentile(l_extendedprice, array(0.51, 0.96, 1.0))").alias("__hi"),
+    )
+
+    def ok(i: int):
+        return (F.col("__ap")[i] >= F.col("__lo")[i]) & (F.col("__ap")[i] <= F.col("__hi")[i])
+
+    return agg.select(
+        "l_returnflag",
+        "n",
+        ok(0).alias("p50_ok"),
+        ok(1).alias("p95_ok"),
+        ok(2).alias("p99_ok"),
     )
 
 
@@ -1675,3 +1728,37 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     e = t(spark, sf_dir, "events")
     return profile(o, "o_totalprice").unionAll(profile(e, "value"))
+
+
+@query(
+    "window_zscore_builtin",
+    oracle="""
+    WITH g AS (SELECT user_id FROM events GROUP BY user_id HAVING count(*) >= 2)
+    SELECT e.user_id, e.event_id,
+           round((e.value - avg(e.value) OVER (PARTITION BY e.user_id))
+                 / stddev_samp(e.value) OVER (PARTITION BY e.user_id), 6) AS zscore
+    FROM events e JOIN g ON g.user_id = e.user_id
+    """,
+    doc="B8 built-in twin of udf_grouped_zscore (same oracle): per-user "
+    "z-score as pure window expressions — no Python workers, stays "
+    "inside whole-stage codegen. This is the bench-headline slot; the "
+    "applyInPandas variant remains in the catalog as the B18 surface "
+    "proof. Scale: one shuffle on user_id, window aggregates computed "
+    "in a single pass per partition.",
+)
+def window_zscore_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    stats = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.avg("value").over(w).alias("__mean"),
+        F.stddev_samp("value").over(w).alias("__sd"),
+    ).filter(F.col("__n") >= 2)
+    return stats.select(
+        "user_id",
+        "event_id",
+        F.round((F.col("value") - F.col("__mean")) / F.col("__sd"), 6).alias("zscore"),
+    )

@@ -1,0 +1,100 @@
+"""Guard the driver's 50-query correctness window.
+
+The driver hash-checks only the FIRST 50 entries of ``queries()`` —
+round 1 lost 61 queries to registration order. These tests pin the
+invariants: every §2 family is represented inside the window, every
+window entry has an oracle (a no-oracle entry burns a slot on a null
+check), and the adapter in ``__spark_entry__`` preserves the ordering.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from pathlib import Path
+
+from gomaxscale_spark.plans import all_queries
+
+WINDOW = 50
+
+#: family → at least one of these names must sit inside the window
+FAMILY_REPRESENTATIVES = {
+    "B1/B2 scan": ["scan_filter_project"],
+    "B3 join": ["join_inner_customer_orders"],
+    "B4 range join": ["range_join_bucketed", "range_join_theta"],
+    "B5 as-of": ["asof_join_purchase_attribution"],
+    "B6 agg": ["q1_pricing_summary", "agg_approx_percentile"],
+    "B7 rollup": ["rollup_lineitem", "cube_orders", "grouping_sets_orders"],
+    "B8 window": ["window_time_range_sum", "window_topk_orders_per_customer"],
+    "B9 top-k": ["topn_global_orders"],
+    "B10 set ops": ["setop_intersect_all", "setop_union_all_parties"],
+    "B11 scalar": ["scalar_null_handling", "scalar_math_conditional"],
+    "B12 json": ["json_variant_projection", "json_extract_props"],
+    "B13 pivot": ["pivot_event_type_counts", "explode_word_frequencies"],
+    "B14 streaming gates": [
+        "streaming_tumbling_availablenow",
+        "streaming_session_availablenow",
+        "streaming_dedup_availablenow",
+        "streaming_static_enrichment",
+        "streaming_sliding_availablenow",
+        "streaming_stream_stream_join",
+    ],
+    "B15 dedup": ["dedup_exact_documents", "dedup_minhash_lsh",
+                  "dedup_connected_components", "dedup_keep_representatives"],
+    "B16 similarity": ["similarity_cosine_topk", "similarity_lsh_bucketed",
+                       "similarity_ivf_topk"],
+    "B17 text": ["text_tfidf", "text_quality_score", "text_language_id"],
+    "B18 udf": ["udf_pandas_scalar_log1p", "udf_grouped_zscore",
+                "udf_mapinpandas_doc_stats", "udf_grouped_agg_mad",
+                "udtf_json_key_values"],
+    "C1 routing": ["cdc_event_routing"],
+    "C2 snapshot": ["cdc_snapshot_latest_state", "cdc_transaction_stitching"],
+    "C3 typed projection": ["json_typed_projection"],
+    "C4 schema evolution": ["schema_evolution_union_by_name"],
+    "DQ": ["dq_referential_orphans", "dq_column_profile"],
+    "SQL API": ["sql_correlated_min_price", "sql_api_sales_by_region"],
+    "sampling": ["sampling_hash_split", "sampling_stratified_sample"],
+    "multimodal": ["multimodal_decode_features", "multimodal_frame_sample"],
+}
+
+
+def test_every_family_inside_window():
+    window = set(list(all_queries())[:WINDOW])
+    missing = {
+        family: reps
+        for family, reps in FAMILY_REPRESENTATIVES.items()
+        if not window & set(reps)
+    }
+    assert not missing, f"families with no representative in the first {WINDOW}: {missing}"
+
+
+def test_b14_all_six_streaming_gates_inside_window():
+    window = set(list(all_queries())[:WINDOW])
+    gates = set(FAMILY_REPRESENTATIVES["B14 streaming gates"])
+    assert gates <= window, f"streaming gates outside window: {gates - window}"
+
+
+def test_window_entries_all_have_oracles():
+    qs = all_queries()
+    null_slots = [n for n in list(qs)[:WINDOW] if qs[n].oracle is None]
+    assert not null_slots, f"no-oracle queries burning window slots: {null_slots}"
+
+
+def test_at_most_one_no_oracle_query_total():
+    # judge contract: ≤3 without an oracle, each with written
+    # justification; we hold ourselves to 1 (dedup_simhash)
+    no_oracle = sorted(n for n, q in all_queries().items() if q.oracle is None)
+    assert no_oracle == ["dedup_simhash"], no_oracle
+
+
+def test_spark_entry_preserves_priority_order():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", Path(__file__).resolve().parents[1] / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("__spark_entry__", mod)
+    spec.loader.exec_module(mod)
+    assert list(mod.queries())[:WINDOW] == list(all_queries())[:WINDOW]
+    oracles = mod.oracle_sql()
+    for name in list(all_queries())[:WINDOW]:
+        assert name in oracles
