@@ -276,6 +276,83 @@ def connected_components(
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
+def connected_components_star(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50
+) -> DataFrame:
+    """Connected components via large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the high-degree-graph upgrade promised in
+    ``connected_components``'s docstring.
+
+    Each round:
+    - **large-star**: every node points its LARGER neighbors at its
+      minimum neighborhood label — long chains collapse by doubling;
+    - **small-star**: every node re-points its smaller neighbors (and
+      itself) at that minimum — stars flatten to one level.
+    Both steps are expressed as groupBy(min) + an equi-join back to the
+    edge list (never a collect_list of neighborhoods, so a 10⁸-degree
+    boilerplate hub costs a shuffle, not executor memory). Rounds are
+    O(log² n) vs min-label propagation's O(diameter); on dense clique-
+    ish near-dup graphs both are small, on chain-y graphs star wins.
+
+    Output matches ``connected_components``: (id, cluster_id) with
+    cluster_id = the component's minimum id (equivalence
+    property-tested against the min-label implementation).
+
+    Scale: per round, two hash aggregations + two joins on ids only;
+    ``localCheckpoint`` truncates lineage; the converged state is a
+    one-level star per component. The convergence check is an
+    edge-set-equality count — same driver-side `.count()` class as the
+    min-label loop (inherent to fixpoint detection).
+    """
+
+    def canon(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+        )
+
+    edges = canon(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iters):
+        # large-star: for every directed (u, v): min over u's closed
+        # neighborhood m(u); emit (v, m(u)) for neighbors v > u
+        both = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = both.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        large = (
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        after_large = canon(large)
+        # small-star: on (u > v) edges, point the smaller neighbors and
+        # u itself at the minimum
+        mins2 = after_large.groupBy("u").agg(F.min("v").alias("mn"))
+        mins2 = mins2.select("u", F.least("u", "mn").alias("m"))
+        small = (
+            after_large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+        )
+        new_edges = canon(small).localCheckpoint(eager=True)
+        same_size = new_edges.count() == edges.count()
+        if same_size and new_edges.exceptAll(edges).count() == 0:
+            edges = new_edges
+            break
+        edges = new_edges
+
+    # converged: every edge is (member, component-min); roots label themselves
+    members = edges.groupBy("u").agg(F.min("v").alias("cluster_id")).select(
+        F.col("u").alias("id"), "cluster_id"
+    )
+    roots = edges.select(F.col("v").alias("id"), F.col("v").alias("cluster_id")).distinct()
+    return members.unionByName(roots).distinct()
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two string arrays (assumed distinct elements).
 

@@ -230,6 +230,79 @@ def ivf_topk(
     )
 
 
+def kmeans_refine(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means refinement of the IVF coarse quantizer:
+    deterministic seed (first `n_centroids` vectors by id), then
+    `n_iters` rounds of assign (argmax cosine, ties → lowest centroid
+    id) + update (per-dimension mean of assigned vectors). Returns the
+    refined centroids as (centroid_id, dim_idx, centroid) rows — the
+    long layout feeds `label_centroids`-style consumers and avoids
+    array re-assembly.
+
+    This is the production upgrade of ``ivf_topk``'s id-ordered sample
+    noted there: better-balanced inverted lists → flatter probe fan-out.
+
+    Scale per iteration: centroid table is O(k·dim) → broadcast;
+    assignment is a map over the corpus; the update shuffles (centroid,
+    dim, partial sum) — map-side combine collapses per partition, so
+    the exchange is O(k·dim·partitions), independent of corpus size.
+    A cluster that captures nothing would drop out — impossible with
+    the id-ordered seed, since each seed centroid IS a corpus vector
+    and wins its own assignment (cosine exactly 1, no parallel dupes).
+    Deterministic at fixed n_iters → oracle-expressible by unrolling.
+    """
+    centroids = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(W.orderBy(id_col)).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+    for _ in range(n_iters):
+        assigned = (
+            embeddings.join(F.broadcast(centroids))
+            .withColumn("s", cosine(F.col(vec_col), F.col("centroid_vec")))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy(id_col).orderBy(F.desc("s"), F.col("centroid_id"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("centroid_id", vec_col)
+        )
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("dim_idx", "val")
+            )
+            .groupBy("centroid_id", "dim_idx")
+            .agg(F.avg(F.col("val").cast("double")).alias("centroid"))
+        )
+        # re-assemble vectors for the next round's broadcast (k·dim rows)
+        centroids = (
+            means.groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim_idx"), F.col("centroid")))
+                ).alias("pairs")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("pairs"), lambda p: p["centroid"]).alias("centroid_vec"),
+            )
+        )
+    return centroids.select(
+        "centroid_id", F.posexplode("centroid_vec").alias("dim_idx", "centroid")
+    )
+
+
 def label_centroids(embeddings: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     """Per-label, per-dimension centroid: (label, dim_idx, centroid, n).
 

@@ -109,6 +109,7 @@ _TIER2: list[str] = [
     "dq_column_profile",
     "sql_api_sales_by_region",
     "window_zscore_builtin",
+    "embedding_kmeans_refine",
     "tumbling_window_counts",
     "session_window_per_user",
     "percentiles_per_status",

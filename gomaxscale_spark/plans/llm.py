@@ -957,6 +957,52 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_kmeans_refine",
+    oracle=f"""
+    WITH c AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id,
+             embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             {_cos_sql("e.embedding", "c.cvec")} AS s
+      FROM embeddings e, c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, centroid_id) AS rn
+      FROM scored
+    ),
+    x AS (
+      SELECT centroid_id,
+             unnest(range(0, len(embedding))) AS dim_idx,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM assign WHERE rn = 1
+    )
+    SELECT centroid_id, CAST(dim_idx AS INTEGER) AS dim_idx,
+           round(avg(val), 6) AS centroid
+    FROM x GROUP BY centroid_id, dim_idx
+    """,
+    doc="B16: one Lloyd iteration refining the IVF coarse quantizer "
+    "(the production upgrade ivf_topk's docstring promises): assign "
+    "every vector to its nearest seed centroid (argmax cosine, ties → "
+    "lowest id), emit per-dimension means. Deterministic seed + fixed "
+    "iteration count → the oracle unrolls the same round in SQL. "
+    "Scale: centroids broadcast, assignment is a map, the update "
+    "shuffle carries k×dim partial sums per partition — corpus-size-"
+    "independent. Iterate by calling kmeans_refine(n_iters=N).",
+)
+def embedding_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    refined = S.kmeans_refine(e, n_centroids=16, n_iters=1)
+    return refined.select(
+        "centroid_id", "dim_idx", F.round(F.col("centroid"), 6).alias("centroid")
+    )
+
+
+@query(
     "udtf_json_key_values",
     oracle="""
     SELECT event_id, 'k' AS key,

@@ -189,34 +189,58 @@ class MaxScaleCDCStreamReader(SimpleDataSourceStreamReader):
         gomaxscale.go:46-53): a planned-but-unreplayed batch is re-read
         by reconnecting at the start offset's GTID and pulling the
         batch's event count. Requires the server to honor REQUEST-DATA
-        gtid resume — which is the protocol's contract."""
+        gtid resume — which is the protocol's contract.
+
+        The committed offset range is a PROMISE: delivering fewer rows
+        than ``end.pos − start.pos`` would silently break exactly-once
+        recovery. A quiet socket or server close is therefore retried
+        (bounded, fresh connection resuming at the furthest GTID
+        reached — inclusive-resume dedup via ``last`` keeps the retries
+        idempotent), and if the full range still cannot be produced the
+        replay RAISES instead of returning a truncated batch.
+        """
         import socket as _socket
 
         n = int(end.get("pos", 0)) - int(start.get("pos", 0))
         if n <= 0:
             return iter(())
-        client = _client_from_options(self.options, start.get("gtid", ""))
-        client.connect()
+        max_attempts = int(self.options.get("replay_attempts", "3"))
         rows: list[tuple] = []
         last = start.get("last")
-        try:
-            while len(rows) < n:
-                try:
-                    for ev in client.scan():
+        gtid = start.get("gtid", "")
+        for _attempt in range(max_attempts):
+            client = _client_from_options(self.options, gtid)
+            client.connect()
+            try:
+                while len(rows) < n:
+                    try:
+                        events = client.scan()
+                    except (_socket.timeout, TimeoutError):
+                        break  # quiet — reconnect-and-resume on next attempt
+                    except EOFError:
+                        break  # server closed — ditto
+                    except CDCProtocolError:
+                        continue  # in-band error text: log-and-continue class
+                    for ev in events:
                         pos = self._position_of(ev)
                         if pos is not None and last is not None and pos <= last:
                             continue  # inclusive-GTID replayed history
                         rows.append(_frame_to_row(ev))
                         if pos is not None:
                             last = pos
+                        gtid = _gtid_of(ev) or gtid
                         if len(rows) >= n:
                             break
-                except (_socket.timeout, TimeoutError):
-                    break
-                except EOFError:
-                    break
-        finally:
-            client.close()
+            finally:
+                client.close()
+            if len(rows) >= n:
+                break
+        if len(rows) < n:
+            raise RuntimeError(
+                f"checkpoint replay short: committed range promises {n} events, "
+                f"server delivered {len(rows)} after {max_attempts} attempts "
+                f"(resume gtid={gtid!r}) — refusing to break exactly-once recovery"
+            )
         return iter(rows)
 
     def commit(self, end: dict) -> None:

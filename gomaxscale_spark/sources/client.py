@@ -19,6 +19,7 @@ from __future__ import annotations
 import hashlib
 import json
 import socket
+import time as time_mod
 import uuid as uuid_mod
 from collections.abc import Iterator
 from dataclasses import dataclass
@@ -83,6 +84,7 @@ class CDCClient:
         read_timeout: float = 2.0,  # reference default, gomaxscale_options.go:36
         buffer_size: int = DEFAULT_READ_BUFFER,
         logger: Callable[[str], None] | None = None,
+        time_fn: Callable[[], float] | None = None,
     ) -> None:
         self.host, self.port = host, port
         self.database, self.table = database, table
@@ -92,8 +94,23 @@ class CDCClient:
         self.read_timeout = read_timeout
         self.buffer_size = buffer_size
         self.log = logger or (lambda msg: None)
+        #: injectable clock, the reference's timeRef
+        #: (gomaxscale_options.go:15-16): each read arms a deadline of
+        #: time_fn() + read_timeout (stream.go:33), so tests inject a
+        #: past-returning clock to make deadlines pre-expired — timeout
+        #: paths run without real waiting.
+        self.time_fn = time_fn or time_mod.monotonic
         self._sock: socket.socket | None = None
         self._scanner = JsonFrameScanner()
+
+    def _arm_read_deadline(self) -> None:
+        """SetReadDeadline(timeRef() + read) translated to settimeout:
+        remaining wall time until the injected clock's deadline. A tiny
+        floor keeps the socket in timeout mode (settimeout(0) would flip
+        it to non-blocking, raising BlockingIOError instead)."""
+        assert self._sock is not None
+        deadline = self.time_fn() + self.read_timeout
+        self._sock.settimeout(max(deadline - time_mod.monotonic(), 1e-4))
 
     # -- lifecycle ---------------------------------------------------
 
@@ -135,9 +152,9 @@ class CDCClient:
         quiet period (benign — caller keeps polling), CDCProtocolError
         on in-band error text."""
         assert self._sock is not None, "connect() first"
-        self._sock.settimeout(self.read_timeout)
         loops = 0
         while True:
+            self._arm_read_deadline()  # per-read, like stream.go:33
             chunk = self._sock.recv(self.buffer_size)
             if not chunk:
                 raise EOFError("maxscale closed the connection")

@@ -85,11 +85,13 @@ class RunningStatsProcessor:
     Instantiated lazily inside `running_stats_v2` (the class body needs
     pyspark imports only at call time).
 
-    NOTE: executing this requires `google.protobuf` (the TWS driver↔
-    worker state protocol), which is not installed in this container —
-    the surface is code-complete and the test skips when protobuf is
-    absent; `running_totals` above is the runnable stateful operator
-    here.
+    NOTE: executing this through the engine requires `google.protobuf`
+    (the TWS driver↔worker state protocol), which is not installed in
+    this container. The state machine is still tested here: the test
+    drives init/handleInputRows/close directly through a fake state
+    handle (engine-free), and runs the full streaming path wherever
+    protobuf exists; `running_totals` above is the engine-verified
+    stateful operator in this environment.
     """
 
     def init(self, handle):

@@ -127,3 +127,22 @@ def test_garbage_between_events_logged_and_skipped():
         c.close()
     assert [e.data["sequence"] for e in events] == [42, 43]
     assert any("wobble" in line for line in logs)
+
+
+def test_read_deadline_uses_injected_clock():
+    """timeRef parity (gomaxscale_options.go:15-16, stream.go:33): a
+    clock returning the past makes the read deadline pre-expired, so
+    the timeout path runs deterministically — no real waiting even with
+    a 60 s configured read_timeout."""
+    import socket
+    import time
+
+    with MockMaxScaleServer(script=[], keep_open=5.0) as addr:
+        # quiet server: nothing will arrive; a real 60 s timeout would hang
+        c = make_client(addr, read_timeout=60.0, time_fn=lambda: time.monotonic() - 120.0)
+        c.connect()
+        start = time.monotonic()
+        with pytest.raises((socket.timeout, TimeoutError)):
+            c.scan()
+        assert time.monotonic() - start < 1.0  # deadline came from the fake clock
+        c.close()

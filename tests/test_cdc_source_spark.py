@@ -246,3 +246,83 @@ def test_two_table_sources_compose(registered):
         s_users.stop()
         s_orders.stop()
     assert joined == {("user-1", 10.0), ("user-2", 20.0), ("user-3", 30.0)}
+
+
+# -- checkpoint-replay contract (readBetweenOffsets) ---------------------
+#
+# The committed offset range is a promise: replay must deliver exactly
+# end.pos − start.pos rows (retrying a quiet/closed server) or raise —
+# a silently truncated batch would break exactly-once recovery.
+
+from gomaxscale_spark.sources.cdc_source import MaxScaleCDCStreamReader
+
+
+class _TruncatingServer(MockMaxScaleServer):
+    """Serves only the first `first_conn_events` script items to the
+    FIRST connection (then closes), the full script afterwards —
+    simulates a server dying mid-replay."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        self.first_conn_events = 3
+        self._conns = 0
+
+    def _handle(self, conn):
+        self._conns += 1
+        if self._conns == 1:
+            full = self.script
+            self.script = full[: self.first_conn_events]
+            try:
+                super()._handle(conn)
+            finally:
+                self.script = full
+        else:
+            super()._handle(conn)
+
+
+def _replay_options(addr, **extra):
+    opts = read_options(addr)
+    opts["read_timeout"] = "0.2"
+    opts.update(extra)
+    return opts
+
+
+def test_replay_delivers_full_committed_range():
+    script = [DDL] + [dml(i) for i in range(1, 6)]
+    with MockMaxScaleServer(script=script, keep_open=0.1) as addr:
+        reader = MaxScaleCDCStreamReader(_replay_options(addr))
+        rows = list(
+            reader.readBetweenOffsets(
+                {"pos": 0, "gtid": "", "last": None},
+                {"pos": 6, "gtid": "0-1-5", "last": [0, 1, 5, 1]},
+            )
+        )
+    assert len(rows) == 6  # 1 ddl + 5 dml
+
+
+def test_replay_retries_across_server_close_without_duplicates():
+    script = [dml(i) for i in range(1, 6)]
+    with _TruncatingServer(script=script, keep_open=0.05) as addr:
+        reader = MaxScaleCDCStreamReader(_replay_options(addr))
+        rows = list(
+            reader.readBetweenOffsets(
+                {"pos": 0, "gtid": "", "last": None},
+                {"pos": 5, "gtid": "0-1-5", "last": [0, 1, 5, 1]},
+            )
+        )
+    assert len(rows) == 5
+    seqs = [json.loads(r[-1])["sequence"] for r in rows]
+    assert seqs == [1, 2, 3, 4, 5]  # resumed, inclusive-replay deduped
+
+
+def test_replay_raises_instead_of_truncating():
+    script = [dml(i) for i in range(1, 4)]  # only 3 of the promised 5
+    with MockMaxScaleServer(script=script, keep_open=0.05) as addr:
+        reader = MaxScaleCDCStreamReader(_replay_options(addr, replay_attempts="2"))
+        with pytest.raises(RuntimeError, match="replay short"):
+            list(
+                reader.readBetweenOffsets(
+                    {"pos": 0, "gtid": "", "last": None},
+                    {"pos": 5, "gtid": "0-1-5", "last": [0, 1, 5, 1]},
+                )
+            )

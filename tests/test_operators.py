@@ -350,3 +350,49 @@ def test_connected_components_random_graphs_match_union_find(spark):
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
         got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
         assert got == expected, f"seed {seed}: CC mismatch"
+
+
+def test_connected_components_star_known_graph_and_chain(spark):
+    """Large-star/small-star must produce the same min-labeled clusters
+    as min-label propagation: known graph + a path (the chain is the
+    shape where star's O(log² n) rounds beat O(diameter))."""
+    from gomaxscale_spark.operators.dedup import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {(r.id, r.cluster_id) for r in connected_components_star(pairs).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "id_a long, id_b long"
+    )
+    rows = connected_components_star(chain).collect()
+    assert {r.cluster_id for r in rows} == {100}
+    assert len(rows) == 12
+
+
+def test_connected_components_star_matches_min_label_on_random_graphs(spark):
+    """Seeded random graphs: the star implementation must agree exactly
+    with the min-label propagation implementation."""
+    import random
+
+    from gomaxscale_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed in (7, 42, 1337):
+        rng = random.Random(seed)
+        nodes = list(range(60))
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(45)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        base = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+        star = {r.id: r.cluster_id for r in connected_components_star(pairs).collect()}
+        assert star == base, f"seed {seed}: star CC diverges from min-label CC"
