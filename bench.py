@@ -118,13 +118,14 @@ def main() -> None:
     # warm the JVM/codegen once on the cheapest query
     materialize(registry["scan_filter_project"].fn(spark, sf_dir))
 
-    # best-of-2 per query: this host shows 2-4× run-to-run noise from
+    # best-of-3 per query: this host shows 2-4× run-to-run noise from
     # neighbors; the minimum is the standard noise-resistant estimator
-    # of the plan's actual cost
+    # of the plan's actual cost (run 1 also pays codegen compilation
+    # for the wide-aggregate pipelines — the min discounts that too)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             materialize(registry[name].fn(spark, sf_dir))
             best = min(best, time.perf_counter() - start)
@@ -139,7 +140,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "cdc_ingest_events_per_sec": cdc_ingest_events_per_sec(),
+                # best-of-2: same noise-resistance as the queries
+                "cdc_ingest_events_per_sec": max(
+                    cdc_ingest_events_per_sec() for _ in range(2)
+                ),
             }
         )
     )

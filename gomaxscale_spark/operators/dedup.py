@@ -187,18 +187,41 @@ def verify_candidates_jaccard(
     (16 bands × 4 rows: miss prob ≈ (1−j⁴)¹⁶ ≈ 1.5e-7 at j = 0.89,
     the lowest above-threshold pair in the test corpus).
 
-    Scale: two equi-joins on doc id ship shingle arrays only for
-    candidate-adjacent docs; the jaccard itself is a hash-probe map.
+    Scale: the candidate pair list is materialized once
+    (``localCheckpoint`` — it is id-pairs, tiny relative to the corpus;
+    without this the whole LSH candidate pipeline would re-execute for
+    every plan arm that touches it), then a broadcast semi-join prunes
+    the corpus to candidate-adjacent docs BEFORE the (expensive)
+    shingling map — verify cost scales with the candidate set, not the
+    corpus. The two equi-joins ship shingle arrays only for those docs;
+    the jaccard itself is a hash-probe map. For pathological candidate
+    sets too large to broadcast, drop the broadcast hint — the semi-
+    join degrades to a shuffle and everything else holds.
     The output emits the RAW quotient (inter/union of exact ints is a
     correctly-rounded double in every engine — bit-identical), never a
     rounded value: x/2ᵃ5ᵇ unions make exactly-(d+1)-decimal quotients
     where round(…, d) disagrees across engines.
     """
-    withsh = df.select(
-        F.col(id_col),
-        F.transform(word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)).alias(
-            "__sh"
-        ),
+    candidates = candidates.localCheckpoint(eager=True)
+    needed = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    # repartition BEFORE the shingling map (the semi-join output
+    # inherits the scan's partitioning — a single-row-group file would
+    # shingle on one core), and checkpoint the result: both join arms
+    # (a and b) consume it, and without materialization each arm would
+    # re-run the shingling
+    withsh = (
+        parallelize_narrow_input(df.join(F.broadcast(needed), id_col, "semi"))
+        .select(
+            F.col(id_col),
+            F.transform(
+                word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+            ).alias("__sh"),
+        )
+        .localCheckpoint(eager=True)
     )
     a = withsh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
     b = withsh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
