@@ -110,6 +110,8 @@ _TIER2: list[str] = [
     "sql_api_sales_by_region",
     "window_zscore_builtin",
     "embedding_kmeans_refine",
+    "agg_hll_sketch_merge",
+    "agg_approx_topk_priorities",
     "tumbling_window_counts",
     "session_window_per_user",
     "percentiles_per_status",

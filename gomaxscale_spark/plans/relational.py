@@ -1762,3 +1762,77 @@ def window_zscore_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round((F.col("value") - F.col("__mean")) / F.col("__sd"), 6).alias("zscore"),
     )
+
+
+@query(
+    "agg_hll_sketch_merge",
+    oracle="""
+    SELECT r.r_name,
+           count(DISTINCT c.c_custkey) AS exact_customers,
+           TRUE AS estimate_ok
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="B6: MERGEABLE distinct-count sketches (Apache DataSketches HLL "
+    "via hll_sketch_agg / hll_union_agg / hll_sketch_estimate). "
+    "Two-level rollup: per-nation sketches built in one scan, then "
+    "unioned into per-region estimates WITHOUT rescanning customers — "
+    "the sketches-as-state pattern behind 100 TB distinct-count "
+    "dashboards (persist per-partition/day sketches once; answer any "
+    "rollup by merging kilobyte sketches). The estimate is checked "
+    "against the exact count via the sketch's error contract "
+    "(lgConfigK=12 → rsd ≈ 1.6%; asserted bound 5%) — Spark's "
+    "DataSketches build is deterministic, so the boolean is stable. "
+    "Exact twin rides along: custkeys partition across nations, so the "
+    "per-nation exact distinct counts SUM to the region value the "
+    "oracle recomputes.",
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    per_nation = joined.groupBy("r_name", "n_nationkey").agg(
+        F.expr("hll_sketch_agg(c_custkey)").alias("sk"),
+        F.countDistinct("c_custkey").alias("exact_n"),
+    )
+    per_region = per_nation.groupBy("r_name").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("__est"),
+        F.sum("exact_n").alias("exact_customers"),
+    )
+    return per_region.select(
+        "r_name",
+        "exact_customers",
+        (
+            F.abs(F.col("__est").cast("double") - F.col("exact_customers").cast("double"))
+            <= 0.05 * F.col("exact_customers").cast("double")
+        ).alias("estimate_ok"),
+    )
+
+
+@query(
+    "agg_approx_topk_priorities",
+    oracle="""
+    SELECT o_orderpriority AS item, count(*) AS cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="B6: approx_top_k (DataSketches frequent-items, Spark 4). The "
+    "priority domain (5 values) sits under maxItemsTracked=100, so the "
+    "sketch is EXACT here and the oracle is the plain group count; at "
+    "real 100 TB cardinality the identical plan returns heavy hitters "
+    "with bounded error from one scan + constant-size state — the "
+    "streaming-friendly replacement for ORDER BY count(*) LIMIT k over "
+    "an unbounded key space. Output exploded to rows (driver compares "
+    "order-insensitively — tie order inside the sketch array is "
+    "implementation-defined).",
+)
+def agg_approx_topk_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    tk = o.agg(F.expr("approx_top_k(o_orderpriority, 5, 100)").alias("tk"))
+    return tk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").alias("cnt")
+    )

@@ -84,6 +84,7 @@ def _client_from_options(options: dict[str, str], gtid: str = "") -> CDCClient:
         gtid=gtid or options.get("gtid", ""),
         uuid=options.get("uuid"),
         read_timeout=float(options.get("read_timeout", "2.0")),
+        write_timeout=float(options.get("write_timeout", "2.0")),
         buffer_size=int(options.get("buffer_size", "4096")),
     )
 

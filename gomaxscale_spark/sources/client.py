@@ -82,6 +82,7 @@ class CDCClient:
         gtid: str = "",
         uuid: str | None = None,
         read_timeout: float = 2.0,  # reference default, gomaxscale_options.go:36
+        write_timeout: float | None = None,  # default = 2.0 (gomaxscale_options.go:37)
         buffer_size: int = DEFAULT_READ_BUFFER,
         logger: Callable[[str], None] | None = None,
         time_fn: Callable[[], float] | None = None,
@@ -92,6 +93,7 @@ class CDCClient:
         self.version, self.gtid = version, gtid
         self.uuid = uuid or str(uuid_mod.uuid4())
         self.read_timeout = read_timeout
+        self.write_timeout = write_timeout if write_timeout is not None else 2.0
         self.buffer_size = buffer_size
         self.log = logger or (lambda msg: None)
         #: injectable clock, the reference's timeRef
@@ -112,6 +114,15 @@ class CDCClient:
         deadline = self.time_fn() + self.read_timeout
         self._sock.settimeout(max(deadline - time_mod.monotonic(), 1e-4))
 
+    def _send_with_deadline(self, data: bytes) -> None:
+        """SetWriteDeadline(timeRef() + write) before every protocol
+        write (gomaxscale.go:232) — a wedged server can't hang the
+        handshake/subscribe sends either."""
+        assert self._sock is not None
+        deadline = self.time_fn() + self.write_timeout
+        self._sock.settimeout(max(deadline - time_mod.monotonic(), 1e-4))
+        self._sock.sendall(data)
+
     # -- lifecycle ---------------------------------------------------
 
     def connect(self) -> None:
@@ -126,7 +137,7 @@ class CDCClient:
         if self.gtid:
             subscribe += f" {self.gtid}"
         # no response read — data starts flowing (gomaxscale.go:96-107)
-        self._sock.sendall(subscribe.encode("ascii"))
+        self._send_with_deadline(subscribe.encode("ascii"))
 
     def close(self) -> None:
         if self._sock is not None:
@@ -137,7 +148,8 @@ class CDCClient:
 
     def _handshake_step(self, request: bytes, stage: str) -> None:
         assert self._sock is not None
-        self._sock.sendall(request)
+        self._send_with_deadline(request)
+        self._arm_read_deadline()  # SetReadDeadline before the reply read
         reply = self._sock.recv(HANDSHAKE_BUFFER)
         if is_error_response(reply):
             raise CDCProtocolError(
