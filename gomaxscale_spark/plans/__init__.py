@@ -112,6 +112,7 @@ _TIER2: list[str] = [
     "embedding_kmeans_refine",
     "agg_hll_sketch_merge",
     "agg_approx_topk_priorities",
+    "cdc_snapshot_as_of",
     "tumbling_window_counts",
     "session_window_per_user",
     "percentiles_per_status",

@@ -76,6 +76,56 @@ def cdc_snapshot_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_snapshot_as_of",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(epoch_us(ts))
+             + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS cutoff
+      FROM events
+    ), ch AS (
+      SELECT user_id, value, epoch_us(ts) AS ts_us, event_id,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op
+      FROM events, bounds
+      WHERE epoch_us(ts) <= bounds.cutoff
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts_us DESC, event_id DESC) AS rn
+      FROM ch
+    )
+    SELECT user_id, value AS last_value, ts_us AS last_ts_us
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+    """,
+    doc="C2 point-in-time snapshot: table state AS OF a cutoff position "
+    "— the reference's GTID total order (types.go:173-176) makes any "
+    "prefix of the change stream a consistent state, which is exactly "
+    "what checkpoint recovery / PITR replays. The cutoff (stream "
+    "midpoint) stays IN the plan (1-row agg, broadcast cross join — no "
+    "driver-side lookup); downstream identical to the latest-state "
+    "fold. Scale: the position predicate prunes the scan before the "
+    "one PK shuffle; on a ts-partitioned changelog lake it becomes "
+    "partition pruning.",
+)
+def cdc_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_type") == "error", "delete").otherwise("insert").alias("op"),
+    )
+    bounds = e.agg(
+        F.expr("min(ts_us) + (max(ts_us) - min(ts_us)) div 2").alias("__cutoff")
+    )
+    upto = e.crossJoin(F.broadcast(bounds)).filter(F.col("ts_us") <= F.col("__cutoff"))
+    snap = materialize_snapshot(
+        upto, key_cols=["user_id"], order_cols=["ts_us", "event_id"], event_type_col="op"
+    )
+    return snap.select(
+        "user_id", F.col("value").alias("last_value"), F.col("ts_us").alias("last_ts_us")
+    )
+
+
+@query(
     "tumbling_window_counts",
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,

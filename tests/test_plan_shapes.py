@@ -110,3 +110,30 @@ def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
     assert "event_type" in pf, f"partition predicate not pruned: {pf}"
     # and the data filter list must NOT carry it (no row-level work)
     assert "event_type" not in p.split("PushedFilters: [")[1].split("]")[0]
+
+
+def test_hll_merge_dims_broadcast_two_level_agg(spark, sf_dir):
+    """nation/region must broadcast (no shuffle for dims) and the
+    sketch rollup must keep map-side partial aggregation."""
+    p = plan_str(spark, sf_dir, "agg_hll_sketch_merge")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "partial_hll_sketch_agg" in p or "hll_sketch_agg" in p
+
+
+def test_kmeans_refine_centroids_broadcast(spark, sf_dir):
+    """The centroid table is O(k·dim) and must ship as a broadcast —
+    an embeddings×centroids shuffle join would move the corpus."""
+    p = plan_str(spark, sf_dir, "embedding_kmeans_refine")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_snapshot_as_of_cutoff_stays_in_plan(spark, sf_dir):
+    """The cutoff is a 1-row broadcast, not a driver-side collect: the
+    executed plan must contain the min/max agg feeding a broadcast."""
+    p = plan_str(spark, sf_dir, "cdc_snapshot_as_of")
+    assert "BroadcastExchange" in p
+    # single latest-wins fold (WindowGroupLimit = the rank-limit
+    # pushdown Spark derives from it — don't count those)
+    assert p.replace("WindowGroupLimit", "").count("Window") == 1
