@@ -17,6 +17,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def parallelize_narrow_input(df: DataFrame) -> DataFrame:
+    """Repartition iff the input has fewer partitions than cores.
+
+    Single-row-group parquet files (this repo's test data) scan as ONE
+    task, serializing heavy map work (shingling, 64 hash functions,
+    per-pair scoring after a broadcast join) on one core. The guard
+    makes this a no-op on properly-partitioned lake inputs, so no
+    gratuitous shuffle at scale; when it fires, the shuffle moves only
+    the narrow input rows — never post-join expanded pairs — and buys
+    full map-side parallelism.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def write_bucketed(
     df: DataFrame, table: str, bucket_col: str, n_buckets: int = 8, sort: bool = True
 ) -> None:

@@ -42,21 +42,7 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def parallelize_narrow_input(df: DataFrame) -> DataFrame:
-    """Repartition iff the input has fewer partitions than cores.
-
-    Single-row-group parquet files (this repo's test data) scan as ONE
-    task, serializing the heavy map side (shingling, 64 hash functions)
-    on one core. The guard makes this a no-op on properly-partitioned
-    lake inputs, so no gratuitous shuffle at scale; when it fires, the
-    shuffle moves only the small doc projection and buys full map-side
-    parallelism.
-    """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from .bucketing import parallelize_narrow_input  # noqa: E402  (re-export; moved)
 
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
@@ -446,18 +432,18 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 64
         F.col(id_col),
         F.explode(F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t))).alias("__h"),
     )
+    # sum the raw bit (2 bitwise ops/row) instead of sum(when ±1): the
+    # sign test becomes 2·ones > n with one extra count column. Same
+    # signatures bit-for-bit; measured ~equal warm but 3× faster on
+    # first execution (the when-free agg codegen is much smaller).
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            )
-        ).alias(f"__b{i}")
+        F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
         for i in range(bits)
-    ]
+    ] + [F.count(F.lit(1)).alias("__n")]
     grouped = hs.groupBy(id_col).agg(*aggs)
     sig = F.lit(0).cast("long")
     for i in range(bits):
-        sig = sig + F.shiftleft((F.col(f"__b{i}") > 0).cast("long"), i)
+        sig = sig + F.shiftleft((F.col(f"__b{i}") * 2 > F.col("__n")).cast("long"), i)
     return grouped.select(F.col(id_col), sig.alias("simhash"))
 
 

