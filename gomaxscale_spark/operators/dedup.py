@@ -505,3 +505,30 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def incremental_dedup(
+    new_batch: DataFrame, historical: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Incremental exact dedup: keep only new-batch docs whose content
+    digest (md5) neither appears in the historical corpus nor earlier
+    (min id) within the batch itself — the standard "dedupe today's
+    crawl against the lake" shape.
+
+    Scale: both join arms carry (id, 32-hex digest), never document
+    text; the historical side is digests-only and pre-distinct, so the
+    anti-join shuffles one row per unique historical document. With a
+    digest-bucketed historical table the anti-join becomes exchange-free
+    (operators/bucketing.py); the within-batch min-id pass is one
+    partial-agg shuffle of the (much smaller) surviving batch.
+    """
+    hist = historical.select(F.md5(F.col(text_col)).alias("__digest")).distinct()
+    fresh = (
+        new_batch.withColumn("__digest", F.md5(F.col(text_col)))
+        .join(hist, "__digest", "left_anti")
+    )
+    first = fresh.groupBy("__digest").agg(F.min(id_col).alias(id_col))
+    return (
+        fresh.join(first, ["__digest", id_col], "semi")
+        .drop("__digest")
+    )

@@ -62,3 +62,29 @@ def stratified_sample(
         .filter(F.col("rn") <= F.col("__quota"))
         .drop("__quota")
     )
+
+
+def mixture_rebalance(
+    df: DataFrame, stratum_col: str, id_col: str, share: float = 0.5
+) -> DataFrame:
+    """Equal-share mixture capping: cap every stratum (language, source,
+    quality band ...) at ``ceil(share · smallest-stratum-size)`` rows so
+    no stratum dominates the training mix — the deterministic version of
+    mixture-weight rebalancing (members chosen by hash rank, so re-runs
+    and backfills keep identical corpora).
+
+    Scale: one window over the stratum key (the minimal shuffle any
+    per-group quota needs) plus a 1-row broadcast for the global min —
+    the quota stays IN the plan, no driver-side collect.
+    """
+    w = W.partitionBy(stratum_col).orderBy(hash_bucket(F.col(id_col), 997), F.col(id_col))
+    counts = W.partitionBy(stratum_col)
+    quota = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n")).agg(
+        F.ceil(F.min("__n") * F.lit(share)).alias("__quota")
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(quota))
+        .filter(F.col("rn") <= F.col("__quota"))
+        .drop("__quota")
+    )

@@ -143,3 +143,75 @@ def fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * 31 + F.length(t) + F.ascii(t)) % FINGERPRINT_MOD,
     )
+
+
+#: PII patterns kept to the regex subset that Java (Spark) and RE2
+#: (DuckDB, the oracle engine) evaluate identically — no backrefs, no
+#: lookaround. Order matters: emails are redacted before IPs so the
+#: host part of an address never half-matches.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\d{3}-\d{3}-\d{4}"),
+    ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"),
+)
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One match-count column per PII class (codegen regexp, no shuffle)."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with a typed placeholder token.
+
+    Scale: a pure per-row map — chained regexp_replace stays inside
+    whole-stage codegen; at 100 TB this is one scan, no shuffle, and
+    column pruning reads only ``text``.
+    """
+    out = text
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
+    return out
+
+
+def benchmark_contamination(
+    corpus, bench, id_col: str, text_col: str, n: int = 4
+):
+    """Benchmark decontamination: per corpus document, the fraction of
+    its distinct word n-grams that appear anywhere in the benchmark set
+    (the standard pre-training eval-leakage check, e.g. GPT-3 appendix C
+    style 13-gram overlap; n is configurable).
+
+    Scale: the benchmark side is SMALL by construction (eval suites are
+    thousands of docs, not billions) → its distinct n-gram set is
+    broadcast; the corpus side explodes to (doc_id, n-gram) rows that
+    join map-side with no shuffle of raw documents. The one shuffle is
+    the per-doc count aggregation (partial agg → one row per doc per
+    partition). For benchmark sets too large to broadcast, drop the
+    hint: the join degrades to shuffle-hash on the n-gram key.
+    """
+    from .bucketing import parallelize_narrow_input
+    from .dedup import word_shingles
+
+    bench_ngrams = (
+        bench.select(F.explode(word_shingles(F.col(text_col), n)).alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    expl = parallelize_narrow_input(corpus.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    )
+    return (
+        expl.join(F.broadcast(bench_ngrams), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("__hit").alias("hits"),
+            F.count(F.lit(1)).alias("total_ngrams"),
+        )
+        .withColumn(
+            "contamination", F.round(F.col("hits") / F.col("total_ngrams"), 6)
+        )
+    )

@@ -113,6 +113,10 @@ _TIER2: list[str] = [
     "agg_hll_sketch_merge",
     "agg_approx_topk_priorities",
     "cdc_snapshot_as_of",
+    "text_contamination_ngram",
+    "text_pii_redaction",
+    "dedup_incremental_batch",
+    "sampling_mixture_rebalance",
     "tumbling_window_counts",
     "session_window_per_user",
     "percentiles_per_status",

@@ -1102,3 +1102,168 @@ def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(drop), F.col("doc_id") == F.col("id"), "left_anti")
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@query(
+    "text_contamination_ngram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, bucket,
+             list_distinct(list_transform(range(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS ng
+      FROM toks WHERE len(toks) >= 4
+    ), bench AS (
+      SELECT DISTINCT unnest(ng) AS g FROM sh WHERE bucket < 5
+    ), expl AS (
+      SELECT doc_id, unnest(ng) AS g FROM sh WHERE bucket >= 5
+    ), scored AS (
+      SELECT e.doc_id, count(b.g) AS hits, count(*) AS total_ngrams
+      FROM expl e LEFT JOIN bench b ON e.g = b.g
+      GROUP BY e.doc_id
+    )
+    SELECT doc_id, hits, total_ngrams,
+           round(CAST(hits AS DOUBLE) / total_ngrams, 6) AS contamination
+    FROM scored WHERE hits > 0
+    """,
+    doc="Benchmark decontamination (north star): fraction of each corpus "
+    "doc's distinct word 4-grams that appear anywhere in the held-out "
+    "benchmark split (hash bucket < 5% of docs) — the eval-leakage "
+    "check every pre-training pipeline runs (GPT-3 appendix-C style "
+    "n-gram overlap). Scale: the benchmark n-gram set is broadcast "
+    "(eval suites are small by construction); corpus docs explode to "
+    "(doc_id, gram) and join map-side — raw documents never shuffle; "
+    "the one shuffle is the per-doc hit-count partial agg. Same-int "
+    "division on both engines → stable rounding.",
+)
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").withColumn(
+        "bucket", SA.hash_bucket(F.col("doc_id"))
+    )
+    bench = d.filter(F.col("bucket") < 5)
+    corpus = d.filter(F.col("bucket") >= 5)
+    scored = TX.benchmark_contamination(corpus, bench, "doc_id", "text", n=4)
+    return scored.filter(F.col("hits") > 0)
+
+
+@query(
+    "text_pii_redaction",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com, call '
+                  || '555-123-4567 or ping 10.0.0.' || (doc_id % 256) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(t, '\\d{3}-\\d{3}-\\d{4}')) AS n_phone,
+           len(regexp_extract_all(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS n_ipv4,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\\d{3}-\\d{3}-\\d{4}', '[PHONE]', 'g'),
+             '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '[IPV4]', 'g') AS redacted
+    FROM aug
+    """,
+    doc="PII scrubbing (north star): count and redact emails / phone "
+    "numbers / IPv4s with placeholder tokens. The synthetic corpus "
+    "carries no PII, so a deterministic PII suffix derived from doc_id "
+    "is appended first ON BOTH SIDES — the redaction path is exercised "
+    "with nonzero counts and exact string parity. Patterns stay in the "
+    "regex subset Java (Spark) and RE2 (DuckDB) agree on. Scale: pure "
+    "per-row codegen maps — one scan, zero shuffles, text column only. "
+    "Email redaction precedes IP counting so host parts never "
+    "half-match.",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com, call 555-123-4567 or ping 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("t"),
+    )
+    email_pat = TX.PII_PATTERNS[0][1]
+    after_email = F.regexp_replace(F.col("t"), email_pat, "[EMAIL]")
+    counts = TX.pii_counts(F.col("t"))
+    return aug.select(
+        "doc_id",
+        counts[0],
+        counts[1],
+        F.size(F.regexp_extract_all(after_email, F.lit(TX.PII_PATTERNS[2][1]), F.lit(0))).alias(
+            "n_ipv4"
+        ),
+        TX.redact_pii(F.col("t")).alias("redacted"),
+    )
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text, lang, n_chars,
+             (doc_id * 2654435761) % 100 AS bucket, md5(text) AS digest
+      FROM documents
+    ), fresh AS (
+      SELECT * FROM b WHERE bucket >= 80
+        AND digest NOT IN (SELECT digest FROM b WHERE bucket < 80)
+    ), keep AS (
+      SELECT digest, min(doc_id) AS doc_id FROM fresh GROUP BY digest
+    )
+    SELECT f.doc_id, f.lang, f.n_chars
+    FROM fresh f JOIN keep k ON f.digest = k.digest AND f.doc_id = k.doc_id
+    """,
+    doc="Incremental dedup (north star): dedupe 'today's batch' (hash "
+    "bucket ≥ 80) against the historical lake (bucket < 80) on an md5 "
+    "content digest, then keep the min-id first occurrence within the "
+    "batch. Scale: both anti-join arms carry (id, 32-hex digest) — "
+    "documents never shuffle; with a digest-bucketed historical table "
+    "the anti-join is exchange-free. md5 is identical across engines, "
+    "so the oracle checks the digest path end-to-end.",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").withColumn(
+        "bucket", SA.hash_bucket(F.col("doc_id"))
+    )
+    hist = d.filter(F.col("bucket") < 80)
+    new_batch = d.filter(F.col("bucket") >= 80)
+    return D.incremental_dedup(new_batch, hist, "doc_id", "text").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query(
+    "sampling_mixture_rebalance",
+    oracle="""
+    WITH q AS (
+      SELECT ceil(min(n) * 0.5) AS quota
+      FROM (SELECT count(*) AS n FROM documents GROUP BY lang)
+    ), r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY (doc_id * 2654435761) % 997, doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, rn FROM r, q WHERE rn <= q.quota
+    """,
+    doc="Mixture rebalancing (north star): cap every language at "
+    "ceil(0.5 · smallest-language-count) so no stratum dominates the "
+    "training mix; members picked by deterministic hash rank, so "
+    "re-runs/backfills keep identical corpora. Scale: one window "
+    "shuffle on the stratum key (the minimum any per-group quota "
+    "needs) + a 1-row broadcast quota that stays IN the plan — no "
+    "driver-side collect.",
+)
+def sampling_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return SA.mixture_rebalance(d, "lang", "doc_id", share=0.5).select(
+        "doc_id", "lang", "rn"
+    )
