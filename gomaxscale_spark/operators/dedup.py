@@ -45,6 +45,35 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 from .bucketing import parallelize_narrow_input  # noqa: E402  (re-export; moved)
 
 
+def shingle_hash_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle_hash) rows: hash each token ONCE, then combine the n
+    adjacent token hashes with one more ``xxhash64(h₁..hₙ)``.
+
+    Equivalent to hashing the "w1 w2 .. wn" shingle string (same
+    distinct-cardinality per doc, collision odds ~2⁻⁶⁴) but ~3× faster
+    measured at sf0.1 (0.86 s → 0.31 s warm): string building
+    (concat_ws allocation + byte-wise hash over the doubled text) drops
+    out; only 8-byte longs are combined. The token-hash array is
+    materialized in its own projection so the per-shingle element_at
+    lookups don't re-inline (and re-evaluate) the tokenizer.
+    """
+    base = parallelize_narrow_input(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    th = F.col("__th")
+    sh = F.when(
+        F.size(th) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(th) - n + 1),
+                lambda k: F.xxhash64(*[F.element_at(th, k + i) for i in range(n)]),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return base.select(F.col(id_col), F.explode(sh).alias("__h"))
+
+
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup: keep the min-id representative per duplicate group.
 
@@ -62,9 +91,9 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, shingle_n: int = 3
 ) -> DataFrame:
     """MinHash signatures: sig[i] = min over shingles of xxhash64(h, i)
-    where h = xxhash64(shingle).
+    where h is the shingle's token-hash combine (shingle_hash_rows).
 
-    The expensive part — shingling + string hashing — happens ONCE per
+    The expensive part — shingling + hashing — happens ONCE per
     shingle (explode); the 64 derived hash functions re-hash the 8-byte
     long (cheap, and ANSI-safe — no wrapping multiply). The per-doc
     mins are 64 agg columns with map-side partial min, so the shuffle
@@ -76,10 +105,7 @@ def minhash_signatures(
     passes) re-evaluates the string pipeline 64× — measured 450s vs
     seconds at sf0.1.
     """
-    sh = word_shingles(F.col(text_col), shingle_n)
-    hs = parallelize_narrow_input(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.explode(F.transform(sh, lambda s: F.xxhash64(s))).alias("__h")
-    )
+    hs = shingle_hash_rows(df, id_col, text_col, shingle_n)
     aggs = [
         F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}") for i in range(num_hashes)
     ]
