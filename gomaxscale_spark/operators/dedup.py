@@ -115,6 +115,64 @@ def minhash_signatures(
     )
 
 
+def _lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(band_id, band_hash, ids) bucket table shared by the candidate
+    generator and the hot-bucket review queue."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    bands_col = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = sigs.select(F.col(id_col), F.explode(bands_col).alias("band")).select(
+        id_col, "band.band_id", "band.band_hash"
+    )
+    return (
+        exploded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+
+
+def lsh_hot_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_bucket_size: int,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The review queue: buckets whose membership exceeds the cap.
+
+    At corpus scale a boilerplate shingle set (cookie banners, license
+    headers) collapses millions of docs into one band hash; expanding
+    such a bucket is O(n²) and would dominate the whole job. These
+    buckets are routed here instead — for exact-dedup pre-passes,
+    template stripping, or a tighter per-bucket re-LSH — while the
+    bounded buckets proceed through pair expansion.
+    """
+    return (
+        _lsh_buckets(df, id_col, text_col, num_hashes, bands, shingle_n)
+        .filter(F.size("ids") > max_bucket_size)
+        .select("band_id", "band_hash", F.size("ids").alias("n_members"))
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -122,6 +180,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -131,39 +190,22 @@ def minhash_lsh_candidates(
     Scale: explode each doc into `bands` (band_id, band_hash) keys →
     self-join on them. The shuffle carries (doc_id, 16 band hashes), not
     documents. Hot buckets (boilerplate) are the classic skew source —
-    AQE skew-join handles moderate skew; pathological buckets should be
-    capped upstream (filter buckets with count > limit into a review
-    queue). Candidate pairs then get exact verification (jaccard below).
+    AQE skew-join handles moderate skew; pass ``max_bucket_size`` to
+    cap the per-bucket quadratic expansion and route overflow buckets
+    to the ``lsh_hot_buckets`` review queue. Candidate pairs then get
+    exact verification (jaccard below).
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    bands_col = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(*[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(
-                    "band_hash"
-                ),
-            )
-            for b in range(bands)
-        ]
-    )
-    exploded = sigs.select(F.col(id_col), F.explode(bands_col).alias("band")).select(
-        id_col, "band.band_id", "band.band_hash"
-    )
     # pair generation INSIDE buckets (collect_list + combination expansion)
     # instead of a bucket-keyed self-join: a self-join would evaluate the
     # entire signature pipeline twice (one per side — different
     # projections, so no exchange reuse; measured ~2× the query). This
     # shape computes signatures once and shuffles each doc's 16 band
     # keys once; buckets are tiny by LSH construction, so the per-bucket
-    # quadratic expansion is bounded (hot-boilerplate buckets should be
-    # capped upstream at corpus scale).
-    buckets = (
-        exploded.groupBy("band_id", "band_hash")
-        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
+    # quadratic expansion is bounded (hot-boilerplate buckets get capped
+    # into the lsh_hot_buckets review queue at corpus scale).
+    buckets = _lsh_buckets(df, id_col, text_col, num_hashes, bands, shingle_n)
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     combos = F.flatten(
         F.transform(
             F.col("ids"),

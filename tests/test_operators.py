@@ -396,3 +396,28 @@ def test_connected_components_star_matches_min_label_on_random_graphs(spark):
         base = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
         star = {r.id: r.cluster_id for r in connected_components_star(pairs).collect()}
         assert star == base, f"seed {seed}: star CC diverges from min-label CC"
+
+
+def test_lsh_bucket_cap_routes_hot_buckets_to_review(spark, near_dup_corpus):
+    """The 30-doc boilerplate family collapses into shared band buckets;
+    a cap below 30 must (a) drop its pair expansion from candidates and
+    (b) surface the overflow buckets in the review queue."""
+    from gomaxscale_spark.operators.dedup import lsh_hot_buckets
+
+    uncapped = minhash_lsh_candidates(
+        near_dup_corpus, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2
+    )
+    capped = minhash_lsh_candidates(
+        near_dup_corpus, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2,
+        max_bucket_size=10,
+    )
+    n_unc, n_cap = uncapped.count(), capped.count()
+    assert n_cap < n_unc, "cap did not reduce pair expansion"
+    hot = lsh_hot_buckets(
+        near_dup_corpus, "doc_id", "text", max_bucket_size=10,
+        num_hashes=64, bands=16, shingle_n=2,
+    ).collect()
+    assert hot, "expected overflow buckets in the review queue"
+    assert all(r.n_members > 10 for r in hot)
+    # the small identical-pair family (docs 300/301) must survive the cap
+    assert {(r.id_a, r.id_b) for r in capped.collect()} >= {(300, 301)}

@@ -137,3 +137,34 @@ def test_snapshot_as_of_cutoff_stays_in_plan(spark, sf_dir):
     # single latest-wins fold (WindowGroupLimit = the rank-limit
     # pushdown Spark derives from it — don't count those)
     assert p.replace("WindowGroupLimit", "").count("Window") == 1
+
+
+def test_contamination_benchmark_broadcast(spark, sf_dir):
+    """The benchmark n-gram set must broadcast — a shuffle join would
+    move the corpus's exploded n-grams by value."""
+    p = plan_str(spark, sf_dir, "text_contamination_ngram")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pii_redaction_zero_shuffle(spark, sf_dir):
+    """Redaction is a pure per-row map: no exchange anywhere."""
+    p = plan_str(spark, sf_dir, "text_pii_redaction")
+    assert "Exchange" not in p
+
+
+def test_incremental_dedup_joins_carry_digests_not_text(spark, sf_dir):
+    """Both anti/semi arms must project to (id, digest) before any
+    exchange — full document text must never ride a shuffle."""
+    p = plan_str(spark, sf_dir, "dedup_incremental_batch")
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, f"text rides a shuffle: {line}"
+
+
+def test_mixture_rebalance_single_window_inplan_quota(spark, sf_dir):
+    """One window over the stratum; quota arrives as a 1-row broadcast
+    (no driver-side collect → no literal quota in the plan)."""
+    p = plan_str(spark, sf_dir, "sampling_mixture_rebalance")
+    assert p.replace("WindowGroupLimit", "").count("Window") == 1
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
