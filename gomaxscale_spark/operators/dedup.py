@@ -106,13 +106,11 @@ def minhash_signatures(
     seconds at sf0.1.
     """
     hs = shingle_hash_rows(df, id_col, text_col, shingle_n)
-    aggs = [
-        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}") for i in range(num_hashes)
-    ]
+    # F.expr strings, not the Column builder API — see simhash_signatures
+    aggs = [F.expr(f"min(xxhash64(__h, {i})) AS __m{i}") for i in range(num_hashes)]
     sigs = hs.groupBy(id_col).agg(*aggs)
-    return sigs.select(
-        F.col(id_col), F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("minhash")
-    )
+    arr = "array(" + ", ".join(f"__m{i}" for i in range(num_hashes)) + ")"
+    return sigs.select(F.col(id_col), F.expr(arr).alias("minhash"))
 
 
 def _lsh_buckets(
@@ -127,16 +125,18 @@ def _lsh_buckets(
     generator and the hot-bucket review queue."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    bands_col = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    *[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)]
-                ).alias("band_hash"),
+    bands_col = F.expr(
+        "array("
+        + ", ".join(
+            "named_struct('band_id', {b}, 'band_hash', xxhash64({args}))".format(
+                b=b,
+                args=", ".join(
+                    f"minhash[{b * rows_per_band + r}]" for r in range(rows_per_band)
+                ),
             )
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     exploded = sigs.select(F.col(id_col), F.explode(bands_col).alias("band")).select(
         id_col, "band.band_id", "band.band_hash"
@@ -504,14 +504,16 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 64
     # sign test becomes 2·ones > n with one extra count column. Same
     # signatures bit-for-bit; measured ~equal warm but 3× faster on
     # first execution (the when-free agg codegen is much smaller).
+    # Both 64-column batteries are built as F.expr strings: the Column
+    # builder API costs ~4 Py4J round-trips per op (~1.2 s of DRIVER
+    # time per query build at 64 columns); one parser call is ~30 ms.
     aggs = [
-        F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
-        for i in range(bits)
+        F.expr(f"sum(shiftright(__h, {i}) & 1) AS __b{i}") for i in range(bits)
     ] + [F.count(F.lit(1)).alias("__n")]
     grouped = hs.groupBy(id_col).agg(*aggs)
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        sig = sig + F.shiftleft((F.col(f"__b{i}") * 2 > F.col("__n")).cast("long"), i)
+    sig = F.expr(
+        " + ".join(f"shiftleft(cast(__b{i} * 2 > __n AS LONG), {i})" for i in range(bits))
+    )
     return grouped.select(F.col(id_col), sig.alias("simhash"))
 
 

@@ -25,6 +25,17 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 from .bucketing import parallelize_narrow_input
 
 
+def lit_vec(xs: Sequence[float]) -> Column:
+    """A literal double array in ONE parser call instead of len(xs)+1
+    Py4J round-trips (~0.2 s of driver time per 64-dim vector via the
+    builder API). repr() round-trips every double exactly and Spark's
+    CAST(decimal-literal AS DOUBLE) re-rounds to the same nearest
+    double, so values are bit-identical to F.lit."""
+    return F.expr(
+        "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in xs) + ")"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ with double accumulation (float32 inputs upcast exactly)."""
     return F.aggregate(
@@ -57,7 +68,7 @@ def cosine_topk(
     (no join at all); scoring is a map; TakeOrderedAndProject keeps only
     k rows per partition. Ties broken by id for determinism.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_vec(query_vec)
     scored = embeddings.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), 6).alias("score"),
@@ -141,7 +152,7 @@ def lsh_signature(vec_col: Column, planes: Sequence[Sequence[float]]) -> Column:
     with high probability."""
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
+        p = lit_vec(plane)
         bit = (dot(vec_col, p) > 0).cast("long")
         sig = sig + F.shiftleft(bit, i)
     return sig
@@ -168,7 +179,7 @@ def lsh_bucket_topk(
     for i, plane in enumerate(planes):
         s = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
         qsig |= (1 if s > 0 else 0) << i
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_vec(query_vec)
     bucketed = embeddings.withColumn("__sig", lsh_signature(F.col(vec_col), planes))
     return (
         bucketed.filter(F.col("__sig") == qsig)
@@ -209,7 +220,7 @@ def ivf_topk(
             F.col(vec_col).alias("centroid_vec"),
         )
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_vec(query_vec)
     # nearest centroids to the query (tiny: n_centroids rows)
     probe_ids = [
         r.centroid_id
