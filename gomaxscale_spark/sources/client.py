@@ -42,7 +42,7 @@ def auth_token(user: str, password: str) -> bytes:
     return (user.encode("utf-8") + b":" + digest).hex().encode("ascii")
 
 
-@dataclass
+@dataclass(slots=True)
 class CDCEventFrame:
     """A decoded wire frame: kind ∈ {'ddl', 'dml'} + parsed JSON + raw."""
 
@@ -54,14 +54,26 @@ class CDCEventFrame:
 def classify_frame(frame: Frame) -> CDCEventFrame | None:
     """Dispatch exactly like the reference (stream.go:119-141): a
     '{"namespace":' prefix marks DDL, '{"domain":' marks DML; anything
-    else is checked for the 'err' substring and otherwise rejected."""
+    else is checked for the 'err' substring and otherwise rejected.
+    Prefix checks (not substring scans): the listener emits these keys
+    first, and startswith is O(13) per ~200-byte event on the single
+    socket's serial section."""
     if frame.kind == "json":
-        if b'{"namespace":' in frame.payload:
-            data = frame.obj if isinstance(frame.obj, dict) else json.loads(frame.payload)
-            return CDCEventFrame("ddl", data, frame.payload)
-        if b'{"domain":' in frame.payload:
-            data = frame.obj if isinstance(frame.obj, dict) else json.loads(frame.payload)
-            return CDCEventFrame("dml", data, frame.payload)
+        payload = frame.payload
+        if payload.startswith(b'{"namespace":'):
+            data = frame.obj if isinstance(frame.obj, dict) else json.loads(payload)
+            return CDCEventFrame("ddl", data, payload)
+        if payload.startswith(b'{"domain":'):
+            data = frame.obj if isinstance(frame.obj, dict) else json.loads(payload)
+            return CDCEventFrame("dml", data, payload)
+        # fall back to the lenient substring test before rejecting —
+        # key order inside a JSON object is not contractual
+        if b'"namespace":' in payload:
+            data = frame.obj if isinstance(frame.obj, dict) else json.loads(payload)
+            return CDCEventFrame("ddl", data, payload)
+        if b'"domain":' in payload:
+            data = frame.obj if isinstance(frame.obj, dict) else json.loads(payload)
+            return CDCEventFrame("dml", data, payload)
     if is_error_response(frame.payload):
         raise CDCProtocolError(f"error raised from maxscale: {frame.payload.decode(errors='replace')}")
     raise CDCProtocolError(f"unknown maxscale event type: {frame.payload.decode(errors='replace')}")
