@@ -117,6 +117,9 @@ _TIER2: list[str] = [
     "text_pii_redaction",
     "dedup_incremental_batch",
     "sampling_mixture_rebalance",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "agg_regression_stats",
     "tumbling_window_counts",
     "session_window_per_user",
     "percentiles_per_status",

@@ -1842,3 +1842,102 @@ def agg_approx_topk_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tk.select(F.explode("tk").alias("e")).select(
         F.col("e.item").alias("item"), F.col("e.count").alias("cnt")
     )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_bar
+          FROM lineitem GROUP BY l_partkey) t
+      ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < t.qty_bar
+    """,
+    doc="TPC-H Q17 shape: correlated scalar subquery (per-part average "
+    "quantity) folded into a join — the decorrelation Catalyst performs "
+    "on the textbook formulation, written directly. Scale: the per-part "
+    "aggregate is partial-agg'd map-side to one row per partkey and "
+    "joins back on the fact's own key, so at 100 TB the heavy side "
+    "shuffles once on l_partkey and the brand filter prunes `part` "
+    "before its broadcast.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    qty = li.groupBy(F.col("l_partkey").alias("qb_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_bar")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(qty, li.l_partkey == qty.qb_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_bar"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           sum(l.l_quantity) AS total_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 120
+    )
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    doc="TPC-H Q18 shape: groupBy-HAVING membership (big-quantity "
+    "orders) driving a semi-join back into the fact. Scale: the HAVING "
+    "aggregate reuses the fact's l_orderkey partitioning; the semi-join "
+    "ships only surviving orderkeys (a left-semi hash join, broadcast "
+    "when the hot-order set is small — the common case at any scale "
+    "because HAVING prunes hard).",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 120)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey, "semi")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+@query(
+    "agg_regression_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           regr_count(l_extendedprice, l_quantity) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="B6: bivariate statistical aggregate battery — corr, covar_pop, "
+    "regr_slope/intercept/count per group, the same single-pass "
+    "moment-sketch family as stddev/var. Scale: all five are "
+    "partial-aggregable (sum/sum-of-products moments), so the shuffle "
+    "carries one moment tuple per (partition × group) — identical "
+    "shape to any groupBy sum at 100 TB.",
+)
+def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias("slope"),
+        F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias("intercept"),
+        F.expr("regr_count(l_extendedprice, l_quantity)").alias("n"),
+    )
