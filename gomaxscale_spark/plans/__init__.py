@@ -120,6 +120,7 @@ _TIER2: list[str] = [
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "agg_regression_stats",
+    "timeseries_gap_fill",
     "tumbling_window_counts",
     "session_window_per_user",
     "percentiles_per_status",

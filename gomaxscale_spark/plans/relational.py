@@ -1941,3 +1941,60 @@ def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias("intercept"),
         F.expr("regr_count(l_extendedprice, l_quantity)").alias("n"),
     )
+
+
+@query(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             round(sum(value), 2) AS hourly_value
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(hr) AS h0, max(hr) AS h1 FROM hourly
+    ), grid AS (
+      SELECT t.event_type, g.hr
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(h0, h1)) AS hr FROM bounds) g
+    )
+    SELECT g.event_type, g.hr, h.hourly_value,
+           last_value(h.hourly_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM grid g LEFT JOIN hourly h
+      ON h.event_type = g.event_type AND h.hr = g.hr
+    """,
+    doc="Time-series gap filling: build the dense hourly grid per "
+    "series (sequence over the in-plan min/max bounds × distinct "
+    "keys), left-join the sparse aggregates, forward-fill holes with "
+    "last_value(ignoreNulls). The standard resample→ffill shape for "
+    "sensor/metric tables. Scale: bounds are a 1-row broadcast and the "
+    "grid is keys × hours (tiny vs the fact); the fact aggregates "
+    "partial-agg map-side; the fill is one window per series — hours "
+    "within a series are dense so the window never skews. Hour sums "
+    "round(2) per the double-sum rounding rule.",
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.expr("(ts_ns div 1000) div 3600000000").alias("hr"),
+    ).agg(F.round(F.sum("value"), 2).alias("hourly_value"))
+    bounds = hourly.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hr")
+    )
+    joined = grid.join(F.broadcast(hourly), ["event_type", "hr"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hr",
+        "hourly_value",
+        F.last("hourly_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
