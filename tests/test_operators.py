@@ -421,3 +421,65 @@ def test_lsh_bucket_cap_routes_hot_buckets_to_review(spark, near_dup_corpus):
     assert all(r.n_members > 10 for r in hot)
     # the small identical-pair family (docs 300/301) must survive the cap
     assert {(r.id_a, r.id_b) for r in capped.collect()} >= {(300, 301)}
+
+
+def test_benchmark_contamination_bounds_and_exact_dup(spark):
+    """A doc copied verbatim from the benchmark must score 1.0; a doc
+    sharing no vocabulary must not appear; everything in (0, 1]."""
+    from gomaxscale_spark.operators.text import benchmark_contamination
+
+    bench_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),  # exact copy
+            (11, "alpha beta gamma delta unrelated words here now"),  # partial
+            (12, "totally different vocabulary with zero overlap whatsoever ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in benchmark_contamination(corpus, bench_docs, "doc_id", "text", n=4)
+        .filter(F.col("hits") > 0)
+        .collect()
+    }
+    assert rows[10].contamination == 1.0
+    assert 0.0 < rows[11].contamination < 1.0
+    assert 12 not in rows
+
+
+def test_incremental_dedup_survivors(spark):
+    from gomaxscale_spark.operators.dedup import incremental_dedup
+
+    hist = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "seen before"),      # dup of lake → dropped
+            (11, "brand new text"),   # survives
+            (12, "brand new text"),   # batch-internal dup → min id wins
+            (13, "another fresh one"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in incremental_dedup(new, hist, "doc_id", "text").collect()}
+    assert kept == {11, 13}
+
+
+def test_mixture_rebalance_exact_quota(spark):
+    from gomaxscale_spark.operators.sampling import mixture_rebalance
+
+    rows = [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_rebalance(df, "lang", "doc_id", share=0.5)
+    counts = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    # quota = ceil(0.5 * min(10, 40)) = 5 for EVERY stratum
+    assert counts == {"big": 5, "small": 5}
+    # deterministic: same members on re-run
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in mixture_rebalance(df, "lang", "doc_id", share=0.5).collect())
+    assert a == b
