@@ -486,20 +486,41 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash of whitespace tokens → (id, simhash BIGINT).
+#: Portable 60-bit token hash: identical in Spark and DuckDB
+#: (`('0x' || substr(md5(tok),1,15))::BIGINT` on the oracle side), so
+#: simhash built on it is fully oracle-checkable. ~2× slower than
+#: xxhash64 — use for verification twins, not the production default.
+PORTABLE_TOKEN_HASH = "cast(conv(substring(md5({tok}), 1, 15), 16, 10) AS LONG)"
 
-    Each token is hashed ONCE (explode + xxhash64); per bit position i
-    the sign contribution (+1/−1 from bit i of the token hash) is a
-    cheap long expression, aggregated as 64 partial-agg sum columns;
-    the signature recombines the sign bits. Same single-string-hash +
-    explode/partial-agg shape as minhash_signatures — one shuffle of
-    (doc_id, 64 longs), token strings never move.
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    token_hash_sql: str | None = None,
+) -> DataFrame:
+    """`bits`-wide SimHash of whitespace tokens → (id, simhash BIGINT).
+
+    Each token is hashed ONCE (explode + xxhash64, or the SQL template
+    ``token_hash_sql`` with ``{tok}`` as the placeholder — e.g.
+    PORTABLE_TOKEN_HASH for an engine-portable signature); per bit
+    position i the sign contribution (+1/−1 from bit i of the token
+    hash) is a cheap long expression, aggregated as `bits` partial-agg
+    sum columns; the signature recombines the sign bits. Same
+    single-string-hash + explode/partial-agg shape as
+    minhash_signatures — one shuffle of (doc_id, `bits` longs), token
+    strings never move.
     """
-    hs = parallelize_narrow_input(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col),
-        F.explode(F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t))).alias("__h"),
+    toks = parallelize_narrow_input(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("__tok")
     )
+    h = (
+        F.xxhash64("__tok")
+        if token_hash_sql is None
+        else F.expr(token_hash_sql.format(tok="__tok"))
+    )
+    hs = toks.select(F.col(id_col), h.alias("__h"))
     # sum the raw bit (2 bitwise ops/row) instead of sum(when ±1): the
     # sign test becomes 2·ones > n with one extra count column. Same
     # signatures bit-for-bit; measured ~equal warm but 3× faster on
@@ -518,18 +539,28 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 64
 
 
 def simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    token_hash_sql: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
 
-    Banding: split the 64-bit hash into 4 × 16-bit chunks; any pair at
-    hamming ≤ 3 agrees exactly on ≥1 chunk (pigeonhole) → self-join per
-    chunk, then exact hamming verify via bit_count(xor).
+    Banding: split the `bits`-wide hash into 4 equal chunks; any pair
+    at hamming ≤ 3 agrees exactly on ≥1 chunk (pigeonhole — recall is
+    EXACTLY 1, not probabilistic) → self-join per chunk, then exact
+    hamming verify via bit_count(xor).
 
-    Scale: shuffle key is (chunk_id, 16-bit chunk value) — 4 rows per
-    doc; the verify is a map. Same skew caveat as MinHash buckets.
+    Scale: shuffle key is (chunk_id, chunk value) — 4 rows per doc;
+    the verify is a map. Same skew caveat as MinHash buckets.
     """
-    hashed = simhash_signatures(df, id_col, text_col).withColumnRenamed("simhash", "__sh")
+    chunk_bits = bits // 4
+    mask = (1 << chunk_bits) - 1
+    hashed = simhash_signatures(
+        df, id_col, text_col, bits=bits, token_hash_sql=token_hash_sql
+    ).withColumnRenamed("simhash", "__sh")
     chunks = hashed.select(
         id_col,
         "__sh",
@@ -538,7 +569,9 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftright("__sh", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                        F.shiftright("__sh", c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
                     )
                     for c in range(4)
                 ]

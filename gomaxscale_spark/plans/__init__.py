@@ -121,6 +121,7 @@ _TIER2: list[str] = [
     "q18_large_orders",
     "agg_regression_stats",
     "timeseries_gap_fill",
+    "dedup_simhash_portable",
     "tumbling_window_counts",
     "session_window_per_user",
     "percentiles_per_status",

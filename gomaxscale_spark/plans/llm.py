@@ -1267,3 +1267,47 @@ def sampling_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.mixture_rebalance(d, "lang", "doc_id", share=0.5).select(
         "doc_id", "lang", "rn"
     )
+
+
+@query(
+    "dedup_simhash_portable",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ), bits AS (
+      SELECT doc_id, r.i, sum((h >> r.i) & 1) AS ones, count(*) AS n
+      FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS i) r
+      GROUP BY doc_id, r.i
+    ), sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN 2 * ones > n THEN (1::BIGINT << i) ELSE 0 END) AS sh
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+    doc="B15 SimHash with a fully oracle-checkable hash family: tokens "
+    "hashed with the engine-portable 60-bit md5 prefix "
+    "(conv(substr(md5,1,15),16,10) == DuckDB's ('0x'||...)::BIGINT, "
+    "verified identical), signature = per-bit majority, 4×15-bit "
+    "pigeonhole banding, bit_count(xor) verify. Unlike MinHash-LSH "
+    "recall arguments, pigeonhole recall at hamming ≤ 3 is EXACTLY 1, "
+    "so the banded Spark output equals the oracle's brute-force "
+    "all-pairs scan deterministically. The xxhash64 variant "
+    "(dedup_simhash) remains the throughput path — md5 is ~2× slower "
+    "— and this twin is the semantic proof the driver can hash-check. "
+    "Scale: identical plan shape to dedup_simhash (4 chunk rows per "
+    "doc, one partial-agg shuffle, map-side verify).",
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return D.simhash_near_duplicates(
+        d, "doc_id", "text", max_hamming=3, bits=60,
+        token_hash_sql=D.PORTABLE_TOKEN_HASH,
+    )
