@@ -16,9 +16,12 @@ from .expressions import (  # noqa: F401
     fingerprint,
     jaccard,
     language_id,
+    lit_vec,
     norm,
+    pii_counts,
     punct_ratio,
     quality_score,
+    redact_pii,
     stopword_ratio,
     token_count,
     tokenize,

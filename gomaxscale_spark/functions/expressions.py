@@ -6,12 +6,14 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 from ..operators.dedup import jaccard, tokenize, word_shingles  # noqa: F401
-from ..operators.similarity import cosine, dot, norm  # noqa: F401
+from ..operators.similarity import cosine, dot, lit_vec, norm  # noqa: F401
 from ..operators.text import (  # noqa: F401
     fingerprint,
     language_id,
+    pii_counts,
     punct_ratio,
     quality_score,
+    redact_pii,
     stopword_ratio,
     token_count,
 )

@@ -483,3 +483,29 @@ def test_mixture_rebalance_exact_quota(spark):
     a = sorted(r.doc_id for r in out.collect())
     b = sorted(r.doc_id for r in mixture_rebalance(df, "lang", "doc_id", share=0.5).collect())
     assert a == b
+
+
+def test_public_functions_surface(spark):
+    """The documented public import surface must expose working
+    Column expressions (a user composing their own queries)."""
+    import gomaxscale_spark.functions as gf
+
+    df = spark.createDataFrame(
+        [(1, "hello world hello", [1.0, 2.0, 2.0])],
+        "id long, text string, vec array<double>",
+    )
+    row = df.select(
+        gf.token_count(F.col("text")).alias("n"),
+        F.round(gf.cosine(F.col("vec"), gf.lit_vec([1.0, 2.0, 2.0])), 6).alias("cos"),
+        gf.redact_pii(F.lit("mail a@b.co now")).alias("red"),
+        gf.fingerprint(F.col("text")).alias("fp"),
+        gf.bucketize(F.lit(47.0), 20.0).alias("bk"),
+    ).first()
+    assert row.n == 3
+    assert row.cos == 1.0
+    assert row.red == "mail [EMAIL] now"
+    assert isinstance(row.fp, int)
+    assert row.bk == 2
+    for name in ("jaccard", "tokenize", "word_shingles", "dot", "norm",
+                 "language_id", "quality_score", "pii_counts", "epoch_us"):
+        assert callable(getattr(gf, name)), name
