@@ -122,6 +122,7 @@ _TIER2: list[str] = [
     "agg_regression_stats",
     "timeseries_gap_fill",
     "dedup_simhash_portable",
+    "timeseries_topk_similar",
     "tumbling_window_counts",
     "session_window_per_user",
     "percentiles_per_status",

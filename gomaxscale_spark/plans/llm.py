@@ -1311,3 +1311,89 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", max_hamming=3, bits=60,
         token_hash_sql=D.PORTABLE_TOKEN_HASH,
     )
+
+
+@query(
+    "timeseries_topk_similar",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(day) AS d0, max(day) AS d1 FROM daily
+    ), grid AS (
+      SELECT u.user_id, g.day
+      FROM (SELECT DISTINCT user_id FROM daily) u,
+           (SELECT unnest(generate_series(d0, d1)) AS day FROM bounds) g
+    ), series AS (
+      SELECT g.user_id, list(coalesce(d.v, 0.0) ORDER BY g.day) AS vec
+      FROM grid g LEFT JOIN daily d
+        ON d.user_id = g.user_id AND d.day = g.day
+      GROUP BY g.user_id
+    )
+    SELECT a.user_id AS id_a, b.user_id AS id_b,
+           round({_cos_sql('a.vec', 'b.vec')}, 6) AS score
+    FROM series a JOIN series b
+      ON a.user_id % 8 = b.user_id % 8 AND a.user_id < b.user_id
+    WHERE {_norm_sql('a.vec')} > 0 AND {_norm_sql('b.vec')} > 0
+    ORDER BY score DESC, id_a, id_b LIMIT 20
+    """,
+    doc="Distributed time-series similarity search (EDBT'19 streaming "
+    "TS similarity / REPOSE ICDE'21 local-pruning style): per-user "
+    "daily activity vectors on the dense day grid (gap days = 0), "
+    "cosine-scored within hash blocks, global top-k most-similar "
+    "pairs. Scale: series vectors are (user, ~30 doubles) — corpus-"
+    "size-independent per user; the block key bounds the quadratic "
+    "pair stage exactly like REPOSE's local reference tries, and the "
+    "global top-k is TakeOrderedAndProject (per-partition heaps, no "
+    "full sort). Deterministic: rounded scores tie-broken by ids.",
+)
+def timeseries_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("(ts_ns div 1000) div 86400000000").alias("day"),
+        "value",
+    )
+    daily = e.groupBy("user_id", "day").agg(F.round(F.sum("value"), 2).alias("v"))
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = (
+        daily.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    series = (
+        grid.join(daily, ["user_id", "day"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("day", F.coalesce("v", F.lit(0.0)).alias("v"))
+                )
+            ).alias("pairs")
+        )
+        .select("user_id", F.expr("transform(pairs, p -> p.v)").alias("vec"))
+    )
+    a = series.select(
+        F.col("user_id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        (F.col("user_id") % 8).alias("blk"),
+    )
+    b = series.select(
+        F.col("user_id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        (F.col("user_id") % 8).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((S.norm(F.col("vec_a")) > 0) & (S.norm(F.col("vec_b")) > 0))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(S.cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "id_a", "id_b")
+        .limit(20)
+    )
