@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from .bucketing import parallelize_narrow_input  # noqa: F401  (shared utility, re-exported)
+
 
 def tokenize(text: Column) -> Column:
     """Whitespace tokens, empties dropped (split on space runs)."""
@@ -40,9 +42,6 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1), shingle_at)
         ),
     ).otherwise(F.array().cast("array<string>"))
-
-
-from .bucketing import parallelize_narrow_input  # noqa: E402  (re-export; moved)
 
 
 def shingle_hash_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
