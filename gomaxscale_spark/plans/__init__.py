@@ -102,6 +102,7 @@ _PRIORITY: list[str] = [
 #: Tier 2: nearest-miss variants of families already represented above —
 #: first in line if the gate window ever widens.
 _TIER2: list[str] = [
+    "pipeline_training_corpus",
     "dedup_ngram_jaccard",
     "dedup_exact_hashed",
     "multimodal_frame_sample",

@@ -1397,3 +1397,79 @@ def timeseries_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "id_a", "id_b")
         .limit(20)
     )
+
+
+@query(
+    "pipeline_training_corpus",
+    oracle="""
+    WITH b AS (
+      SELECT *, (doc_id * 2654435761) % 100 AS bucket FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS n_toks,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> x IN ('the','a','of','to','and','in','is'))) AS DOUBLE) AS n_stop,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n]', '', 'g')) AS DOUBLE)
+                 / length(text) AS punct_ratio
+      FROM b WHERE bucket >= 5
+    ), q AS (
+      SELECT b.* FROM b JOIN s USING (doc_id)
+      WHERE b.bucket >= 5
+        AND round(0.4 * least(s.n_toks / 200.0, 1.0)
+              + 0.3 * least((CASE WHEN s.n_toks > 0 THEN s.n_stop / s.n_toks ELSE 0 END) * 4.0, 1.0)
+              + 0.3 * (1.0 - least(s.punct_ratio * 4.0, 1.0)), 6) >= 0.45
+    ), k AS (
+      SELECT md5(text) AS dg, min(doc_id) AS doc_id FROM q GROUP BY 1
+    ), d AS (
+      SELECT q.* FROM q JOIN k ON md5(q.text) = k.dg AND q.doc_id = k.doc_id
+    ), toks AS (
+      SELECT doc_id, bucket,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM b
+    ), sh AS (
+      SELECT doc_id, bucket,
+             list_distinct(list_transform(range(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS ng
+      FROM toks WHERE len(toks) >= 4
+    ), bench AS (
+      SELECT DISTINCT unnest(ng) AS g FROM sh WHERE bucket < 5
+    ), expl AS (
+      SELECT e.doc_id, unnest(e.ng) AS g
+      FROM sh e JOIN d ON d.doc_id = e.doc_id
+    ), cont AS (
+      SELECT e.doc_id, count(bg.g) AS hits, count(*) AS total
+      FROM expl e LEFT JOIN bench bg ON e.g = bg.g
+      GROUP BY e.doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM d LEFT JOIN cont ON cont.doc_id = d.doc_id
+    WHERE cont.doc_id IS NULL OR CAST(cont.hits AS DOUBLE) / cont.total < 0.3
+    """,
+    doc="The training-data pipeline CAPSTONE — the composed kept corpus: "
+    "quality filter (composite heuristic ≥ 0.45) → exact dedup (md5 "
+    "digest, min-id representative) → benchmark decontamination "
+    "(4-gram overlap < 0.3 vs the held-out bucket<5 split) in ONE "
+    "oracle-checked query, proving the operators compose. Scale: each "
+    "stage keeps its own scale shape — quality is a pure map, dedup "
+    "shuffles (id, digest), contamination broadcasts the benchmark "
+    "gram set; documents never ride a shuffle end-to-end. Short docs "
+    "(< 4 tokens, no shingles) pass decontamination by definition on "
+    "both sides.",
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d0 = t(spark, sf_dir, "documents").withColumn(
+        "bucket", SA.hash_bucket(F.col("doc_id"))
+    )
+    bench = d0.filter(F.col("bucket") < 5)
+    corpus = d0.filter(F.col("bucket") >= 5)
+    q = corpus.filter(TX.quality_score(F.col("text")) >= 0.45)
+    keep = q.groupBy(F.md5("text").alias("__dg")).agg(F.min("doc_id").alias("doc_id"))
+    d = q.withColumn("__dg", F.md5("text")).join(keep, ["__dg", "doc_id"], "semi")
+    cont = TX.benchmark_contamination(d, bench, "doc_id", "text", n=4)
+    return (
+        d.join(F.broadcast(cont), "doc_id", "left")
+        .filter(
+            F.col("contamination").isNull() | (F.col("hits") / F.col("total_ngrams") < 0.3)
+        )
+        .select("doc_id", "lang", "source", "n_chars")
+    )
