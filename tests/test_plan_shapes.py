@@ -168,3 +168,19 @@ def test_mixture_rebalance_single_window_inplan_quota(spark, sf_dir):
     p = plan_str(spark, sf_dir, "sampling_mixture_rebalance")
     assert p.replace("WindowGroupLimit", "").count("Window") == 1
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_pipeline_capstone_no_text_in_shuffles(spark, sf_dir):
+    """The composed pipeline must never shuffle document text — dedup
+    arms carry digests, contamination carries exploded grams."""
+    p = plan_str(spark, sf_dir, "pipeline_training_corpus")
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, f"text rides a shuffle: {line}"
+
+
+def test_timeseries_topk_is_take_ordered(spark, sf_dir):
+    """Global top-k must be TakeOrderedAndProject (per-partition heaps),
+    not a full sort of the pair set."""
+    p = plan_str(spark, sf_dir, "timeseries_topk_similar")
+    assert "TakeOrderedAndProject" in p
