@@ -124,6 +124,7 @@ _TIER2: list[str] = [
     "timeseries_gap_fill",
     "dedup_simhash_portable",
     "timeseries_topk_similar",
+    "graph_pagerank_dedup",
     "tumbling_window_counts",
     "session_window_per_user",
     "percentiles_per_status",

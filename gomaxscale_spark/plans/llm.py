@@ -1473,3 +1473,90 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+@query(
+    "graph_pagerank_dedup",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang, n_chars // 50 AS len_band,
+             list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.len_band = b.len_band
+                          AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+            / (len(a.toks) + len(b.toks)
+               - len(list_filter(a.toks, x -> list_contains(b.toks, x)))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+    ), nn AS (
+      SELECT count(*) AS n FROM nodes
+    ), deg AS (
+      SELECT src, count(*) AS d FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes
+    ), r1 AS (
+      SELECT e.dst AS id,
+             0.15 / (SELECT n FROM nn) + 0.85 * sum(r0.r / deg.d) AS r
+      FROM edges e JOIN r0 ON r0.id = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT e.dst AS id,
+             0.15 / (SELECT n FROM nn) + 0.85 * sum(r1.r / deg.d) AS r
+      FROM edges e JOIN r1 ON r1.id = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ), r3 AS (
+      SELECT e.dst AS id,
+             0.15 / (SELECT n FROM nn) + 0.85 * sum(r2.r / deg.d) AS r
+      FROM edges e JOIN r2 ON r2.id = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    )
+    SELECT id AS doc_id, round(r, 8) AS pagerank FROM r3
+    """,
+    doc="Iterative numeric graph fixpoint beyond connected components: "
+    "3 PageRank iterations (d=0.85) over the exact-Jaccard near-dup "
+    "graph — ranks the most central document of each duplicate "
+    "cluster, the authority-based alternative to min-id "
+    "representatives. Fixed iteration count → the oracle unrolls the "
+    "same three rounds as CTEs. Scale: the (tiny) edge list is "
+    "localCheckpoint'ed once — without it every plan arm would re-run "
+    "the quadratic pair join — then each round is one id-keyed "
+    "shuffle join + partial-agg sum; node count and degrees stay "
+    "in-plan (1-row broadcast). Undirected dedup graphs have no "
+    "dangling nodes, so the classic sink correction is unnecessary.",
+)
+def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").withColumn(
+        "len_band", F.floor(F.col("n_chars") / 50).cast("long")
+    )
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", ["lang", "len_band"], threshold=0.5, shingle_n=1
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    e2 = edges.join(deg, "src")
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(3):
+        r = (
+            e2.join(r.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("d")).alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("id"),
+                (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s")).alias("r"),
+            )
+        )
+    return r.select(F.col("id").alias("doc_id"), F.round("r", 8).alias("pagerank"))
