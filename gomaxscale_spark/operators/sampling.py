@@ -88,3 +88,42 @@ def mixture_rebalance(
         .filter(F.col("rn") <= F.col("__quota"))
         .drop("__quota")
     )
+
+
+def temperature_mix(
+    df: DataFrame, stratum_col: str, id_col: str, target_share: float = 0.5
+) -> DataFrame:
+    """Temperature-based mixture sampling at α = 0.5: stratum quotas
+    ∝ √(stratum size), the standard low-resource upweighting for
+    multilingual pre-training mixes (proportional sampling at α = 1
+    starves small strata; α = 0.5 halves the log-gap). Members are
+    picked by deterministic hash rank → rerun/backfill-stable.
+
+    α is fixed at 0.5 deliberately: √x is correctly rounded by IEEE on
+    every engine, so the quota `ceil(T·√n_s / Σ√n_j)` is bit-identical
+    between Spark and the DuckDB oracle, while pow(x, α) for general α
+    is not guaranteed identical across libm implementations.
+
+    Scale: per-stratum counts are a partial-agg; T and Σ√n ride a
+    1-row broadcast; the rank is one window over the stratum key —
+    everything stays in-plan, no driver-side collect.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__ns"))
+    tot = counts.agg(
+        F.ceil(F.sum("__ns") * F.lit(target_share)).alias("__t"),
+        F.sum(F.sqrt(F.col("__ns"))).alias("__z"),
+    )
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        stratum_col,
+        F.least(
+            F.col("__ns"),
+            F.ceil(F.col("__t") * F.sqrt(F.col("__ns")) / F.col("__z")),
+        ).alias("__quota"),
+    )
+    w = W.partitionBy(stratum_col).orderBy(hash_bucket(F.col(id_col), 997), F.col(id_col))
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(quota), stratum_col)
+        .filter(F.col("rn") <= F.col("__quota"))
+        .drop("__quota")
+    )

@@ -118,6 +118,7 @@ _TIER2: list[str] = [
     "text_pii_redaction",
     "dedup_incremental_batch",
     "sampling_mixture_rebalance",
+    "sampling_temperature_mix",
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "agg_regression_stats",

@@ -1560,3 +1560,39 @@ def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return r.select(F.col("id").alias("doc_id"), F.round("r", 8).alias("pagerank"))
+
+
+@query(
+    "sampling_temperature_mix",
+    oracle="""
+    WITH c AS (
+      SELECT lang, count(*) AS ns FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT ceil(sum(ns) * 0.5) AS t, sum(sqrt(ns)) AS z FROM c
+    ), q AS (
+      SELECT c.lang, least(c.ns, ceil(tot.t * sqrt(c.ns) / tot.z)) AS quota
+      FROM c, tot
+    ), r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY (doc_id * 2654435761) % 997, doc_id) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.rn
+    FROM r JOIN q ON q.lang = r.lang
+    WHERE r.rn <= q.quota
+    """,
+    doc="Temperature-based mixture sampling (α = 0.5, the multilingual "
+    "pre-training standard): per-language quotas ∝ √(language size), "
+    "upweighting low-resource languages vs proportional sampling; "
+    "members by deterministic hash rank. α fixed at 0.5 because √x is "
+    "correctly rounded on every engine while pow(x, α) is not — the "
+    "quota arithmetic is bit-identical to the oracle. Scale: counts "
+    "partial-agg, T and Σ√n ride a 1-row broadcast, one window per "
+    "stratum — no driver-side collect anywhere.",
+)
+def sampling_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return SA.temperature_mix(d, "lang", "doc_id", target_share=0.5).select(
+        "doc_id", "lang", "rn"
+    )
