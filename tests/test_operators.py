@@ -509,3 +509,19 @@ def test_public_functions_surface(spark):
     for name in ("jaccard", "tokenize", "word_shingles", "dot", "norm",
                  "language_id", "quality_score", "pii_counts", "epoch_us"):
         assert callable(getattr(gf, name)), name
+
+
+def test_temperature_mix_upweights_small_strata(spark):
+    from gomaxscale_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mix(df, "lang", "doc_id", target_share=0.5)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # T = ceil(425*0.5) = 213, Z = 20+5 = 25 → big: ceil(213*20/25)=171, small: min(25, ceil(213*5/25))=25
+    assert counts == {"big": 171, "small": 25}
+    # keep-rate must be HIGHER for the small stratum (the point of α<1)
+    assert counts["small"] / 25 > counts["big"] / 400
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in temperature_mix(df, "lang", "doc_id", 0.5).collect())
+    assert a == b
