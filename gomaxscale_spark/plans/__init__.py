@@ -108,6 +108,7 @@ _TIER2: list[str] = [
     "multimodal_frame_sample",
     "sampling_stratified_sample",
     "dq_column_profile",
+    "dq_contract_violations",
     "sql_api_sales_by_region",
     "window_zscore_builtin",
     "embedding_kmeans_refine",

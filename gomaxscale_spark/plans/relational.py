@@ -1998,3 +1998,65 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hourly_value",
         F.last("hourly_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@query(
+    "dq_contract_violations",
+    oracle="""
+    SELECT 'event_type_domain' AS rule,
+           CAST(sum(CASE WHEN event_type NOT IN
+               ('click','view','purchase','error','signup') THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           count(*) AS checked
+    FROM events
+    UNION ALL
+    SELECT 'value_non_negative',
+           CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT), count(*)
+    FROM events
+    UNION ALL
+    SELECT 'ts_in_2024',
+           CAST(sum(CASE WHEN epoch_us(ts) < 1704067200000000
+                     OR epoch_us(ts) >= 1735689600000000 THEN 1 ELSE 0 END) AS BIGINT),
+           count(*)
+    FROM events
+    UNION ALL
+    SELECT 'props_is_json_object',
+           CAST(sum(CASE WHEN props IS NOT NULL
+                     AND json_valid(props) AND json_type(props) = 'OBJECT'
+               THEN 0 ELSE 1 END) AS BIGINT),
+           count(*)
+    FROM events
+    """,
+    doc="DQ data-contract gate: declarative rule battery (enum domain, "
+    "range, event-time bounds, payload well-formedness) evaluated as "
+    "one scan with conditional-sum aggregates — each rule is a "
+    "violation count, so a healthy table returns all zeros and the "
+    "query doubles as a CI assertion. The enum rule is the Spark "
+    "rendition of the reference's DDL enum symbols "
+    "(types.go:159-162) as a checkable domain. Scale: one pass, "
+    "partial-agg'd conditional sums, no shuffle beyond the 1-row "
+    "rollups; the UNION ALL arms share the cached scan.",
+)
+def dq_contract_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+
+    def rule(name: str, bad) -> DataFrame:
+        return e.agg(
+            F.lit(name).alias("rule"),
+            F.sum(F.when(bad, 1).otherwise(0)).alias("violations"),
+            F.count(F.lit(1)).alias("checked"),
+        )
+
+    domain = ~F.col("event_type").isin("click", "view", "purchase", "error", "signup")
+    neg = F.col("value") < 0
+    ts_oob = (us < 1704067200000000) | (us >= 1735689600000000)
+    bad_json = ~(
+        F.col("props").isNotNull()
+        & F.get_json_object("props", "$").startswith("{")
+    )
+    return (
+        rule("event_type_domain", domain)
+        .unionAll(rule("value_non_negative", neg))
+        .unionAll(rule("ts_in_2024", ts_oob))
+        .unionAll(rule("props_is_json_object", bad_json))
+    )
