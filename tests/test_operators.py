@@ -525,3 +525,51 @@ def test_temperature_mix_upweights_small_strata(spark):
     a = sorted(r.doc_id for r in out.collect())
     b = sorted(r.doc_id for r in temperature_mix(df, "lang", "doc_id", 0.5).collect())
     assert a == b
+
+
+def test_gap_fill_grid_dense_and_ffill(spark, sf_dir):
+    """The grid must be dense (|types| × |hours| rows) and filled_value
+    must equal the most recent non-null hourly value."""
+    from gomaxscale_spark.plans import all_queries
+
+    df = all_queries()["timeseries_gap_fill"].fn(spark, sf_dir).orderBy("event_type", "hr")
+    rows = df.collect()
+    types = {r.event_type for r in rows}
+    hours = {r.hr for r in rows}
+    assert len(rows) == len(types) * len(hours), "grid is not dense"
+    last = {}
+    for r in rows:
+        if r.hourly_value is not None:
+            last[r.event_type] = r.hourly_value
+        assert r.filled_value == last.get(r.event_type), (r.event_type, r.hr)
+
+
+def test_pagerank_mass_and_symmetry(spark, sf_dir):
+    """Total rank ≈ 1 (undirected graph, no dangling mass) and nodes
+    with identical neighborhoods (exact duplicates) get equal rank."""
+    from gomaxscale_spark.plans import all_queries
+
+    rows = all_queries()["graph_pagerank_dedup"].fn(spark, sf_dir).collect()
+    assert rows, "near-dup graph should be non-empty"
+    total = sum(r.pagerank for r in rows)
+    # each emitted rank is rounded to 8 decimals → mass drifts ≤ n·5e-9
+    assert abs(total - 1.0) < 5e-9 * len(rows) + 1e-9, total
+    assert all(r.pagerank > 0 for r in rows)
+
+
+def test_capstone_excludes_benchmark_and_dups(spark, sf_dir):
+    """No benchmark-split doc and no duplicate digest may survive."""
+    from gomaxscale_spark.plans import all_queries
+    from gomaxscale_spark.catalog import load_table
+
+    kept = {r.doc_id for r in
+            all_queries()["pipeline_training_corpus"].fn(spark, sf_dir).collect()}
+    assert kept
+    docs = load_table(spark, sf_dir, "documents")
+    bench_ids = {
+        r.doc_id for r in docs.filter((F.col("doc_id") * 2654435761) % 100 < 5).collect()
+    }
+    assert not (kept & bench_ids), "benchmark docs leaked into the corpus"
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    digests = [texts[i] for i in kept]
+    assert len(digests) == len(set(digests)), "duplicate texts survived"
