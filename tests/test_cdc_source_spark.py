@@ -326,3 +326,31 @@ def test_replay_raises_instead_of_truncating():
                     {"pos": 5, "gtid": "0-1-5", "last": [0, 1, 5, 1]},
                 )
             )
+
+
+def test_multi_table_union_batch(registered):
+    """Two subscriptions (two mock servers = two sockets) compose into
+    one DataFrame tagged by source_table — the reference needs one
+    consumer per table; the union is the Spark-side composition."""
+    from gomaxscale_spark.sources.multi import read_cdc_tables
+
+    script_a = [DDL] + [dml(i, id=i, name=f"a{i}") for i in range(3)]
+    ddl_b = dict(DDL, table="orders", gtid="0-1-9")
+    script_b = [ddl_b] + [dml(i, id=100 + i, name=f"b{i}") for i in range(2)]
+    with MockMaxScaleServer(script=script_a) as addr_a, MockMaxScaleServer(
+        script=script_b
+    ) as addr_b:
+        subs = [
+            dict(read_options(addr_a)),
+            dict(read_options(addr_b), table="orders"),
+        ]
+        df = read_cdc_tables(registered, subs, streaming=False)
+        rows = df.collect()
+    by_table = {}
+    for r in rows:
+        by_table.setdefault(r.source_table, []).append(r)
+    assert set(by_table) == {"example.users", "example.orders"}
+    assert len([r for r in by_table["example.users"] if r.kind == "dml"]) == 3
+    assert len([r for r in by_table["example.orders"] if r.kind == "dml"]) == 2
+    # per-table routing is a filter over the already-collected union
+    assert {r.sequence for r in by_table["example.orders"] if r.kind == "dml"} == {0, 1}
