@@ -117,6 +117,7 @@ _TIER2: list[str] = [
     "cdc_snapshot_as_of",
     "text_contamination_ngram",
     "text_pii_redaction",
+    "text_boilerplate_ngrams",
     "dedup_incremental_batch",
     "sampling_mixture_rebalance",
     "sampling_temperature_mix",

@@ -1596,3 +1596,46 @@ def sampling_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.temperature_mix(d, "lang", "doc_id", target_share=0.5).select(
         "doc_id", "lang", "rn"
     )
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
+      FROM toks WHERE len(toks) >= 4
+    )
+    SELECT gram, count(*) AS n_docs
+    FROM sh GROUP BY gram HAVING count(*) >= 3
+    """,
+    doc="Boilerplate detector: word 4-grams whose document frequency "
+    "crosses a threshold — cookie banners, license headers, templated "
+    "chrome. This is the upstream producer for the LSH hot-bucket "
+    "strip stage (operators/dedup.py lsh_hot_buckets): stripping "
+    "high-DF grams before shingling is what keeps near-dup bucket "
+    "sizes bounded at corpus scale. Scale: one explode + one "
+    "partial-agg'd count keyed by gram — each (doc, gram) pair "
+    "shuffles once; the HAVING threshold prunes the long unique tail "
+    "at the reducer.",
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bucketing import parallelize_narrow_input
+    from ..operators.dedup import word_shingles
+
+    d = parallelize_narrow_input(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    grams = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 4)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+    )
