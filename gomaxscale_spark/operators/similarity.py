@@ -251,32 +251,21 @@ def ivf_topk(
     )
 
 
-def kmeans_refine(
+def kmeans_centroid_vectors(
     embeddings: DataFrame,
     n_centroids: int = 16,
     n_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Lloyd's k-means refinement of the IVF coarse quantizer:
-    deterministic seed (first `n_centroids` vectors by id), then
-    `n_iters` rounds of assign (argmax cosine, ties → lowest centroid
-    id) + update (per-dimension mean of assigned vectors). Returns the
-    refined centroids as (centroid_id, dim_idx, centroid) rows — the
-    long layout feeds `label_centroids`-style consumers and avoids
-    array re-assembly.
+    """``kmeans_refine``'s loop returning assembled (centroid_id,
+    centroid_vec) rows — the coarse-quantizer table consumers broadcast.
 
-    This is the production upgrade of ``ivf_topk``'s id-ordered sample
-    noted there: better-balanced inverted lists → flatter probe fan-out.
-
-    Scale per iteration: centroid table is O(k·dim) → broadcast;
-    assignment is a map over the corpus; the update shuffles (centroid,
-    dim, partial sum) — map-side combine collapses per partition, so
-    the exchange is O(k·dim·partitions), independent of corpus size.
-    A cluster that captures nothing would drop out — impossible with
-    the id-ordered seed, since each seed centroid IS a corpus vector
-    and wins its own assignment (cosine exactly 1, no parallel dupes).
-    Deterministic at fixed n_iters → oracle-expressible by unrolling.
+    Per-dimension means are rounded to 6 decimals before reassembly as
+    a cross-engine determinism barrier: an unrounded mean differs from
+    the oracle's by summation order (last ulp), and downstream argmax
+    assignments must not hinge on it. 1e-6 centroid precision is
+    immaterial to clustering quality.
     """
     centroids = (
         embeddings.orderBy(id_col)
@@ -304,7 +293,7 @@ def kmeans_refine(
                 "centroid_id", F.posexplode(F.col(vec_col)).alias("dim_idx", "val")
             )
             .groupBy("centroid_id", "dim_idx")
-            .agg(F.avg(F.col("val").cast("double")).alias("centroid"))
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"))
         )
         # re-assemble vectors for the next round's broadcast (k·dim rows)
         centroids = (
@@ -319,9 +308,39 @@ def kmeans_refine(
                 F.transform(F.col("pairs"), lambda p: p["centroid"]).alias("centroid_vec"),
             )
         )
-    return centroids.select(
-        "centroid_id", F.posexplode("centroid_vec").alias("dim_idx", "centroid")
-    )
+    return centroids
+
+
+def kmeans_refine(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means refinement of the IVF coarse quantizer:
+    deterministic seed (first `n_centroids` vectors by id), then
+    `n_iters` rounds of assign (argmax cosine, ties → lowest centroid
+    id) + update (per-dimension mean of assigned vectors). Returns the
+    refined centroids as (centroid_id, dim_idx, centroid) rows — the
+    long layout feeds `label_centroids`-style consumers and avoids
+    array re-assembly.
+
+    This is the production upgrade of ``ivf_topk``'s id-ordered sample
+    noted there: better-balanced inverted lists → flatter probe fan-out.
+
+    Scale per iteration: centroid table is O(k·dim) → broadcast;
+    assignment is a map over the corpus; the update shuffles (centroid,
+    dim, partial sum) — map-side combine collapses per partition, so
+    the exchange is O(k·dim·partitions), independent of corpus size.
+    A cluster that captures nothing would drop out — impossible with
+    the id-ordered seed, since each seed centroid IS a corpus vector
+    and wins its own assignment (cosine exactly 1, no parallel dupes).
+    Deterministic at fixed n_iters → oracle-expressible by unrolling.
+    """
+    return kmeans_centroid_vectors(
+        embeddings, n_centroids, n_iters, id_col, vec_col
+    ).select("centroid_id", F.posexplode("centroid_vec").alias("dim_idx", "centroid"))
 
 
 def label_centroids(embeddings: DataFrame, label_col: str, vec_col: str) -> DataFrame:

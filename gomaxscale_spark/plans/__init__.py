@@ -112,6 +112,7 @@ _TIER2: list[str] = [
     "sql_api_sales_by_region",
     "window_zscore_builtin",
     "embedding_kmeans_refine",
+    "similarity_ivf_kmeans_topk",
     "agg_hll_sketch_merge",
     "agg_approx_topk_priorities",
     "cdc_snapshot_as_of",

@@ -1639,3 +1639,104 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 3)
     )
+
+
+@query(
+    "similarity_ivf_kmeans_topk",
+    oracle=f"""
+    WITH c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id,
+             embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ), scored0 AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             {_cos_sql("e.embedding", "c.cvec")} AS s
+      FROM embeddings e, c0 c
+    ), assign0 AS (
+      SELECT vec_id, embedding, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, centroid_id) AS rn
+      FROM scored0
+    ), means AS (
+      SELECT centroid_id,
+             unnest(range(0, len(embedding))) AS dim_idx,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM assign0 WHERE rn = 1
+    ), refined AS (
+      SELECT centroid_id,
+             list(round(avg_val, 6) ORDER BY dim_idx) AS cvec
+      FROM (SELECT centroid_id, dim_idx, avg(val) AS avg_val
+            FROM means GROUP BY centroid_id, dim_idx)
+      GROUP BY centroid_id
+    ), q AS (
+      SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+    ), probe AS (
+      SELECT r.centroid_id
+      FROM refined r, q
+      ORDER BY {_cos_sql("r.cvec", "q.qvec")} DESC, r.centroid_id
+      LIMIT 4
+    ), assign1 AS (
+      SELECT e.vec_id, e.embedding, r.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_cos_sql("e.embedding", "r.cvec")} DESC, r.centroid_id) AS rn
+      FROM embeddings e, refined r
+    )
+    SELECT a.vec_id,
+           round({_cos_sql("a.embedding", "q.qvec")}, 6) AS score
+    FROM assign1 a JOIN probe p ON p.centroid_id = a.centroid_id, q
+    WHERE a.rn = 1
+    ORDER BY score DESC, a.vec_id
+    LIMIT 10
+    """,
+    doc="IVF-flat ANN over the k-means-REFINED coarse quantizer — "
+    "closing ivf_topk's documented production TODO end-to-end: seed "
+    "(first 16 by id) → one Lloyd iteration (argmax-cosine assign, "
+    "per-dim means rounded at 6 as the cross-engine determinism "
+    "barrier) → re-assign the corpus to refined centroids → probe the "
+    "4 cells nearest the query → exact top-10 inside the probed "
+    "cells. Everything stays IN the plan: the query vector is a 1-row "
+    "broadcast (vec_id 0), the probe set a 4-row broadcast — no "
+    "driver-side collect anywhere (improves on ivf_topk's documented "
+    "constant-size lookup). Scale: centroids/probe sets are O(k·dim) "
+    "broadcasts; assignment is a map; at ingest the refined "
+    "centroid_id becomes the partition key so a probe reads "
+    "~n_probe/k of the data.",
+)
+def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroid_vectors(e, n_centroids=16, n_iters=1)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "centroid_id",
+            S.cosine(F.col("centroid_vec"), F.col("qvec")).alias("cs"),
+        )
+        .orderBy(F.desc("cs"), "centroid_id")
+        .limit(4)
+        .select("centroid_id")
+    )
+    assigned = (
+        e.join(F.broadcast(cents))
+        .withColumn("s", S.cosine(F.col("embedding"), F.col("centroid_vec")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.desc("s"), F.col("centroid_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    return (
+        assigned.join(F.broadcast(probe), "centroid_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(10)
+    )
