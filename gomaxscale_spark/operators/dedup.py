@@ -112,7 +112,7 @@ def minhash_signatures(
     return sigs.select(F.col(id_col), F.expr(arr).alias("minhash"))
 
 
-def _lsh_buckets(
+def _lsh_band_rows(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -120,8 +120,8 @@ def _lsh_buckets(
     bands: int,
     shingle_n: int,
 ) -> DataFrame:
-    """(band_id, band_hash, ids) bucket table shared by the candidate
-    generator and the hot-bucket review queue."""
+    """(id, band_id, band_hash) rows — one per (doc, band) — the shared
+    base of the bucket table and the hot-bucket review queue."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     bands_col = F.expr(
@@ -137,13 +137,60 @@ def _lsh_buckets(
         )
         + ")"
     )
-    exploded = sigs.select(F.col(id_col), F.explode(bands_col).alias("band")).select(
+    return sigs.select(F.col(id_col), F.explode(bands_col).alias("band")).select(
         id_col, "band.band_id", "band.band_hash"
     )
+
+
+def _lsh_bucket_counts(band_rows: DataFrame) -> DataFrame:
+    """(band_id, band_hash, n_members) for buckets with ≥2 members.
+
+    A pure count aggregation: map-side partial combine collapses even a
+    10⁸-member boilerplate bucket to one row per input partition, so
+    this pre-pass is skew-immune — no arrays, no membership lists.
+    """
     return (
-        exploded.groupBy("band_id", "band_hash")
+        band_rows.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+
+
+def _lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(band_id, band_hash, ids) bucket table — bounded BEFORE any
+    membership array exists.
+
+    Count-first discipline: sizes come from a skew-immune count
+    aggregation (`_lsh_bucket_counts`); only keys within the cap join
+    back to the band rows, so `collect_list` ever aggregates a bucket
+    that is already proven ≤ max_bucket_size. The naive order
+    (collect_list → filter size) would build a corpus-scale array in
+    one aggregation buffer for a boilerplate band hash — executor OOM
+    at 100 TB. Over-cap rows are *dropped during the join probe*
+    (streamed, never buffered); with AQE skew-join the hot key's
+    shuffle partition splits too. The band-row base is localCheckpointed
+    (id + 2 longs per row — tiny next to the corpus) because both the
+    count pre-pass and the join consume it; without materialization the
+    shingle→minhash pipeline would run twice.
+    """
+    band_rows = _lsh_band_rows(
+        df, id_col, text_col, num_hashes, bands, shingle_n
+    ).localCheckpoint(eager=True)
+    counts = _lsh_bucket_counts(band_rows)
+    if max_bucket_size is not None:
+        counts = counts.filter(F.col("n_members") <= max_bucket_size)
+    return (
+        band_rows.join(counts.select("band_id", "band_hash"), ["band_id", "band_hash"])
+        .groupBy("band_id", "band_hash")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
-        .filter(F.size("ids") >= 2)
     )
 
 
@@ -163,13 +210,13 @@ def lsh_hot_buckets(
     such a bucket is O(n²) and would dominate the whole job. These
     buckets are routed here instead — for exact-dedup pre-passes,
     template stripping, or a tighter per-bucket re-LSH — while the
-    bounded buckets proceed through pair expansion.
+    bounded buckets proceed through pair expansion. Built from the
+    count pre-pass alone: no membership array is ever materialized for
+    a hot bucket, only its size.
     """
-    return (
-        _lsh_buckets(df, id_col, text_col, num_hashes, bands, shingle_n)
-        .filter(F.size("ids") > max_bucket_size)
-        .select("band_id", "band_hash", F.size("ids").alias("n_members"))
-    )
+    return _lsh_bucket_counts(
+        _lsh_band_rows(df, id_col, text_col, num_hashes, bands, shingle_n)
+    ).filter(F.col("n_members") > max_bucket_size)
 
 
 def minhash_lsh_candidates(
@@ -202,9 +249,9 @@ def minhash_lsh_candidates(
     # keys once; buckets are tiny by LSH construction, so the per-bucket
     # quadratic expansion is bounded (hot-boilerplate buckets get capped
     # into the lsh_hot_buckets review queue at corpus scale).
-    buckets = _lsh_buckets(df, id_col, text_col, num_hashes, bands, shingle_n)
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    buckets = _lsh_buckets(
+        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket_size
+    )
     combos = F.flatten(
         F.transform(
             F.col("ids"),

@@ -210,7 +210,9 @@ def ivf_topk(
 
     Scale: the centroid table is O(n_centroids) → broadcast; assignment
     is a map; the probe filter prunes partitions when the table is
-    clustered by centroid_id.
+    clustered by centroid_id. The probe set stays IN the plan as an
+    n_probe-row broadcast join — zero driver lookups, so the whole
+    query is one job with no extra round-trip per probe.
     """
     centroids = (
         embeddings.orderBy(id_col)
@@ -221,16 +223,13 @@ def ivf_topk(
         )
     )
     q = lit_vec(query_vec)
-    # nearest centroids to the query (tiny: n_centroids rows)
-    probe_ids = [
-        r.centroid_id
-        for r in centroids.select(
-            "centroid_id", cosine(F.col("centroid_vec"), q).alias("s")
-        )
+    # nearest centroids to the query (tiny: n_probe rows, broadcast)
+    probe = (
+        centroids.select("centroid_id", cosine(F.col("centroid_vec"), q).alias("s"))
         .orderBy(F.desc("s"), F.col("centroid_id"))
         .limit(n_probe)
-        .collect()
-    ]
+        .select("centroid_id")
+    )
     assigned = (
         embeddings.join(F.broadcast(centroids))
         .withColumn("s", cosine(F.col(vec_col), F.col("centroid_vec")))
@@ -243,7 +242,7 @@ def ivf_topk(
         .filter(F.col("rn") == 1)
         .select(id_col, vec_col, "centroid_id")
     )
-    probed = assigned.filter(F.col("centroid_id").isin(probe_ids))
+    probed = assigned.join(F.broadcast(probe), "centroid_id")
     return (
         probed.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))

@@ -423,6 +423,33 @@ def test_lsh_bucket_cap_routes_hot_buckets_to_review(spark, near_dup_corpus):
     assert {(r.id_a, r.id_b) for r in capped.collect()} >= {(300, 301)}
 
 
+def test_lsh_bucket_cap_precedes_collect_list(spark, near_dup_corpus):
+    """Count-first discipline, structurally: the collect_list aggregate
+    must sit ABOVE a join against the size-bounded key set — i.e. no
+    membership array is ever built for a bucket that wasn't already
+    proven ≤ cap by the (skew-immune) count pre-pass. Physical plans
+    print root-first, so 'above' means an earlier string offset."""
+    from gomaxscale_spark.operators.dedup import _lsh_buckets
+
+    df = _lsh_buckets(
+        near_dup_corpus, "doc_id", "text", 64, 16, 2, max_bucket_size=10
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" in p
+    joins = [
+        m
+        for m in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        if m in p
+    ]
+    assert joins, f"bounded-keys join missing from plan:\n{p[:2000]}"
+    first_join = min(p.index(m) for m in joins)
+    assert p.index("collect_list") < first_join, (
+        "collect_list must be ABOVE the size-bounding join (count-first cap)"
+    )
+    # and the cap itself is applied to the count column, below the join
+    assert "n_members" in p and p.index("n_members") > first_join
+
+
 def test_benchmark_contamination_bounds_and_exact_dup(spark):
     """A doc copied verbatim from the benchmark must score 1.0; a doc
     sharing no vocabulary must not appear; everything in (0, 1]."""

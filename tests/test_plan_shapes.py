@@ -179,6 +179,26 @@ def test_pipeline_capstone_no_text_in_shuffles(spark, sf_dir):
             assert "text#" not in line, f"text rides a shuffle: {line}"
 
 
+def test_ivf_topk_zero_driver_jobs(spark, sf_dir):
+    """ivf_topk must build its whole plan — centroids, probe selection,
+    assignment, scoring — without a single driver-side job: the probe
+    set is an n_probe-row broadcast join, not a collected id list."""
+    from gomaxscale_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sc = spark.sparkContext
+    sc.setJobGroup("ivf-build-probe", "assert zero jobs during ivf_topk build")
+    try:
+        df = ivf_topk(e, [0.1] * 64, k=10, n_centroids=16, n_probe=4)
+        df.explain()  # force plan compilation, not execution
+        jobs = sc.statusTracker().getJobIdsForGroup("ivf-build-probe")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(jobs) == [], f"ivf_topk ran driver-side jobs at build: {jobs}"
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+
+
 def test_timeseries_topk_is_take_ordered(spark, sf_dir):
     """Global top-k must be TakeOrderedAndProject (per-partition heaps),
     not a full sort of the pair set."""
