@@ -78,7 +78,6 @@ def mixture_rebalance(
     the quota stays IN the plan, no driver-side collect.
     """
     w = W.partitionBy(stratum_col).orderBy(hash_bucket(F.col(id_col), 997), F.col(id_col))
-    counts = W.partitionBy(stratum_col)
     quota = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n")).agg(
         F.ceil(F.min("__n") * F.lit(share)).alias("__quota")
     )

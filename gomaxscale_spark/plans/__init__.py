@@ -29,7 +29,6 @@ _PRIORITY: list[str] = [
     "q1_pricing_summary",
     "agg_collect_sorted",
     "agg_approx_percentile",
-    "agg_approx_count_distinct",
     # B3 join family
     "join_inner_customer_orders",
     # B4 theta/range join
@@ -68,23 +67,25 @@ _PRIORITY: list[str] = [
     "cdc_event_routing",
     "cdc_snapshot_latest_state",
     "cdc_transaction_stitching",
-    # B15 dedup
+    # B15 dedup (incl. the incremental batch-vs-lake capstone)
     "dedup_exact_documents",
     "text_language_id",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_connected_components",
     "dedup_keep_representatives",
+    "dedup_incremental_batch",
     # B16 similarity
     "similarity_cosine_topk",
     "similarity_lsh_bucketed",
     "similarity_ivf_topk",
     "embedding_centroids",
-    "embedding_quantize_int8",
-    # B17 text analysis
+    # B17 text analysis (incl. the benchmark-decontamination capstone)
     "text_tfidf",
     "text_quality_score",
-    "text_repetition_stats",
+    "text_contamination_ngram",
+    # north-star composition: quality-filter → dedup → decontaminate
+    "pipeline_training_corpus",
     # B18 UDF shapes (all five)
     "udf_pandas_scalar_log1p",
     "udf_grouped_zscore",
@@ -102,7 +103,11 @@ _PRIORITY: list[str] = [
 #: Tier 2: nearest-miss variants of families already represented above —
 #: first in line if the gate window ever widens.
 _TIER2: list[str] = [
-    "pipeline_training_corpus",
+    # demoted from the window in round 3 (proven green in r2's
+    # CORRECTNESS run — their slots now carry the capstones)
+    "agg_approx_count_distinct",
+    "embedding_quantize_int8",
+    "text_repetition_stats",
     "dedup_ngram_jaccard",
     "dedup_exact_hashed",
     "multimodal_frame_sample",
@@ -116,10 +121,8 @@ _TIER2: list[str] = [
     "agg_hll_sketch_merge",
     "agg_approx_topk_priorities",
     "cdc_snapshot_as_of",
-    "text_contamination_ngram",
     "text_pii_redaction",
     "text_boilerplate_ngrams",
-    "dedup_incremental_batch",
     "sampling_mixture_rebalance",
     "sampling_temperature_mix",
     "q17_small_quantity_revenue",

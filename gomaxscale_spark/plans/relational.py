@@ -2050,9 +2050,14 @@ def dq_contract_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain = ~F.col("event_type").isin("click", "view", "purchase", "error", "signup")
     neg = F.col("value") < 0
     ts_oob = (us < 1704067200000000) | (us >= 1735689600000000)
-    bad_json = ~(
+    # null-safe: invalid JSON makes get_json_object NULL, and a bare
+    # ~(true & NULL) would be NULL → counted as 0 violations while the
+    # DuckDB oracle (json_valid) counts 1. coalesce pins NULL → False
+    # before negating, so null props AND malformed props both violate.
+    bad_json = ~F.coalesce(
         F.col("props").isNotNull()
-        & F.get_json_object("props", "$").startswith("{")
+        & F.get_json_object("props", "$").startswith("{"),
+        F.lit(False),
     )
     return (
         rule("event_type_domain", domain)

@@ -39,7 +39,7 @@ from typing import Any
 from pyspark.sql.datasource import DataSource, DataSourceReader, SimpleDataSourceStreamReader
 from pyspark.sql.types import StructType
 
-from .client import CDCClient, CDCEventFrame, CDCProtocolError
+from .client import CDCClient, CDCEventFrame, CDCProtocolError, MAX_EMPTY_LOOPS
 
 SOURCE_SCHEMA = (
     "domain INT, server_id INT, sequence INT, event_number INT, "
@@ -166,6 +166,7 @@ class MaxScaleCDCStreamReader(SimpleDataSourceStreamReader):
         if self._eof:
             self._client = None  # reconnect from last GTID
         client = self._ensure_client(gtid)
+        proto_errors = 0
         while len(rows) < self.max_events_per_batch:
             try:
                 events = client.scan()
@@ -176,8 +177,15 @@ class MaxScaleCDCStreamReader(SimpleDataSourceStreamReader):
                 break
             except CDCProtocolError:
                 # in-band server error text: skip, like the reference's
-                # log-and-continue class (gomaxscale.go:152-157)
+                # log-and-continue class (gomaxscale.go:152-157) — but
+                # bounded: a server persistently emitting error frames
+                # must not spin this loop forever (MAX_EMPTY_LOOPS is
+                # the reference's own liveness cap, stream.go:102-105)
+                proto_errors += 1
+                if proto_errors > MAX_EMPTY_LOOPS:
+                    break  # close the micro-batch; next read() re-polls
                 continue
+            proto_errors = 0
             for i, ev in enumerate(events):
                 if not admit(ev):
                     self._pending.extend(events[i:])
@@ -209,7 +217,15 @@ class MaxScaleCDCStreamReader(SimpleDataSourceStreamReader):
         rows: list[tuple] = []
         last = start.get("last")
         gtid = start.get("gtid", "")
+        # DDL/schema frames carry no GTID position, so the `last`-based
+        # dedup can't see them; a resumed connection re-sends them, and
+        # without this counter a mid-replay reconnect would deliver the
+        # leading DDL twice — filling the promised n with a duplicate
+        # and silently displacing a tail event.
+        nonpos_delivered = 0
         for _attempt in range(max_attempts):
+            nonpos_skip = nonpos_delivered  # re-sent on resume: skip that many
+            proto_errors = 0
             client = _client_from_options(self.options, gtid)
             client.connect()
             try:
@@ -221,10 +237,23 @@ class MaxScaleCDCStreamReader(SimpleDataSourceStreamReader):
                     except EOFError:
                         break  # server closed — ditto
                     except CDCProtocolError:
-                        continue  # in-band error text: log-and-continue class
+                        # in-band error text: log-and-continue class, but
+                        # bounded — K consecutive error frames end the
+                        # attempt instead of looping without consuming
+                        # the replay_attempts budget
+                        proto_errors += 1
+                        if proto_errors > MAX_EMPTY_LOOPS:
+                            break
+                        continue
+                    proto_errors = 0
                     for ev in events:
                         pos = self._position_of(ev)
-                        if pos is not None and last is not None and pos <= last:
+                        if pos is None:
+                            if nonpos_skip > 0:
+                                nonpos_skip -= 1
+                                continue  # replayed DDL/schema frame
+                            nonpos_delivered += 1
+                        elif last is not None and pos <= last:
                             continue  # inclusive-GTID replayed history
                         rows.append(_frame_to_row(ev))
                         if pos is not None:

@@ -66,14 +66,23 @@ def classify_frame(frame: Frame) -> CDCEventFrame | None:
         if payload.startswith(b'{"domain":'):
             data = frame.obj if isinstance(frame.obj, dict) else json.loads(payload)
             return CDCEventFrame("dml", data, payload)
-        # fall back to the lenient substring test before rejecting —
-        # key order inside a JSON object is not contractual
-        if b'"namespace":' in payload:
-            data = frame.obj if isinstance(frame.obj, dict) else json.loads(payload)
-            return CDCEventFrame("ddl", data, payload)
-        if b'"domain":' in payload:
-            data = frame.obj if isinstance(frame.obj, dict) else json.loads(payload)
-            return CDCEventFrame("dml", data, payload)
+        # fall back to parsing before rejecting — key order inside a
+        # JSON object is not contractual. Dispatch on the actual
+        # top-level keys, 'domain' first: a DML row from a table that
+        # happens to have a `namespace` COLUMN carries "namespace" as a
+        # top-level key too, and a substring test would misfile it as a
+        # schema event.
+        obj = frame.obj
+        if not isinstance(obj, dict):
+            try:
+                obj = json.loads(payload)
+            except ValueError:
+                obj = None
+        if isinstance(obj, dict):
+            if "domain" in obj:
+                return CDCEventFrame("dml", obj, payload)
+            if "namespace" in obj:
+                return CDCEventFrame("ddl", obj, payload)
     if is_error_response(frame.payload):
         raise CDCProtocolError(f"error raised from maxscale: {frame.payload.decode(errors='replace')}")
     raise CDCProtocolError(f"unknown maxscale event type: {frame.payload.decode(errors='replace')}")

@@ -149,3 +149,41 @@ def test_read_deadline_uses_injected_clock():
             c.scan()
         assert time.monotonic() - start < 1.0  # deadline came from the fake clock
         c.close()
+
+
+def test_classify_dml_with_namespace_column():
+    """A DML row from a table that has a column literally named
+    `namespace` must classify as DML even when JSON key order defeats
+    the fast startswith checks — the fallback parses and dispatches on
+    actual top-level keys, preferring 'domain' (the DML envelope)."""
+    from gomaxscale_spark.sources.client import classify_frame
+    from gomaxscale_spark.sources.framing import JsonFrameScanner
+
+    row = {
+        "event_number": 1,  # leading key defeats both prefix checks
+        "namespace": "prod-east",  # a *column*, not the schema marker
+        "domain": 0,
+        "server_id": 1,
+        "sequence": 7,
+        "timestamp": 1704067200,
+        "event_type": "insert",
+        "id": 9,
+    }
+    frames = JsonFrameScanner().feed(json.dumps(row).encode() + b"\n")
+    assert len(frames) == 1
+    ev = classify_frame(frames[0])
+    assert ev.kind == "dml"
+    assert ev.data["sequence"] == 7
+
+
+def test_classify_ddl_with_scrambled_key_order():
+    """Schema events keep classifying as DDL through the parsed
+    fallback (no top-level 'domain' key)."""
+    from gomaxscale_spark.sources.client import classify_frame
+    from gomaxscale_spark.sources.framing import JsonFrameScanner
+
+    ddl = {"type": "record", "namespace": "MaxScaleChangeDataSchema.avro",
+           "name": "ChangeRecord", "fields": []}
+    frames = JsonFrameScanner().feed(json.dumps(ddl).encode() + b"\n")
+    ev = classify_frame(frames[0])
+    assert ev.kind == "ddl"

@@ -354,3 +354,58 @@ def test_multi_table_union_batch(registered):
     assert len([r for r in by_table["example.orders"] if r.kind == "dml"]) == 2
     # per-table routing is a filter over the already-collected union
     assert {r.sequence for r in by_table["example.orders"] if r.kind == "dml"} == {0, 1}
+
+
+def test_replay_retries_with_leading_ddl_no_duplicate():
+    """ADVICE r2: DDL frames have no GTID position, so `last`-dedup
+    can't see them; a mid-replay reconnect re-receives the leading DDL
+    and — before the nonpos counter — the duplicate filled the promised
+    n and displaced the tail DML. Script: DDL + 5 DMLs, server dies
+    after 3 items on the first connection."""
+    script = [DDL] + [dml(i) for i in range(1, 6)]
+    with _TruncatingServer(script=script, keep_open=0.05) as addr:
+        reader = MaxScaleCDCStreamReader(_replay_options(addr))
+        rows = list(
+            reader.readBetweenOffsets(
+                {"pos": 0, "gtid": "", "last": None},
+                {"pos": 6, "gtid": "0-1-5", "last": [0, 1, 5, 1]},
+            )
+        )
+    assert len(rows) == 6
+    kinds = [r[6] for r in rows]
+    assert kinds.count("ddl") == 1  # replayed DDL deduped
+    seqs = [json.loads(r[-1])["sequence"] for r in rows if r[6] == "dml"]
+    assert seqs == [1, 2, 3, 4, 5]  # tail DML not displaced
+
+
+def test_replay_bounds_consecutive_protocol_errors(monkeypatch):
+    """ADVICE r2: a server persistently emitting in-band error frames
+    must consume the replay_attempts budget (bounded consecutive
+    CDCProtocolErrors per attempt) instead of spinning forever."""
+    from gomaxscale_spark.sources import cdc_source as mod
+    from gomaxscale_spark.sources.client import CDCProtocolError
+
+    calls = {"scans": 0}
+
+    class _ErrClient:
+        def connect(self):
+            pass
+
+        def scan(self):
+            calls["scans"] += 1
+            raise CDCProtocolError("err persistent in-band error")
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(mod, "_client_from_options", lambda opts, gtid="": _ErrClient())
+    reader = MaxScaleCDCStreamReader({"database": "example", "table": "users"})
+    with pytest.raises(RuntimeError, match="replay short"):
+        list(
+            reader.readBetweenOffsets(
+                {"pos": 0, "gtid": "", "last": None},
+                {"pos": 2, "gtid": "", "last": None},
+            )
+        )
+    # 3 attempts × (cap+1) scans each, not unbounded
+    assert calls["scans"] <= 3 * 102
