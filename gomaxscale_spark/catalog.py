@@ -18,7 +18,7 @@ collects.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .session import configure
 
@@ -40,18 +40,39 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
 
+def event_ts_as_timestamp(df: DataFrame) -> DataFrame:
+    """Normalize the physical `ts` column to a µs TimestampType.
+
+    The driver's events parquet has shipped with two physical encodings:
+    TIMESTAMP(NANOS) (which Spark reads as a long via nanosAsLong) and
+    native TIMESTAMP(MICROS) (which Spark 4 reads as TIMESTAMP_NTZ).
+    Both represent the same UTC wall-clock; with the session TZ pinned to
+    UTC the NTZ→TZ cast is instant-preserving, so downstream plans see one
+    stable TimestampType either way.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        # integer div, not `/1000` — double division rounds the µs
+        # at 1e18-scale nanos (off-by-one vs the oracle's truncation)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # nanos → exact long + µs timestamp (session TZ pinned to UTC).
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            # integer div, not `/1000` — double division rounds the µs
-            # at 1e18-scale nanos (off-by-one vs the oracle's truncation)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
-            .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
-        )
+        # expose BOTH: ts TIMESTAMP (µs) and ts_ns BIGINT exact nanos
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            df = df.withColumnRenamed("ts", "ts_ns").withColumn(
+                "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+            )
+        else:
+            df = event_ts_as_timestamp(df).withColumn(
+                "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
+            )
+        df = df.select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
     return df
 
 

@@ -439,6 +439,7 @@ def connected_components_star(
     edges = canon(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     ).localCheckpoint(eager=True)
+    edges_count = edges.count()
 
     for _ in range(max_iters):
         # large-star: for every directed (u, v): min over u's closed
@@ -462,11 +463,14 @@ def connected_components_star(
             .union(mins2.select("u", F.col("m").alias("v")))
         )
         new_edges = canon(small).localCheckpoint(eager=True)
-        same_size = new_edges.count() == edges.count()
-        if same_size and new_edges.exceptAll(edges).count() == 0:
+        # carry the previous round's count forward — one count job per
+        # round, not two (the checkpointed edge set never changes size
+        # underneath us)
+        new_count = new_edges.count()
+        if new_count == edges_count and new_edges.exceptAll(edges).count() == 0:
             edges = new_edges
             break
-        edges = new_edges
+        edges, edges_count = new_edges, new_count
 
     # converged: every edge is (member, component-min); roots label themselves
     members = edges.groupBy("u").agg(F.min("v").alias("cluster_id")).select(

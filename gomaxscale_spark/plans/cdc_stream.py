@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..catalog import event_ts_as_timestamp
 from ..operators.snapshot import materialize_snapshot
 from .base import query, t
 
@@ -370,13 +371,13 @@ def streaming_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFra
     # parquet file through a symlinked temp dir (no data copy)
     replay_dir = tempfile.mkdtemp(prefix="events_replay_")
     os.symlink(f"{sf_dir}/events.parquet", f"{replay_dir}/events.parquet")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts as long (nanos)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # physical ts encoding varies; normalized below
     stream = (
         spark.readStream.schema(schema)
         .format("parquet")
         .load(replay_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    stream = event_ts_as_timestamp(stream)
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -438,13 +439,13 @@ def streaming_session_availablenow(spark: SparkSession, sf_dir: str) -> DataFram
     configure(spark)
     replay_dir = tempfile.mkdtemp(prefix="events_replay_")
     os.symlink(f"{sf_dir}/events.parquet", f"{replay_dir}/events.parquet")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts as long (nanos)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # physical ts encoding varies; normalized below
     stream = (
         spark.readStream.schema(schema)
         .format("parquet")
         .load(replay_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    stream = event_ts_as_timestamp(stream)
     agg = (
         stream.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
         .agg(
@@ -605,8 +606,8 @@ def streaming_sliding_availablenow(spark: SparkSession, sf_dir: str) -> DataFram
         spark.readStream.schema(schema)
         .format("parquet")
         .load(replay_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    stream = event_ts_as_timestamp(stream)
     agg = (
         stream.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
@@ -661,7 +662,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.readStream.schema(schema)
             .format("parquet")
             .load(replay_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .transform(event_ts_as_timestamp)
             .filter(F.col("event_type") == event_type)
             .select(
                 F.col("event_id").alias(f"{prefix}_id"),

@@ -409,3 +409,68 @@ def test_replay_bounds_consecutive_protocol_errors(monkeypatch):
         )
     # 3 attempts × (cap+1) scans each, not unbounded
     assert calls["scans"] <= 3 * 102
+
+
+def test_streaming_mid_stream_ddl_schema_evolution(registered):
+    """C4 stream-side: an ALTER (DDL v2 adding a column) arrives mid-
+    stream; per micro-batch the typed projection re-resolves the latest
+    registry schema, so v1 payloads land with the new column null and v2
+    payloads land fully populated (union-by-name semantics, the same
+    contract as the batch twin schema_evolution_union_by_name)."""
+    ddl_v2 = dict(DDL, version=2, gtid="0-1-3")
+    ddl_v2["fields"] = DDL["fields"] + [{"name": "email", "type": ["null", "string"]}]
+    script = (
+        [DDL]
+        + [dml(i, id=i, name=f"u{i}") for i in range(2)]
+        + [ddl_v2]
+        + [dml(i, id=i, name=f"u{i}", email=f"u{i}@x.io") for i in range(2, 4)]
+    )
+    reg = SchemaRegistry()
+    collected: dict[int, tuple] = {}
+
+    def handle_batch(batch_df, batch_id):
+        rows = sorted(batch_df.collect(), key=lambda r: (r.kind != "ddl", r.sequence or 0))
+        for r in rows:
+            if r.kind == "ddl":
+                reg.register(r.raw)
+        if not reg.versions("example", "users"):
+            return  # no schema yet — hold the typed projection
+        schema = reg.full_dml_schema("example", "users")
+        spark_local = batch_df.sparkSession
+        dml_raw = [r.raw for r in rows if r.kind == "dml"]
+        if not dml_raw:
+            return
+        typed = (
+            spark_local.createDataFrame([(x,) for x in dml_raw], "raw string")
+            .select(F.from_json("raw", schema).alias("r"))
+            .select("r.sequence", "r.id", "r.name", F.col("r.email") if "email" in schema.fieldNames() else F.lit(None).alias("email"))
+        )
+        for t in typed.collect():
+            collected[t.sequence] = (t.id, t.name, t.email)
+
+    with MockMaxScaleServer(script=script, write_delay=0.02) as addr:
+        q = (
+            registered.readStream.format("maxscale_cdc")
+            .options(**read_options(addr))
+            .load()
+            .writeStream.foreachBatch(handle_batch)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 30
+            while time.time() < deadline and len(collected) < 4:
+                time.sleep(0.3)
+        finally:
+            q.stop()
+
+    assert sorted(collected) == [0, 1, 2, 3], collected
+    # v1 payloads: email resolves null under the evolved schema
+    assert collected[0] == (0, "u0", None)
+    assert collected[1] == (1, "u1", None)
+    # v2 payloads: the new column lands populated
+    assert collected[2] == (2, "u2", "u2@x.io")
+    assert collected[3] == (3, "u3", "u3@x.io")
+    # the registry holds both versions; pinning v1 drops the new column
+    assert reg.versions("example", "users") == [1, 2]
+    assert "email" not in reg.schema("example", "users", version=1).fieldNames()
