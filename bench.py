@@ -111,7 +111,10 @@ def cdc_ingest_events_per_sec(n_events: int = 100_000) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    except ValueError:
+        sf = os.path.basename(sf_dir.rstrip("/"))  # scaling replicas: keep the label
     spark = get_session("gomaxscale_spark_bench")
     registry = all_queries()
 

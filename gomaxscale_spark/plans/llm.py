@@ -285,6 +285,50 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pairwise_near_duplicates(e, threshold=0.3, block_col="label")
 
 
+def _embedding_lsh_dedup_oracle(
+    threshold: float, dim: int = 64, planes_per_band: int = 8, n_bands: int = 4
+) -> str:
+    all_planes = S.hyperplanes(dim, n_bands * planes_per_band, seed=42)
+    sig_cols = ",\n           ".join(
+        f"{_lsh_sig_sql('e.embedding', all_planes[b * planes_per_band:(b + 1) * planes_per_band])} AS s{b}"
+        for b in range(n_bands)
+    )
+    or_cond = " OR ".join(f"a.s{b} = b.s{b}" for b in range(n_bands))
+    return f"""
+    WITH sig AS (SELECT e.vec_id,
+           {sig_cols}
+           FROM embeddings e),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({or_cond})
+    )
+    SELECT c.id_a, c.id_b,
+           round({_cos_sql("x.embedding", "y.embedding")}, 6) AS score
+    FROM cand c
+    JOIN embeddings x ON x.vec_id = c.id_a
+    JOIN embeddings y ON y.vec_id = c.id_b
+    WHERE {_cos_sql("x.embedding", "y.embedding")} >= {threshold}
+    """
+
+
+@query(
+    "dedup_embedding_lsh",
+    oracle=_embedding_lsh_dedup_oracle(threshold=0.3),
+    doc="B15 embedding near-dup at corpus scale: banded sign-LSH "
+    "blocking (4 bands × 8 sign bits, fixed-seed plan-literal planes) "
+    "+ exact-cosine verify on the deduped candidate set. The blocked-"
+    "exact twin above goes quadratic per label as the corpus grows "
+    "(its label cardinality is fixed — measured 22× wall at 10× rows, "
+    "SCALING.md); here expected bucket size is N/2^8 per band, so "
+    "pair expansion scales with the signature width instead. The "
+    "oracle replays the identical banded-candidate semantics from the "
+    "same plane literals.",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return S.lsh_near_duplicates(e, threshold=0.3, dim=64)
+
+
 # -------------------------------------------------------- B16 similarity
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
