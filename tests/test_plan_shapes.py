@@ -204,3 +204,14 @@ def test_timeseries_topk_is_take_ordered(spark, sf_dir):
     not a full sort of the pair set."""
     p = plan_str(spark, sf_dir, "timeseries_topk_similar")
     assert "TakeOrderedAndProject" in p
+
+
+def test_embedding_lsh_no_vector_shuffle(spark, sf_dir):
+    """The banded-LSH dedup's shuffles must carry (band, sig, id) /
+    (id_a, id_b) only — embedding arrays never ride an exchange (the
+    vectors re-join only for the deduped candidate set)."""
+    p = plan_str(spark, sf_dir, "dedup_embedding_lsh")
+    exchanges = [seg.splitlines()[0] for seg in p.split("Exchange")[1:]]
+    assert exchanges, "expected at least one exchange in the plan"
+    assert all("embedding" not in e and "vec_a" not in e and "vec_b" not in e
+               for e in exchanges), exchanges
