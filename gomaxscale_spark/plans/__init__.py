@@ -75,11 +75,13 @@ _PRIORITY: list[str] = [
     "dedup_connected_components",
     "dedup_keep_representatives",
     "dedup_incremental_batch",
-    # B16 similarity
+    # B16 similarity (embedding_centroids demoted to tier 2 in r4 — B16
+    # keeps three window reps; this slot buys the banded-LSH scale path
+    # a driver CORRECTNESS row)
     "similarity_cosine_topk",
     "similarity_lsh_bucketed",
     "similarity_ivf_topk",
-    "embedding_centroids",
+    "dedup_embedding_lsh",
     # B17 text analysis (incl. the benchmark-decontamination capstone)
     "text_tfidf",
     "text_quality_score",
