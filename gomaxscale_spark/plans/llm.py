@@ -881,6 +881,56 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_connected_components_lsh",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i+1])) AS sh
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents)
+      WHERE len(toks) >= 2
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+            / (len(a.sh) + len(b.sh)
+               - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach AS (
+      SELECT src AS id, src AS lbl FROM edges
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    """,
+    doc="B15 duplicate clustering at corpus scale: the match graph comes "
+    "from the bounded MinHash-LSH candidate→exact-Jaccard-verify "
+    "pipeline (same stages and equivalence argument as "
+    "dedup_minhash_lsh — banding recall ≈ 1−1.5e-7 at this corpus's "
+    "thresholds, so the pair set equals the oracle's all-pairs scan), "
+    "closed with large-star/small-star alternation. The (lang, "
+    "len_band)-blocked twin above is oracle-exact but quadratic per "
+    "block — its blocker has FIXED cardinality, and at 10× rows it did "
+    "not finish inside 10 minutes (SCALING.md r4); this composition is "
+    "the one that survives the corpus growing: candidate generation is "
+    "hot-bucket-capped, verify cost ∝ candidates, and star-CC rounds "
+    "are O(log² n) joins on ids only.",
+)
+def dedup_connected_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    cands = D.minhash_lsh_candidates(d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2)
+    pairs = D.verify_candidates_jaccard(d, cands, "doc_id", "text", threshold=0.8, shingle_n=2)
+    return D.connected_components_star(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+@query(
     "text_repetition_stats",
     oracle="""
     WITH toks AS (
@@ -1523,16 +1573,19 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_pagerank_dedup",
     oracle="""
     WITH sh AS (
-      SELECT doc_id, lang, n_chars // 50 AS len_band,
-             list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
-      FROM documents
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i+1])) AS sh
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents)
+      WHERE len(toks) >= 2
     ), pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.lang = b.lang AND a.len_band = b.len_band
-                          AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
-            / (len(a.toks) + len(b.toks)
-               - len(list_filter(a.toks, x -> list_contains(b.toks, x)))) >= 0.5
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+            / (len(a.sh) + len(b.sh)
+               - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) >= 0.8
     ), edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL
@@ -1564,24 +1617,29 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id AS doc_id, round(r, 8) AS pagerank FROM r3
     """,
     doc="Iterative numeric graph fixpoint beyond connected components: "
-    "3 PageRank iterations (d=0.85) over the exact-Jaccard near-dup "
-    "graph — ranks the most central document of each duplicate "
-    "cluster, the authority-based alternative to min-id "
-    "representatives. Fixed iteration count → the oracle unrolls the "
-    "same three rounds as CTEs. Scale: the (tiny) edge list is "
+    "3 PageRank iterations (d=0.85) over the near-dup graph — ranks "
+    "the most central document of each duplicate cluster, the "
+    "authority-based alternative to min-id representatives. Fixed "
+    "iteration count → the oracle unrolls the same three rounds as "
+    "CTEs. Edges come from the bounded MinHash-LSH candidate→verify "
+    "pipeline (same stages and oracle-equivalence argument as "
+    "dedup_minhash_lsh; r4 replaced the original (lang, len_band)-"
+    "blocked unigram pair source, whose fixed-cardinality blocker "
+    "measured 25× wall at 10× rows — SCALING.md). The edge list is "
     "localCheckpoint'ed once — without it every plan arm would re-run "
-    "the quadratic pair join — then each round is one id-keyed "
-    "shuffle join + partial-agg sum; node count and degrees stay "
-    "in-plan (1-row broadcast). Undirected dedup graphs have no "
-    "dangling nodes, so the classic sink correction is unnecessary.",
+    "pair generation — then each round is one id-keyed shuffle join + "
+    "partial-agg sum; node count and degrees stay in-plan (1-row "
+    "broadcast). Undirected dedup graphs have no dangling nodes, so "
+    "the classic sink correction is unnecessary.",
 )
 def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").withColumn(
-        "len_band", F.floor(F.col("n_chars") / 50).cast("long")
+    d = t(spark, sf_dir, "documents")
+    cands = D.minhash_lsh_candidates(d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2)
+    pairs = (
+        D.verify_candidates_jaccard(d, cands, "doc_id", "text", threshold=0.8, shingle_n=2)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
-    pairs = D.ngram_jaccard_pairs(
-        d, "doc_id", "text", ["lang", "len_band"], threshold=0.5, shingle_n=1
-    ).select("id_a", "id_b").localCheckpoint(eager=True)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
