@@ -1199,6 +1199,60 @@ def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_keep_representatives_lsh",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i+1])) AS sh
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents)
+      WHERE len(toks) >= 2
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+            / (len(a.sh) + len(b.sh)
+               - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach AS (
+      SELECT src AS id, src AS lbl FROM edges
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ), clusters AS (
+      SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    """,
+    doc="The kept-corpus capstone in its 100 TB form — the composition "
+    "the blocked-exact twin's docstring promises: MinHash-LSH "
+    "candidates → exact-Jaccard verify → star-CC → broadcast anti-join "
+    "of the non-representative id set. Every stage bounded (hot-bucket "
+    "cap, candidate-proportional verify, id-only star rounds); "
+    "documents shuffle zero times end-to-end. Oracle equivalence to "
+    "the all-pairs closure per the dedup_minhash_lsh banding-recall "
+    "argument.",
+)
+def dedup_keep_representatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    cands = D.minhash_lsh_candidates(d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2)
+    pairs = D.verify_candidates_jaccard(d, cands, "doc_id", "text", threshold=0.8, shingle_n=2)
+    clusters = D.connected_components_star(pairs)
+    drop = clusters.filter(F.col("cluster_id") != F.col("id")).select("id")
+    return (
+        t(spark, sf_dir, "documents")
+        .join(F.broadcast(drop), F.col("doc_id") == F.col("id"), "left_anti")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@query(
     "text_contamination_ngram",
     oracle="""
     WITH toks AS (
