@@ -1548,6 +1548,106 @@ def timeseries_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "timeseries_topk_similar_scaled",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(day) AS d0, max(day) AS d1 FROM daily
+    ), kk AS (
+      SELECT greatest(8, CAST(ceil(count(DISTINCT user_id) / 64.0) AS BIGINT)) AS k
+      FROM daily
+    ), grid AS (
+      SELECT u.user_id, g.day
+      FROM (SELECT DISTINCT user_id FROM daily) u,
+           (SELECT unnest(generate_series(d0, d1)) AS day FROM bounds) g
+    ), series AS (
+      SELECT g.user_id, list(coalesce(d.v, 0.0) ORDER BY g.day) AS vec
+      FROM grid g LEFT JOIN daily d
+        ON d.user_id = g.user_id AND d.day = g.day
+      GROUP BY g.user_id
+    )
+    SELECT a.user_id AS id_a, b.user_id AS id_b,
+           round({_cos_sql('a.vec', 'b.vec')}, 6) AS score
+    FROM series a JOIN series b
+      ON a.user_id % (SELECT k FROM kk) = b.user_id % (SELECT k FROM kk)
+     AND a.user_id < b.user_id
+    WHERE {_norm_sql('a.vec')} > 0 AND {_norm_sql('b.vec')} > 0
+    ORDER BY score DESC, id_a, id_b LIMIT 20
+    """,
+    doc="timeseries_topk_similar with an ADAPTIVE block count: "
+    "K = max(8, ceil(n_users/64)) computed in-plan (1-row broadcast on "
+    "Spark, scalar subquery in the oracle), so expected block size "
+    "stays ~64 users and the pair stage is ~32·N — linear — instead "
+    "of quadratic-per-block with a fixed K (the fixed-K twin measured "
+    "11× wall at 10× rows, SCALING.md r4; same failure class as the "
+    "fixed-label embedding blocker). Same hash-blocked candidate "
+    "semantics, deterministically replayed at any scale.",
+)
+def timeseries_topk_similar_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("(ts_ns div 1000) div 86400000000").alias("day"),
+        "value",
+    )
+    daily = e.groupBy("user_id", "day").agg(F.round(F.sum("value"), 2).alias("v"))
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    kk = (
+        daily.select("user_id")
+        .distinct()
+        .agg(
+            F.greatest(
+                F.lit(8).cast("long"),
+                F.ceil(F.count(F.lit(1)) / F.lit(64.0)).cast("long"),
+            ).alias("k")
+        )
+    )
+    grid = (
+        daily.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    series = (
+        grid.join(daily, ["user_id", "day"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("day", F.coalesce("v", F.lit(0.0)).alias("v"))
+                )
+            ).alias("pairs")
+        )
+        .select("user_id", F.expr("transform(pairs, p -> p.v)").alias("vec"))
+        .crossJoin(F.broadcast(kk))
+    )
+    a = series.select(
+        F.col("user_id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        (F.col("user_id") % F.col("k")).alias("blk"),
+    )
+    b = series.select(
+        F.col("user_id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        (F.col("user_id") % F.col("k")).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((S.norm(F.col("vec_a")) > 0) & (S.norm(F.col("vec_b")) > 0))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(S.cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+@query(
     "pipeline_training_corpus",
     oracle="""
     WITH b AS (
