@@ -215,3 +215,15 @@ def test_embedding_lsh_no_vector_shuffle(spark, sf_dir):
     assert exchanges, "expected at least one exchange in the plan"
     assert all("embedding" not in e and "vec_a" not in e and "vec_b" not in e
                for e in exchanges), exchanges
+
+
+def test_lsh_compositions_never_shuffle_text(spark, sf_dir):
+    """The r4 scale-path compositions (CC / keep-reps / pagerank over
+    the LSH pipeline) must keep document text out of every exchange —
+    only ids, hashes, and band keys ride shuffles."""
+    for name in ("dedup_connected_components_lsh",
+                 "dedup_keep_representatives_lsh",
+                 "graph_pagerank_dedup"):
+        p = plan_str(spark, sf_dir, name)
+        exchanges = [seg.splitlines()[0] for seg in p.split("Exchange")[1:]]
+        assert all("text" not in e for e in exchanges), (name, exchanges)
