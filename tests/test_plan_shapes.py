@@ -227,3 +227,45 @@ def test_lsh_compositions_never_shuffle_text(spark, sf_dir):
         p = plan_str(spark, sf_dir, name)
         exchanges = [seg.splitlines()[0] for seg in p.split("Exchange")[1:]]
         assert all("text" not in e for e in exchanges), (name, exchanges)
+
+
+#: Shuffle-count ceilings for every headline query (sf0.001 executed
+#: plans). A higher count on a future change = an extra exchange crept
+#: into a tuned plan — a perf regression at any scale, caught here
+#: before the bench shows it. Counts cover the final materialized plan;
+#: eager localCheckpoint stages (minhash candidates) execute upstream.
+HEADLINE_MAX_SHUFFLES = {
+    "flagship_user_activity": 1,
+    "q1_pricing_summary": 1,
+    "q5_region_revenue": 1,
+    "asof_join_purchase_attribution": 1,
+    "window_topk_orders_per_customer": 1,
+    "tumbling_window_counts": 1,
+    "session_window_per_user": 1,
+    "cdc_snapshot_latest_state": 1,
+    "json_extract_props": 1,
+    "dedup_exact_documents": 1,
+    "dedup_minhash_lsh": 0,
+    "similarity_cosine_topk": 0,
+    "text_quality_score": 0,
+    "text_token_stats": 0,
+    "window_zscore_builtin": 1,
+    "q3_shipping_priority": 1,
+    "q6_forecast_revenue": 0,
+    "range_join_bucketed": 2,
+    "dedup_embedding_cosine": 0,
+    "text_tfidf": 3,
+    "dedup_simhash": 3,
+}
+
+
+def test_headline_shuffle_ceilings(spark, sf_dir):
+    import re
+
+    over = {}
+    for name, cap in HEADLINE_MAX_SHUFFLES.items():
+        p = plan_str(spark, sf_dir, name)
+        ex = len(re.findall(r"Exchange (hash|range)partitioning", p))
+        if ex > cap:
+            over[name] = (ex, cap)
+    assert not over, f"shuffle regressions (got, ceiling): {over}"
