@@ -19,8 +19,13 @@ documents.text gets a per-copy suffix token so replicas are near-dups
 (≈ the boilerplate-duplication growth a real corpus shows at scale)
 rather than degenerate exact-identical minhash families.
 
-Usage: python tools/scale_replica.py [N] [src_dir] [out_dir]
+Usage: python tools/scale_replica.py [N] [src_dir] [out_dir] [hot_frac]
 Then:  SPARK_GRAFT_SF_DIR=<out_dir> python bench.py
+
+With ``hot_frac`` (e.g. 0.3), that fraction of events rows is remapped
+to ONE hot user id after replication — the skewed-key stress shape
+(one customer generating a third of all traffic) that exercises AQE
+skew-join splitting and the salted-join operators at scale.
 """
 
 from __future__ import annotations
@@ -42,6 +47,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     out = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/scaled_x{n}"
+    hot_frac = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
     spark = get_session("scale_replica")
 
     def base(table: str, key: str) -> int:
@@ -98,6 +104,16 @@ def main() -> None:
                         F.slice(F.col("embedding"), F.lit(1), sh),
                     )
                 ),
+            )
+        if t == "events" and hot_frac > 0.0:
+            # deterministic: every event whose id hashes into the hot
+            # fraction reports user_id=1 (an existing customer key)
+            df = df.withColumn(
+                "user_id",
+                F.when(
+                    (F.abs(F.xxhash64("event_id")) % 1000) < int(hot_frac * 1000),
+                    F.lit(1).cast("long"),
+                ).otherwise(F.col("user_id")),
             )
         df.drop("copy").write.mode("overwrite").parquet(f"{out}/{t}.parquet")
         print(f"{t}: x{n} written")
