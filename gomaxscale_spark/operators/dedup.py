@@ -112,27 +112,83 @@ def minhash_signatures(
     return sigs.select(F.col(id_col), F.expr(arr).alias("minhash"))
 
 
-def _lsh_band_rows(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    num_hashes: int,
-    bands: int,
-    shingle_n: int,
+#: Modulus of the portable minhash family — the Mersenne prime 2³¹−1.
+#: (a·h + b) % P with a, h, b < 2³¹ peaks below 2⁶², so the arithmetic
+#: is overflow-free (hence engine-identical) in both Spark's ANSI mode
+#: and DuckDB.
+MINHASH_P = 2_147_483_647
+
+
+def cw_hash_coefficients(n: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Fixed-seed Carter-Wegman coefficients (aᵢ ∈ [1, P−1], bᵢ ∈
+    [0, P−1]) for the portable minhash family hᵢ(x) = (aᵢ·x + bᵢ) % P.
+    Deterministic LCG so the Spark plan and the DuckDB oracle embed the
+    SAME literals."""
+    state = seed & 0x7FFFFFFF
+    out: list[tuple[int, int]] = []
+    for _ in range(n):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        a = 1 + state % (MINHASH_P - 1)
+        state = (1103515245 * state + 12345) % (1 << 31)
+        b = state % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def portable_minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, band_id, band_hash) rows — one per (doc, band) — the shared
-    base of the bucket table and the hot-bucket review queue."""
+    """Engine-portable MinHash signatures: sig[i] = min over shingles of
+    (aᵢ·h + bᵢ) % P, where h = the 60-bit md5 prefix of the shingle
+    STRING reduced mod P (same base as PORTABLE_TOKEN_HASH) and (aᵢ, bᵢ)
+    are fixed-seed literals (cw_hash_coefficients).
+
+    Every step — md5 of UTF-8 text, hex→int, modular arithmetic below
+    2⁶² — evaluates bit-identically in Spark and DuckDB, so a SQL oracle
+    can REPLAY the signatures and hence the banded candidate set exactly
+    (the text analogue of dedup_embedding_lsh's plan-literal planes).
+    ~1.5× the cost of the xxhash64 path (md5 over the shingle string vs
+    a long-combine); same shuffle shape: explode → 64 partial-agg mins,
+    one (doc_id, 64 ints) row per doc survives.
+    """
+    base = parallelize_narrow_input(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
+    )
+    hs = base.select(
+        F.col(id_col),
+        (F.expr(PORTABLE_TOKEN_HASH.format(tok="__s")) % F.lit(MINHASH_P)).alias("__hm"),
+    )
+    coeffs = cw_hash_coefficients(num_hashes)
+    aggs = [
+        F.expr(f"min((({a} * __hm) + {b}) % {MINHASH_P}) AS __m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sigs = hs.groupBy(id_col).agg(*aggs)
+    arr = "array(" + ", ".join(f"__m{i}" for i in range(num_hashes)) + ")"
+    return sigs.select(F.col(id_col), F.expr(arr).alias("minhash"))
+
+
+def _band_rows_from_sigs(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int, portable: bool
+) -> DataFrame:
+    """(id, band_id, band_hash) rows from a (id, minhash array) frame.
+
+    Classic path compresses each band's rows-per-band signature values
+    with one xxhash64 (8-byte band key); the portable path joins them
+    with '_' into a string key instead — concat_ws renders BIGINTs
+    identically in Spark and DuckDB, and xxhash64 exists only in Spark.
+    """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+
+    def band_key(b: int) -> str:
+        args = ", ".join(f"minhash[{b * rows_per_band + r}]" for r in range(rows_per_band))
+        return f"concat_ws('_', {args})" if portable else f"xxhash64({args})"
+
     bands_col = F.expr(
         "array("
         + ", ".join(
-            "named_struct('band_id', {b}, 'band_hash', xxhash64({args}))".format(
-                b=b,
-                args=", ".join(
-                    f"minhash[{b * rows_per_band + r}]" for r in range(rows_per_band)
-                ),
-            )
+            f"named_struct('band_id', {b}, 'band_hash', {band_key(b)})"
             for b in range(bands)
         )
         + ")"
@@ -140,6 +196,25 @@ def _lsh_band_rows(
     return sigs.select(F.col(id_col), F.explode(bands_col).alias("band")).select(
         id_col, "band.band_id", "band.band_hash"
     )
+
+
+def _lsh_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, band_id, band_hash) rows — one per (doc, band) — the shared
+    base of the bucket table and the hot-bucket review queue."""
+    sigs = (
+        portable_minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+        if portable
+        else minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    )
+    return _band_rows_from_sigs(sigs, id_col, num_hashes, bands, portable)
 
 
 def _lsh_bucket_counts(band_rows: DataFrame) -> DataFrame:
@@ -164,6 +239,7 @@ def _lsh_buckets(
     bands: int,
     shingle_n: int,
     max_bucket_size: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """(band_id, band_hash, ids) bucket table — bounded BEFORE any
     membership array exists.
@@ -182,7 +258,7 @@ def _lsh_buckets(
     shingle→minhash pipeline would run twice.
     """
     band_rows = _lsh_band_rows(
-        df, id_col, text_col, num_hashes, bands, shingle_n
+        df, id_col, text_col, num_hashes, bands, shingle_n, portable
     ).localCheckpoint(eager=True)
     counts = _lsh_bucket_counts(band_rows)
     if max_bucket_size is not None:
@@ -227,11 +303,18 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
     bands=16 × rows=4 over 64 hashes → collision prob ≈ 1-(1-j⁴)¹⁶
     (j = true Jaccard): ~0.98 at j=0.7, ~0.04 at j=0.3.
+
+    ``portable=True`` swaps the xxhash64 signature family for the
+    md5 + Carter-Wegman one (portable_minhash_signatures): ~1.5× the
+    hash cost, but a DuckDB oracle can replay the candidate set
+    bit-for-bit — the oracle-gated catalog entries use it so parity is
+    deterministic on any corpus, independent of banding recall.
 
     Scale: explode each doc into `bands` (band_id, band_hash) keys →
     self-join on them. The shuffle carries (doc_id, 16 band hashes), not
@@ -250,7 +333,7 @@ def minhash_lsh_candidates(
     # quadratic expansion is bounded (hot-boilerplate buckets get capped
     # into the lsh_hot_buckets review queue at corpus scale).
     buckets = _lsh_buckets(
-        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket_size
+        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket_size, portable
     )
     combos = F.flatten(
         F.transform(
@@ -264,6 +347,91 @@ def minhash_lsh_candidates(
     return (
         buckets.select(F.explode(combos).alias("p"))
         .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
+def prefix_filter_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT-recall candidate pairs via prefix filtering (the AllPairs/
+    PPJoin principle, Xiao et al., WWW 2008 — the standard exact set-
+    similarity join).
+
+    With every doc's shingle set sorted by one global total order, any
+    pair with Jaccard ≥ t must share an element inside both docs'
+    *prefixes* of length |x| − ⌈t·|x|⌉ + 1: J ≥ t forces
+    |x∩y| ≥ t·max(|x|,|y|) ≥ ⌈t·|x|⌉, and at most ⌈t·|x|⌉ − 1 elements
+    sit outside the prefix, so an intersection element lands in the
+    lower prefix — and, being ≤ that prefix's last element, in the
+    other prefix too. Recall is therefore EXACTLY 1 — deterministic,
+    not probabilistic — which makes any downstream verify stage equal
+    to the brute-force all-pairs scan on every corpus, not just ones
+    whose above-threshold pairs clear an LSH banding bound.
+
+    The global order is (document frequency asc, shingle hash): rare
+    shingles fill prefixes, so a boilerplate shingle shared by millions
+    of docs sorts to the suffixes and never becomes a join key — the
+    candidate count tracks rare-token co-occurrence, not corpus size
+    squared. Length filter t·|x| ≤ |y| ≤ |x|/t prunes cross-size pairs
+    before the quadratic expansion (1e-9 slack keeps float rounding
+    from dropping exact-boundary pairs; extra candidates are harmless,
+    verify disposes).
+
+    Honest bound: pruning power depends on the corpus having a rare
+    tail. Real text obeys Zipf with an unbounded tail, so prefixes are
+    discriminative; the synthetic test corpus has only ~10³ distinct
+    shingles (every shingle is common), where prefix filtering —
+    like any exact content-keyed blocker — degrades toward all-pairs
+    (measured 1.5M candidates on 5k docs at sf0.1). That is why this
+    operator holds its own catalog entry at gate scale but the window's
+    LSH compositions do NOT union it: their parity is made
+    deterministic by the portable-hash oracle replay instead
+    (portable_minhash_signatures).
+
+    Scale: two shuffles of (id, 8-byte shingle hash) rows for the
+    frequency join, one partial-agg count for frequencies, one
+    id-and-two-longs shuffle for the prefix self-join. Documents never
+    shuffle. The per-doc sorted set is bounded by doc length (same
+    array the verify stage builds anyway).
+    """
+    rows = shingle_hash_rows(df, id_col, text_col, shingle_n)
+    freq = rows.groupBy("__h").agg(F.count(F.lit(1)).alias("__f"))
+    sets = (
+        rows.join(freq, "__h")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("__f", "__h"))).alias("__ord"))
+    )
+    # prefix length |x| − ⌈t·|x|⌉ + 1; the −1e-9 keeps ceil() from
+    # rounding an exactly-integer t·|x| UP on float error (which would
+    # shorten the prefix below the recall bound)
+    prefix = (
+        sets.select(
+            F.col(id_col),
+            F.size("__ord").alias("__sz"),
+            F.expr(
+                f"slice(__ord, 1, size(__ord) - CAST(ceil({threshold!r} * size(__ord) - 1e-9) AS INT) + 1)"
+            ).alias("__pre"),
+        )
+        .select(F.col(id_col), F.col("__sz"), F.explode("__pre").alias("__p"))
+        .select(F.col(id_col), F.col("__sz"), F.col("__p.__h").alias("__ph"))
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("__sz").alias("sz_a"), F.col("__ph")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("__sz").alias("sz_b"), F.col("__ph")
+    )
+    return (
+        a.join(b, "__ph")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("sz_b") >= F.lit(threshold) * F.col("sz_a") - F.lit(1e-9))
+        .filter(F.col("sz_a") >= F.lit(threshold) * F.col("sz_b") - F.lit(1e-9))
+        .select("id_a", "id_b")
         .distinct()
     )
 

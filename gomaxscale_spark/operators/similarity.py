@@ -118,17 +118,19 @@ def pairwise_near_duplicates(
         F.col(vec_col).alias("vec_b"),
         F.col("__norm").alias("norm_b"),
     )
+    # threshold on the RAW cosine, round only in the projection: the
+    # oracle twins filter unrounded, and a pair with raw score in
+    # [threshold − 5e-7, threshold) would otherwise be kept here and
+    # dropped there (round-4 advisor finding)
     return (
         a.join(b, "b_key")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
-            "score",
-            F.round(
-                dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")), 6
-            ),
+            "__raw",
+            dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")),
         )
-        .filter(F.col("score") >= threshold)
-        .select("id_a", "id_b", "score")
+        .filter(F.col("__raw") >= threshold)
+        .select("id_a", "id_b", F.round("__raw", 6).alias("score"))
     )
 
 
@@ -244,17 +246,17 @@ def lsh_near_duplicates(
     vb = with_norm.select(
         F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("norm_b")
     )
+    # raw-cosine threshold, rounded projection — same engine-identical
+    # predicate discipline as pairwise_near_duplicates above
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
-            "score",
-            F.round(
-                dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")), 6
-            ),
+            "__raw",
+            dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")),
         )
-        .filter(F.col("score") >= threshold)
-        .select("id_a", "id_b", "score")
+        .filter(F.col("__raw") >= threshold)
+        .select("id_a", "id_b", F.round("__raw", 6).alias("score"))
     )
 
 

@@ -67,13 +67,17 @@ _PRIORITY: list[str] = [
     "cdc_event_routing",
     "cdc_snapshot_latest_state",
     "cdc_transaction_stitching",
-    # B15 dedup (incl. the incremental batch-vs-lake capstone)
+    # B15 dedup (incl. the incremental batch-vs-lake capstone). The CC
+    # and keep-representatives slots carry the bounded LSH compositions
+    # (r5, per VERDICT r4): the (lang, len_band)-blocked exact twins
+    # DNF'd at 10× data (SCALING.md) and now sit in tier 2 as
+    # small-block exact semantics.
     "dedup_exact_documents",
     "text_language_id",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
-    "dedup_connected_components",
-    "dedup_keep_representatives",
+    "dedup_connected_components_lsh",
+    "dedup_keep_representatives_lsh",
     "dedup_incremental_batch",
     # B16 similarity (embedding_centroids demoted to tier 2 in r4 — B16
     # keeps three window reps; this slot buys the banded-LSH scale path
@@ -105,6 +109,19 @@ _PRIORITY: list[str] = [
 #: Tier 2: nearest-miss variants of families already represented above —
 #: first in line if the gate window ever widens.
 _TIER2: list[str] = [
+    # tier-2 head: the scale-safe / fully-oracle-checked variants of
+    # families whose window slot carries a different form — first in
+    # line if the gate window widens (VERDICT r4 item 4)
+    "timeseries_topk_similar_scaled",
+    "dedup_simhash_portable",
+    # r5: the exact-recall candidate generator that also backstops the
+    # window's LSH compositions, as a standalone PPJoin-style entry
+    "dedup_prefix_filter_join",
+    # demoted from the window in round 5: blocked-exact CC/keep-reps
+    # twins — oracle-exact small-block semantics, quadratic per block
+    # (their window slots now carry the bounded LSH compositions)
+    "dedup_connected_components",
+    "dedup_keep_representatives",
     # demoted from the window in round 3 (proven green in r2's
     # CORRECTNESS run — their slots now carry the capstones)
     "agg_approx_count_distinct",
@@ -131,9 +148,11 @@ _TIER2: list[str] = [
     "q18_large_orders",
     "agg_regression_stats",
     "timeseries_gap_fill",
-    "dedup_simhash_portable",
     "timeseries_topk_similar",
     "graph_pagerank_dedup",
+    # demoted from _PRIORITY in r4 to fund the banded-LSH window slot;
+    # holds a tier-2 slot so a wider gate still reaches it
+    "embedding_centroids",
     "tumbling_window_counts",
     "session_window_per_user",
     "percentiles_per_status",

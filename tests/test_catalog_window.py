@@ -40,7 +40,7 @@ FAMILY_REPRESENTATIVES = {
         "streaming_stream_stream_join",
     ],
     "B15 dedup": ["dedup_exact_documents", "dedup_minhash_lsh",
-                  "dedup_connected_components", "dedup_keep_representatives"],
+                  "dedup_connected_components_lsh", "dedup_keep_representatives_lsh"],
     "B16 similarity": ["similarity_cosine_topk", "similarity_lsh_bucketed",
                        "similarity_ivf_topk"],
     "B17 text": ["text_tfidf", "text_quality_score", "text_language_id"],
@@ -72,6 +72,17 @@ def test_b14_all_six_streaming_gates_inside_window():
     window = set(list(all_queries())[:WINDOW])
     gates = set(FAMILY_REPRESENTATIVES["B14 streaming gates"])
     assert gates <= window, f"streaming gates outside window: {gates - window}"
+
+
+def test_scale_safe_cc_compositions_hold_the_window_slots():
+    """VERDICT r4 item 1: the driver-checked slots must carry the
+    bounded LSH compositions; the (lang, len_band)-blocked exact twins
+    DNF'd at 10× data (SCALING.md) and live in tier 2 only."""
+    window = list(all_queries())[:WINDOW]
+    assert "dedup_connected_components_lsh" in window
+    assert "dedup_keep_representatives_lsh" in window
+    assert "dedup_connected_components" not in window
+    assert "dedup_keep_representatives" not in window
 
 
 def test_window_entries_all_have_oracles():

@@ -112,6 +112,43 @@ def test_minhash_lsh_recall_vs_bruteforce(spark, near_dup_corpus):
     assert len(missed) <= max(1, len(exact) // 20), f"LSH missed too many: {missed}"
 
 
+def test_portable_minhash_lsh_recall_vs_bruteforce(spark, near_dup_corpus):
+    """The portable (md5 + Carter-Wegman) family drives the oracle-gated
+    catalog entries; its banding recall must match the xxhash64 path —
+    the brute-force-equality claim the window entries' docstrings defer
+    to this check."""
+    exact = brute_force_pairs(spark, near_dup_corpus, threshold=0.8, shingle_n=2)
+    assert exact, "fixture should contain true near-duplicates"
+    candidates = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            near_dup_corpus, "doc_id", "text", num_hashes=64, bands=16,
+            shingle_n=2, portable=True,
+        ).collect()
+    }
+    missed = exact - candidates
+    assert len(missed) <= max(1, len(exact) // 20), f"portable LSH missed too many: {missed}"
+
+
+def test_prefix_filter_candidates_exact_recall(spark, near_dup_corpus):
+    """Prefix filtering is EXACT by construction: every brute-force
+    ≥-threshold pair must be a candidate — at every threshold, not in
+    expectation (the AllPairs/PPJoin guarantee)."""
+    from gomaxscale_spark.operators.dedup import prefix_filter_candidates
+
+    for threshold in (0.5, 0.7, 0.8, 0.9):
+        exact = brute_force_pairs(spark, near_dup_corpus, threshold, shingle_n=2)
+        candidates = {
+            (r.id_a, r.id_b)
+            for r in prefix_filter_candidates(
+                near_dup_corpus, "doc_id", "text", threshold, shingle_n=2
+            ).collect()
+        }
+        assert exact <= candidates, (
+            f"t={threshold}: prefix filter missed true pairs {exact - candidates}"
+        )
+
+
 def test_simhash_pairs_are_low_hamming(spark, near_dup_corpus):
     pairs = simhash_near_duplicates(near_dup_corpus, "doc_id", "text", max_hamming=3).collect()
     assert all(r.hamming <= 3 for r in pairs)

@@ -95,7 +95,11 @@ def main() -> None:
             # gains N-1 exact duplicates and dedup output grows
             # quadratically in N, drowning the slope measurement
             dim = F.size("embedding")
-            sh = F.col("copy") % dim
+            # shift in [1, dim-1] for every copy > 0: a plain copy % dim
+            # would give shift 0 whenever copy is a multiple of dim —
+            # exact duplicates of copy 0, i.e. the quadratic dedup-output
+            # degeneracy this roll exists to prevent
+            sh = F.lit(1) + (F.col("copy") - 1) % (dim - 1)
             df = df.withColumn(
                 "embedding",
                 F.when(F.col("copy") == 0, F.col("embedding")).otherwise(
