@@ -54,6 +54,60 @@ def materialize_snapshot(
     )
 
 
+def materialize_snapshot_salted(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    event_type_col: str = "event_type",
+    as_of: Column | None = None,
+    n_salts: int = 8,
+) -> DataFrame:
+    """``materialize_snapshot`` as a salted two-phase max_by aggregate —
+    the straggler-proof form for pathologically hot keys.
+
+    The window form partitions BY KEY: a key holding 30% of a 100 TB
+    changelog serializes on one reducer (SCALING.md r4 named per-key
+    windows as the one unsplittable stage under single-key skew). Here
+    the fold is an aggregation instead: phase 1 groups by (key, salt)
+    — salt = hash of the order tuple, so a hot key's rows spread over
+    ``n_salts`` reducers — keeping each group's winning row via
+    ``max_by(row, order)``; phase 2 reduces the ≤ n_salts partial
+    winners per key. "Latest wins" is associative, so the result is
+    row-identical to the window form (equality pytested under the 30%
+    single-key replica transform; ties impossible — the order tuple
+    ends in the unique event id).
+
+    Scale notes: max_by already map-side-combines (each scan partition
+    ships one row per key it sees), which alone removes most of the
+    skew; the explicit salt stage is still the right template because
+    it (a) caps the phase-1 reducer state for a key at
+    rows-per-partition regardless of combiner effectiveness and
+    (b) generalizes to folds WITHOUT a partial-aggregate form (e.g.
+    collect_list-based session reconstruction). No Window node appears
+    anywhere in the plan (plan-asserted).
+    """
+    df = changes
+    if as_of is not None:
+        df = df.filter(as_of)
+    df = df.filter(F.col(event_type_col) != UPDATE_BEFORE)
+    out_cols = df.columns
+    ord_struct = F.struct(*[F.col(c) for c in order_cols])
+    row_struct = F.struct(*[F.col(c) for c in out_cols])
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(n_salts))
+    )
+    phase1 = salted.groupBy(*key_cols, "__salt").agg(
+        F.max_by(row_struct, ord_struct).alias("__win"),
+        F.max(ord_struct).alias("__ord"),
+    )
+    phase2 = phase1.groupBy(*key_cols).agg(F.max_by("__win", "__ord").alias("__win"))
+    return (
+        phase2.select("__win.*")
+        .filter(F.col(event_type_col) != DELETE)
+        .select(*out_cols)
+    )
+
+
 def route_by_event_type(changes: DataFrame, event_type_col: str = "event_type") -> dict[str, DataFrame]:
     """Event-type routing (reference dispatch, stream.go:119-141): one
     filtered DataFrame per change kind. Filters are pushed to the scan,

@@ -114,9 +114,10 @@ _TIER2: list[str] = [
     # line if the gate window widens (VERDICT r4 item 4)
     "timeseries_topk_similar_scaled",
     "dedup_simhash_portable",
-    # r5: the exact-recall candidate generator that also backstops the
-    # window's LSH compositions, as a standalone PPJoin-style entry
+    # r5: the exact-recall candidate generator as a standalone
+    # PPJoin-style entry, and the skew-proof salted snapshot fold
     "dedup_prefix_filter_join",
+    "cdc_snapshot_latest_state_salted",
     # demoted from the window in round 5: blocked-exact CC/keep-reps
     # twins — oracle-exact small-block semantics, quadratic per block
     # (their window slots now carry the bounded LSH compositions)

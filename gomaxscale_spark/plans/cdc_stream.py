@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import event_ts_as_timestamp
-from ..operators.snapshot import materialize_snapshot
+from ..operators.snapshot import materialize_snapshot, materialize_snapshot_salted
 from .base import query, t
 
 
@@ -69,6 +69,47 @@ def cdc_snapshot_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "error", "delete").otherwise("insert").alias("op"),
     )
     snap = materialize_snapshot(
+        e, key_cols=["user_id"], order_cols=["ts_us", "event_id"], event_type_col="op"
+    )
+    return snap.select(
+        "user_id", F.col("value").alias("last_value"), F.col("ts_us").alias("last_ts_us")
+    )
+
+
+@query(
+    "cdc_snapshot_latest_state_salted",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, value, epoch_us(ts) AS ts_us, event_id,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts_us DESC, event_id DESC) AS rn
+      FROM ch
+    )
+    SELECT user_id, value AS last_value, ts_us AS last_ts_us
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+    """,
+    doc="C2 snapshot materialization, skew-proof form (VERDICT r4 item "
+    "3): the latest-wins fold as a salted two-phase max_by aggregate "
+    "instead of a per-key window — a key holding 30% of the changelog "
+    "spreads over 8 salt reducers rather than serializing on one "
+    "(operators/snapshot.py materialize_snapshot_salted; equality to "
+    "the window form pytested under the 30% single-key replica "
+    "transform, no Window node plan-asserted). Same oracle as "
+    "cdc_snapshot_latest_state — the fold is associative, so the "
+    "results are row-identical.",
+)
+def cdc_snapshot_latest_state_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_type") == "error", "delete").otherwise("insert").alias("op"),
+    )
+    snap = materialize_snapshot_salted(
         e, key_cols=["user_id"], order_cols=["ts_us", "event_id"], event_type_col="op"
     )
     return snap.select(

@@ -109,3 +109,55 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     overlap = len(set(exact) & set(approx))
     assert overlap >= 5, f"IVF recall too low: {overlap}/10"
     assert approx[0] == 0  # the query vector itself lives in a probed list
+
+
+# ------------------------------------------------- salted snapshot fold
+
+def _snapshot_inputs(spark, sf_dir, skew: bool):
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_type") == "error", "delete").otherwise("insert").alias("op"),
+    )
+    if skew:
+        # the 30% single-key replica transform (tools/scale_replica.py):
+        # ~30% of events collapse onto user_id 1
+        e = e.withColumn(
+            "user_id",
+            F.when(
+                (F.abs(F.xxhash64("event_id")) % 1000) < 300, F.lit(1).cast("long")
+            ).otherwise(F.col("user_id")),
+        )
+    return e
+
+
+@pytest.mark.parametrize("skew", [False, True])
+def test_salted_snapshot_equals_window_form(spark, sf_dir, skew):
+    from gomaxscale_spark.operators.snapshot import (
+        materialize_snapshot,
+        materialize_snapshot_salted,
+    )
+
+    e = _snapshot_inputs(spark, sf_dir, skew)
+    kwargs = dict(
+        key_cols=["user_id"], order_cols=["ts_us", "event_id"], event_type_col="op"
+    )
+    window_form = materialize_snapshot(e, **kwargs).orderBy("user_id").collect()
+    salted_form = materialize_snapshot_salted(e, **kwargs).orderBy("user_id").collect()
+    assert window_form == salted_form
+    assert len(window_form) > 0
+
+
+def test_salted_snapshot_plan_has_no_window_node(spark, sf_dir):
+    from gomaxscale_spark.operators.snapshot import materialize_snapshot_salted
+
+    e = _snapshot_inputs(spark, sf_dir, skew=True)
+    plan = materialize_snapshot_salted(
+        e, key_cols=["user_id"], order_cols=["ts_us", "event_id"], event_type_col="op"
+    )._jdf.queryExecution().executedPlan().toString()
+    # per-key Window = the unsplittable straggler under single-key skew;
+    # the salted fold must be pure (partial) aggregation
+    assert "Window" not in plan
+    assert "partial_max_by" in plan or "HashAggregate" in plan
