@@ -278,6 +278,7 @@ def lsh_hot_buckets(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """The review queue: buckets whose membership exceeds the cap.
 
@@ -291,7 +292,7 @@ def lsh_hot_buckets(
     a hot bucket, only its size.
     """
     return _lsh_bucket_counts(
-        _lsh_band_rows(df, id_col, text_col, num_hashes, bands, shingle_n)
+        _lsh_band_rows(df, id_col, text_col, num_hashes, bands, shingle_n, portable)
     ).filter(F.col("n_members") > max_bucket_size)
 
 

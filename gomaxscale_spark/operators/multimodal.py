@@ -6,11 +6,14 @@ Decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so the heavy per-item work stays columnar and
 per-partition (no driver involvement, no shuffle).
 
-The actual codec calls are STUBBED (image/audio libraries are not in
-this container): `decode_image_real` raises NotImplementedError and the
-pipeline uses `fake_decode_features` — a deterministic stand-in keyed on
-the bytes — so the Spark-side plumbing (schema, batching, partition
-behavior) is real and tested.
+Codecs: `decode_image_real` carries dependency-free pure-Python parsers
+for netpbm PPM (P6/P3) and uncompressed BMP — the real-decode hot path
+runs end-to-end in tests on real pixel data. Formats that need an
+entropy decoder (JPEG/PNG/...) remain STUBBED (image libraries are not
+in this container): they raise NotImplementedError and `decode_media`
+falls back per payload to `fake_decode_features` — a deterministic
+stand-in keyed on the bytes — so the Spark-side plumbing (schema,
+batching, partition behavior) is identical for every format.
 
 Scale: each mapInPandas batch is one Arrow RecordBatch (default 10k
 rows; tune `spark.sql.execution.arrow.maxRecordsPerBatch` down for
@@ -32,11 +35,111 @@ MEDIA_SCHEMA = (
 )
 
 
+def _decode_ppm(data: bytes) -> dict:
+    """Netpbm P6 (binary) / P3 (ascii) parser — pure Python, no deps.
+
+    Header: magic, whitespace/comment-separated width, height, maxval,
+    then one whitespace byte and the pixel payload. Mean intensity =
+    mean over every channel sample, 1dp (the fake path's convention).
+    """
+    magic = data[:2]
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(data) and data[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    width, height, maxval = fields
+    if maxval <= 0 or maxval > 255:
+        raise NotImplementedError("PPM maxval > 255 (16-bit samples) not supported")
+    pos += 1  # exactly one whitespace byte before the raster
+    n_samples = width * height * 3
+    if magic == b"P6":
+        raster = data[pos : pos + n_samples]
+        if len(raster) != n_samples:
+            raise ValueError("truncated P6 raster")
+        total = sum(raster)
+    elif magic == b"P3":
+        samples = data[pos:].split()
+        if len(samples) < n_samples:
+            raise ValueError("truncated P3 raster")
+        total = sum(int(s) for s in samples[:n_samples])
+    else:
+        raise NotImplementedError(f"unsupported netpbm magic {magic!r}")
+    return {
+        "byte_len": len(data),
+        "width": width,
+        "height": height,
+        "mean_intensity": round(total / n_samples, 1),
+    }
+
+
+def _decode_bmp(data: bytes) -> dict:
+    """Windows BMP parser for the uncompressed (BI_RGB) 24/32-bpp case —
+    pure Python, no deps. Rows are 4-byte aligned; padding bytes are
+    excluded from the intensity mean; negative height = top-down (same
+    pixels, same mean)."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    (pixel_offset,) = struct.unpack_from("<I", data, 10)
+    width, height = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bpp BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    n_rows = abs(height)
+    bytes_per_px = bpp // 8
+    stride = ((width * bytes_per_px + 3) // 4) * 4
+    total = 0
+    n_samples = 0
+    for r in range(n_rows):
+        row = data[pixel_offset + r * stride : pixel_offset + r * stride + width * bytes_per_px]
+        if len(row) != width * bytes_per_px:
+            raise ValueError("truncated BMP pixel array")
+        # mean over B,G,R channels; skip the alpha byte at 32 bpp so the
+        # intensity is comparable across both depths
+        if bytes_per_px == 4:
+            for i in range(0, len(row), 4):
+                total += row[i] + row[i + 1] + row[i + 2]
+            n_samples += width * 3
+        else:
+            total += sum(row)
+            n_samples += len(row)
+    return {
+        "byte_len": len(data),
+        "width": width,
+        "height": n_rows,
+        "mean_intensity": round(total / n_samples, 1) if n_samples else 0.0,
+    }
+
+
 def decode_image_real(data: bytes) -> dict:
-    """Real decode path — requires an image codec (PIL/cv2), absent here."""
+    """Real decode path — dependency-free parsers for the formats whose
+    containers are simple enough to read without a codec library:
+    netpbm PPM (P6/P3) and uncompressed BMP. Anything else (JPEG/PNG/
+    WebP need entropy decoders) raises NotImplementedError — production
+    deployments plug PIL/cv2 in here, and ``decode_media`` falls back
+    to the deterministic fake for unsupported payloads so a mixed batch
+    never fails the job."""
+    if data[:2] in (b"P6", b"P3"):
+        return _decode_ppm(data)
+    if data[:2] == b"BM":
+        return _decode_bmp(data)
     raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "production deployments plug PIL/cv2 in here"
+        "no dependency-free parser for this format; production "
+        "deployments plug PIL/cv2 in here"
     )
 
 
@@ -69,7 +172,14 @@ def decode_media(media_df: DataFrame, use_real_codec: bool = False) -> DataFrame
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = decode_image_real if use_real_codec else fake_decode_features
+        if use_real_codec:
+            def decode(b: bytes) -> dict:
+                try:
+                    return decode_image_real(b)
+                except NotImplementedError:
+                    return fake_decode_features(b)
+        else:
+            decode = fake_decode_features
         for pdf in batches:
             feats = pdf["media"].map(lambda b: decode(bytes(b)))
             out = pdf[["doc_id", "media", "mime"]].copy()

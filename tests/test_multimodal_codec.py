@@ -1,0 +1,87 @@
+"""Dependency-free real-codec path: BMP / PPM parsing through the same
+Arrow mapInPandas plumbing the fake path uses (VERDICT r4 item 5 — the
+one hot path that had never executed on real pixel data)."""
+
+from __future__ import annotations
+
+import struct
+
+from gomaxscale_spark.operators.multimodal import (
+    decode_image_real,
+    decode_media,
+    fake_decode_features,
+)
+
+
+def make_ppm_p6(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    header = f"P6\n# test fixture\n{width} {height}\n255\n".encode()
+    return header + bytes(rgb) * (width * height)
+
+
+def make_ppm_p3(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    header = f"P3\n{width} {height}\n255\n"
+    body = " ".join(" ".join(str(c) for c in rgb) for _ in range(width * height))
+    return (header + body + "\n").encode()
+
+
+def make_bmp24(width: int, height: int, bgr: tuple[int, int, int]) -> bytes:
+    stride = ((width * 3 + 3) // 4) * 4
+    pixel_bytes = (bytes(bgr) * width + b"\x00" * (stride - width * 3)) * height
+    pixel_offset = 14 + 40
+    file_size = pixel_offset + len(pixel_bytes)
+    file_header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0)
+    return file_header + dib + pixel_bytes
+
+
+def test_ppm_p6_parsed_exactly():
+    img = make_ppm_p6(5, 4, (10, 20, 30))
+    got = decode_image_real(img)
+    assert (got["width"], got["height"]) == (5, 4)
+    assert got["mean_intensity"] == 20.0
+    assert got["byte_len"] == len(img)
+
+
+def test_ppm_p3_matches_p6_semantics():
+    p6 = decode_image_real(make_ppm_p6(3, 2, (0, 0, 90)))
+    p3 = decode_image_real(make_ppm_p3(3, 2, (0, 0, 90)))
+    assert (p3["width"], p3["height"], p3["mean_intensity"]) == (
+        p6["width"], p6["height"], p6["mean_intensity"],
+    )
+
+
+def test_bmp24_parsed_with_row_padding():
+    # width 5 → 15 pixel bytes per row, stride 16: the padding byte must
+    # not contaminate the mean
+    img = make_bmp24(5, 3, (200, 100, 0))
+    got = decode_image_real(img)
+    assert (got["width"], got["height"]) == (5, 3)
+    assert got["mean_intensity"] == 100.0
+
+
+def test_unknown_format_raises_not_implemented():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG\r\n\x1a\nrest-of-a-png")
+
+
+def test_decode_media_real_codec_end_to_end(spark):
+    """The real-decode path through the actual mapInPandas stage: real
+    formats decode to true dimensions, unsupported payloads fall back to
+    the deterministic fake — one mixed Arrow batch, no failures."""
+    ppm = make_ppm_p6(8, 2, (60, 60, 60))
+    bmp = make_bmp24(4, 4, (30, 60, 90))
+    fake = b"not-an-image-payload"
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm), "image/x-portable-pixmap"),
+         (2, bytearray(bmp), "image/bmp"),
+         (3, bytearray(fake), "application/octet-stream")],
+        "doc_id long, media binary, mime string",
+    )
+    rows = {r.doc_id: r for r in decode_media(df, use_real_codec=True).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].mean_intensity) == (8, 2, 60.0)
+    assert (rows[2].width, rows[2].height, rows[2].mean_intensity) == (4, 4, 60.0)
+    expected_fake = fake_decode_features(fake)
+    assert (rows[3].width, rows[3].height) == (expected_fake["width"], expected_fake["height"])
+    assert rows[3].mean_intensity == expected_fake["mean_intensity"]
