@@ -260,6 +260,108 @@ def lsh_near_duplicates(
     )
 
 
+def adaptive_pow2_case_sql(
+    count_expr: str, min_bits: int = 8, max_bits: int = 16, target_bucket: int = 64
+) -> str:
+    """Bucket-count dial as ONE portable integer CASE: the smallest
+    2^w (w ∈ [min_bits, max_bits]) such that n / 2^w ≤ target_bucket —
+    i.e. the signature width GROWS with the corpus so expected bucket
+    size stays ~constant instead of N/2^fixed. Integer comparisons
+    only (no log2/ceil floats), so Spark and DuckDB agree bit-for-bit
+    at every boundary."""
+    arms = []
+    for w in range(max_bits, min_bits, -1):
+        arms.append(f"WHEN {count_expr} > {target_bucket * (1 << (w - 1))} THEN {1 << w}")
+    return "CASE " + " ".join(arms) + f" ELSE {1 << min_bits} END"
+
+
+def lsh_near_duplicates_adaptive(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    planes_per_band: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    target_bucket: int = 64,
+) -> DataFrame:
+    """``lsh_near_duplicates`` with an ADAPTIVE signature width — the
+    fix for the fixed-2⁸-bucket blocker the 30× replica study exposed
+    (SCALING.md r5): with 8 sign bits per band there are only 256
+    buckets, so candidate pairs grow N²/2⁸ — 13.6 s at 10× data,
+    DNF-class (> 15 min) at 30×. Same failure family as the
+    label-blocked exact form, one level up.
+
+    Here each band carries ``planes_per_band`` (16) sign bits and the
+    bucket key is ``sig % 2^w`` where 2^w is derived IN-PLAN from the
+    corpus count (1-row broadcast; integer CASE, engine-portable — see
+    adaptive_pow2_case_sql): expected bucket size stays ~target_bucket
+    at any corpus size, so pair expansion scales ~N·target_bucket
+    instead of N²/2^fixed. Masking to the low w bits = using the first
+    w hyperplanes of the band — still a valid sign-LSH family, and at
+    gate scale (n ≤ 16k) w = 8 reproduces the classic bucket width.
+    The oracle replays count → width → mask → verify from the same
+    plane literals and CASE, so the adaptive dial is itself
+    oracle-checked (the embedding analogue of
+    timeseries_topk_similar_scaled's in-plan K).
+    """
+    all_planes = hyperplanes(dim, n_bands * planes_per_band, seed)
+    with_norm = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), norm(F.col(vec_col)).alias("nrm")
+    )
+    band_sigs = [
+        F.expr(
+            lsh_signature_sql("vec", all_planes[b * planes_per_band : (b + 1) * planes_per_band])
+        ).alias(f"s{b}")
+        for b in range(n_bands)
+    ]
+    nn = embeddings.agg(F.count(F.lit(1)).alias("__n"))
+    sigs = (
+        with_norm.select("vid", *band_sigs)
+        .crossJoin(F.broadcast(nn))
+        .withColumn("__p2", F.expr(adaptive_pow2_case_sql("__n", target_bucket=target_bucket)))
+    )
+    stacked = sigs.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (F.col(f"s{b}") % F.col("__p2")).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("vid", "bs.band", "bs.bucket")
+    a = stacked.select(F.col("band"), F.col("bucket"), F.col("vid").alias("id_a"))
+    b = stacked.select(F.col("band"), F.col("bucket"), F.col("vid").alias("id_b"))
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = with_norm.select(
+        F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("norm_a")
+    )
+    vb = with_norm.select(
+        F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("norm_b")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "__raw",
+            dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")),
+        )
+        .filter(F.col("__raw") >= threshold)
+        .select("id_a", "id_b", F.round("__raw", 6).alias("score"))
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     query_vec: Sequence[float],

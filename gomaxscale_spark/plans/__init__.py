@@ -119,6 +119,7 @@ _TIER2: list[str] = [
     "dedup_prefix_filter_join",
     "cdc_snapshot_latest_state_salted",
     "dedup_minhash_lsh_capped",
+    "dedup_embedding_lsh_scaled",
     # demoted from the window in round 5: blocked-exact CC/keep-reps
     # twins — oracle-exact small-block semantics, quadratic per block
     # (their window slots now carry the bounded LSH compositions)

@@ -522,6 +522,61 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_near_duplicates(e, threshold=0.3, dim=64)
 
 
+def _embedding_lsh_adaptive_oracle(
+    threshold: float,
+    dim: int = 64,
+    planes_per_band: int = 16,
+    n_bands: int = 4,
+    target_bucket: int = 64,
+) -> str:
+    all_planes = S.hyperplanes(dim, n_bands * planes_per_band, seed=42)
+    sig_cols = ",\n           ".join(
+        f"{_lsh_sig_sql('e.embedding', all_planes[b * planes_per_band:(b + 1) * planes_per_band])} AS s{b}"
+        for b in range(n_bands)
+    )
+    pow2 = S.adaptive_pow2_case_sql("nn.n", target_bucket=target_bucket)
+    or_cond = " OR ".join(f"(a.s{b} % p2.p2) = (b.s{b} % p2.p2)" for b in range(n_bands))
+    return f"""
+    WITH nn AS (SELECT count(*) AS n FROM embeddings),
+    p2 AS (SELECT {pow2} AS p2 FROM nn),
+    sig AS (SELECT e.vec_id,
+           {sig_cols}
+           FROM embeddings e),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b ON a.vec_id < b.vec_id CROSS JOIN p2
+      WHERE ({or_cond})
+    )
+    SELECT c.id_a, c.id_b,
+           round({_cos_sql("x.embedding", "y.embedding")}, 6) AS score
+    FROM cand c
+    JOIN embeddings x ON x.vec_id = c.id_a
+    JOIN embeddings y ON y.vec_id = c.id_b
+    WHERE {_cos_sql("x.embedding", "y.embedding")} >= {threshold}
+    """
+
+
+@query(
+    "dedup_embedding_lsh_scaled",
+    oracle=_embedding_lsh_adaptive_oracle(threshold=0.3),
+    doc="B15 embedding near-dup with an ADAPTIVE signature width — the "
+    "fix for the fourth fixed-blocker finding (r5's 30× study): the "
+    "8-bit form has only 2⁸ buckets per band, so candidates grow "
+    "N²/256 — 13.6 s at 10× data, DNF-class (>15 min) at 30×. Here "
+    "each band carries 16 sign bits and the bucket key is sig % 2^w "
+    "with 2^w derived in-plan from count(*) (integer CASE, 1-row "
+    "broadcast — engine-portable, boundary-exact), pinning expected "
+    "bucket size at ~64 vectors at ANY corpus size. At gate scale "
+    "w = 8, so semantics line up with the classic width; the oracle "
+    "replays count → width → mask → verify from the same plane "
+    "literals. Measured 37 s at the 30× replica the fixed-width twin "
+    "could not finish in 15 minutes (SCALING.md r5).",
+)
+def dedup_embedding_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return S.lsh_near_duplicates_adaptive(e, threshold=0.3, dim=64)
+
+
 # -------------------------------------------------------- B16 similarity
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
