@@ -218,15 +218,30 @@ def test_embedding_lsh_no_vector_shuffle(spark, sf_dir):
 
 
 def test_lsh_compositions_never_shuffle_text(spark, sf_dir):
-    """The r4 scale-path compositions (CC / keep-reps / pagerank over
-    the LSH pipeline) must keep document text out of every exchange —
-    only ids, hashes, and band keys ride shuffles."""
+    """The scale-path compositions (CC / keep-reps / pagerank over the
+    LSH pipeline, plus r5's prefix-filter join and capped variant) must
+    keep document text out of every exchange — only ids, hashes, and
+    band keys ride shuffles."""
     for name in ("dedup_connected_components_lsh",
                  "dedup_keep_representatives_lsh",
-                 "graph_pagerank_dedup"):
+                 "graph_pagerank_dedup",
+                 "dedup_prefix_filter_join",
+                 "dedup_minhash_lsh_capped"):
         p = plan_str(spark, sf_dir, name)
         exchanges = [seg.splitlines()[0] for seg in p.split("Exchange")[1:]]
         assert all("text" not in e for e in exchanges), (name, exchanges)
+
+
+def test_adaptive_embedding_lsh_no_vector_shuffle_and_broadcast_width(spark, sf_dir):
+    """r5's adaptive-width embedding dedup: the corpus count that
+    derives the signature width must ride a 1-row BROADCAST (never a
+    driver collect), and — like the fixed-width form — no embedding
+    array may ride an exchange."""
+    p = plan_str(spark, sf_dir, "dedup_embedding_lsh_scaled")
+    assert "BroadcastExchange" in p
+    exchanges = [seg.splitlines()[0] for seg in p.split("Exchange")[1:]]
+    assert all("embedding" not in e and "vec_a" not in e and "vec_b" not in e
+               for e in exchanges), exchanges
 
 
 #: Shuffle-count ceilings for every headline query (sf0.001 executed
