@@ -141,3 +141,38 @@ def test_snapshot_fold_matches_dict_replay(_spark_for_props, changes):
         else:
             model[k] = v
     assert got == model
+
+
+# -- prefix filtering (AllPairs/PPJoin lemma) ------------------------------
+
+@given(
+    sets=st.lists(
+        st.frozensets(st.integers(min_value=0, max_value=60), min_size=1, max_size=40),
+        min_size=2, max_size=12,
+    ),
+    threshold=st.floats(min_value=0.05, max_value=0.99, allow_nan=False),
+)
+@settings(max_examples=300, deadline=None)
+def test_prefix_filter_lemma_never_misses_a_pair(sets, threshold):
+    """The recall-1 guarantee operators/dedup.py::prefix_filter_candidates
+    rides, checked as pure math over arbitrary sets and thresholds: any
+    pair with Jaccard >= t shares an element of BOTH prefixes of length
+    |x| - ceil(t*|x|) + 1 under a shared global order (including the
+    1e-9 float guard used in the Spark expression)."""
+    import math
+
+    def prefix(s: frozenset) -> set:
+        ordered = sorted(s)  # any global total order; Spark uses (df, hash)
+        plen = len(s) - int(math.ceil(threshold * len(s) - 1e-9)) + 1
+        assert plen >= 1
+        return set(ordered[:plen])
+
+    for i, x in enumerate(sets):
+        for y in sets[i + 1:]:
+            inter = len(x & y)
+            union = len(x) + len(y) - inter
+            if union and inter / union >= threshold:
+                assert prefix(x) & prefix(y), (
+                    f"t={threshold}: J={inter/union} pair with disjoint prefixes: "
+                    f"{sorted(x)} / {sorted(y)}"
+                )
