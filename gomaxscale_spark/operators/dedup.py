@@ -118,6 +118,35 @@ def minhash_signatures(
 #: and DuckDB.
 MINHASH_P = 2_147_483_647
 
+#: Fold multipliers for combining adjacent token hashes into a shingle
+#: hash and band signature values into a band key — two independent
+#: lanes so the band key gets ~62 effective bits. Primes < 2³¹ keep
+#: every product below 2⁶².
+MINHASH_R = 1_000_003
+MINHASH_R2 = 2_000_039
+
+
+def cw_fold_sql(values: list[str], mult: int) -> str:
+    """Nested ``((v₁·R + v₂) % P …)`` fold as a SQL string.
+
+    Pure integer arithmetic with every intermediate below 2⁶², so the
+    SAME string parses and evaluates bit-identically in Spark and
+    DuckDB — the oracle embeds the output of this function verbatim."""
+    expr = values[0]
+    for v in values[1:]:
+        expr = f"(({expr}) * {mult} + {v}) % {MINHASH_P}"
+    return expr
+
+
+def band_key_sql(values: list[str]) -> str:
+    """Engine-portable 62-bit band key: two independent 31-bit folds
+    packed as ``k₁·P + k₂`` (< P·(P+1) ≈ 4.6e18, BIGINT-safe). 31-bit
+    single-lane keys would start colliding across a 10⁹-doc corpus;
+    two lanes keep false bucket-mates negligible at 100 TB."""
+    k1 = cw_fold_sql(values, MINHASH_R)
+    k2 = cw_fold_sql(values, MINHASH_R2)
+    return f"({k1}) * {MINHASH_P} + ({k2})"
+
 
 def cw_hash_coefficients(n: int, seed: int = 7) -> list[tuple[int, int]]:
     """Fixed-seed Carter-Wegman coefficients (aᵢ ∈ [1, P−1], bᵢ ∈
@@ -139,26 +168,45 @@ def portable_minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, shingle_n: int = 3
 ) -> DataFrame:
     """Engine-portable MinHash signatures: sig[i] = min over shingles of
-    (aᵢ·h + bᵢ) % P, where h = the 60-bit md5 prefix of the shingle
-    STRING reduced mod P (same base as PORTABLE_TOKEN_HASH) and (aᵢ, bᵢ)
-    are fixed-seed literals (cw_hash_coefficients).
+    (aᵢ·h + bᵢ) % P, where h is an arithmetic fold of the shingle's
+    TOKEN hashes (each the 60-bit md5 prefix of the token mod P — the
+    PORTABLE_TOKEN_HASH base) and (aᵢ, bᵢ) are fixed-seed literals
+    (cw_hash_coefficients).
 
     Every step — md5 of UTF-8 text, hex→int, modular arithmetic below
     2⁶² — evaluates bit-identically in Spark and DuckDB, so a SQL oracle
     can REPLAY the signatures and hence the banded candidate set exactly
     (the text analogue of dedup_embedding_lsh's plan-literal planes).
-    ~1.5× the cost of the xxhash64 path (md5 over the shingle string vs
-    a long-combine); same shuffle shape: explode → 64 partial-agg mins,
-    one (doc_id, 64 ints) row per doc survives.
+
+    Like the classic path (shingle_hash_rows), each token is md5'd
+    ONCE and shingles are derived by combining adjacent token hashes —
+    never by building "w1 w2" shingle strings. The string-building
+    variant measured 2.4× slower at sf0.1 (concat_ws allocation + md5
+    over doubled bytes + string array_distinct); the fold is three
+    integer ops per shingle. Same shuffle shape: explode → 64
+    partial-agg mins, one (doc_id, 64 ints) row per doc survives.
     """
     base = parallelize_narrow_input(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
+        F.transform(
+            tokenize(F.col(text_col)),
+            lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+            % MINHASH_P,
+        ).alias("__th"),
     )
-    hs = base.select(
-        F.col(id_col),
-        (F.expr(PORTABLE_TOKEN_HASH.format(tok="__s")) % F.lit(MINHASH_P)).alias("__hm"),
+    fold = cw_fold_sql(
+        ["element_at(__th, k)"]
+        + [f"element_at(__th, k + {i})" for i in range(1, shingle_n)],
+        MINHASH_R,
     )
+    sh = F.when(
+        F.size(F.col("__th")) >= shingle_n,
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(__th) - {shingle_n} + 1),"
+            f" k -> {fold}))"
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    hs = base.select(F.col(id_col), F.explode(sh).alias("__hm"))
     coeffs = cw_hash_coefficients(num_hashes)
     aggs = [
         F.expr(f"min((({a} * __hm) + {b}) % {MINHASH_P}) AS __m{i}")
@@ -174,16 +222,17 @@ def _band_rows_from_sigs(
 ) -> DataFrame:
     """(id, band_id, band_hash) rows from a (id, minhash array) frame.
 
-    Classic path compresses each band's rows-per-band signature values
-    with one xxhash64 (8-byte band key); the portable path joins them
-    with '_' into a string key instead — concat_ws renders BIGINTs
-    identically in Spark and DuckDB, and xxhash64 exists only in Spark.
+    Both paths emit 8-byte BIGINT band keys: the classic path
+    compresses each band's rows-per-band signature values with one
+    xxhash64; the portable path uses the two-lane arithmetic fold
+    (band_key_sql) — xxhash64 exists only in Spark, the fold evaluates
+    identically in both engines.
     """
     rows_per_band = num_hashes // bands
 
     def band_key(b: int) -> str:
-        args = ", ".join(f"minhash[{b * rows_per_band + r}]" for r in range(rows_per_band))
-        return f"concat_ws('_', {args})" if portable else f"xxhash64({args})"
+        vals = [f"minhash[{b * rows_per_band + r}]" for r in range(rows_per_band)]
+        return band_key_sql(vals) if portable else f"xxhash64({', '.join(vals)})"
 
     bands_col = F.expr(
         "array("
@@ -312,10 +361,11 @@ def minhash_lsh_candidates(
     (j = true Jaccard): ~0.98 at j=0.7, ~0.04 at j=0.3.
 
     ``portable=True`` swaps the xxhash64 signature family for the
-    md5 + Carter-Wegman one (portable_minhash_signatures): ~1.5× the
-    hash cost, but a DuckDB oracle can replay the candidate set
-    bit-for-bit — the oracle-gated catalog entries use it so parity is
-    deterministic on any corpus, independent of banding recall.
+    md5 + Carter-Wegman one (portable_minhash_signatures): ~1.3× the
+    hash cost (md5 per token instead of xxhash64), but a DuckDB oracle
+    can replay the candidate set bit-for-bit — the oracle-gated catalog
+    entries use it so parity is deterministic on any corpus,
+    independent of banding recall.
 
     Scale: explode each doc into `bands` (band_id, band_hash) keys →
     self-join on them. The shuffle carries (doc_id, 16 band hashes), not

@@ -173,8 +173,12 @@ _JACCARD_SQL = (
 
 
 def _portable_lsh_base_ctes(num_hashes: int = 64, bands: int = 16) -> str:
-    """The shared ``toks → sh → hm → sig → bk`` replay of the portable
-    minhash signatures + band keys (see _portable_lsh_pairs_ctes)."""
+    """The shared ``toks → sh/th → hm → sig → bk`` replay of the
+    portable minhash signatures + band keys (see
+    _portable_lsh_pairs_ctes). The shingle-hash fold and the band-key
+    fold are emitted by the SAME helpers the Spark plan uses
+    (operators/dedup.py cw_fold_sql / band_key_sql), so the two engines
+    evaluate literally identical arithmetic."""
     coeffs = D.cw_hash_coefficients(num_hashes)
     p = D.MINHASH_P
     rpb = num_hashes // bands
@@ -182,9 +186,10 @@ def _portable_lsh_base_ctes(num_hashes: int = 64, bands: int = 16) -> str:
         f"min(({a} * hm + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(coeffs)
     )
     keys = ",\n             ".join(
-        "concat_ws('_', " + ", ".join(f"m{b * rpb + r}" for r in range(rpb)) + f") AS k{b}"
+        D.band_key_sql([f"m{b * rpb + r}" for r in range(rpb)]) + f" AS k{b}"
         for b in range(bands)
     )
+    shingle_fold = D.cw_fold_sql(["th[i]", "th[i+1]"], D.MINHASH_R)
     return f"""
     toks AS (
       SELECT doc_id,
@@ -195,10 +200,16 @@ def _portable_lsh_base_ctes(num_hashes: int = 64, bands: int = 16) -> str:
              list_distinct(list_transform(range(1, len(toks)),
                                           i -> toks[i] || ' ' || toks[i+1])) AS sh
       FROM toks WHERE len(toks) >= 2
+    ), th AS (
+      SELECT doc_id,
+             list_transform(toks,
+                            t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {p}) AS th
+      FROM toks WHERE len(toks) >= 2
     ), hm AS (
       SELECT doc_id,
-             ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT % {p} AS hm
-      FROM sh
+             unnest(list_distinct(list_transform(range(1, len(th)),
+                                                 i -> {shingle_fold}))) AS hm
+      FROM th
     ), sig AS (
       SELECT doc_id,
              {mins}
@@ -242,7 +253,7 @@ def _portable_lsh_capped_oracle(
       WHERE {jac} >= {threshold}
     )
     SELECT 'pair' AS kind, id_a, id_b, jaccard,
-           NULL::BIGINT AS band_id, NULL::VARCHAR AS band_key,
+           NULL::BIGINT AS band_id, NULL::BIGINT AS band_key,
            NULL::BIGINT AS n_members
     FROM pairs
     UNION ALL
@@ -338,7 +349,7 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         "jaccard",
         F.lit(None).cast("long").alias("band_id"),
-        F.lit(None).cast("string").alias("band_key"),
+        F.lit(None).cast("long").alias("band_key"),
         F.lit(None).cast("long").alias("n_members"),
     )
     hot = D.lsh_hot_buckets(
