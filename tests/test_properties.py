@@ -176,3 +176,81 @@ def test_prefix_filter_lemma_never_misses_a_pair(sets, threshold):
                     f"t={threshold}: J={inter/union} pair with disjoint prefixes: "
                     f"{sorted(x)} / {sorted(y)}"
                 )
+
+
+# -- portable minhash fold family ------------------------------------------
+
+from gomaxscale_spark.operators.dedup import (  # noqa: E402
+    MINHASH_P,
+    MINHASH_R,
+    MINHASH_R2,
+    band_key_sql,
+    cw_fold_sql,
+    cw_hash_coefficients,
+)
+
+
+def _fold_ref(vals: list[int], mult: int) -> int:
+    """Pure-Python reference of cw_fold_sql, asserting every
+    intermediate product stays below 2⁶² (the bound that makes the SQL
+    overflow-free — hence bit-identical — in Spark ANSI mode and
+    DuckDB)."""
+    h = vals[0]
+    for v in vals[1:]:
+        prod = h * mult
+        assert prod < 2**62
+        h = (prod + v) % MINHASH_P
+    return h
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=MINHASH_P - 1), min_size=2, max_size=6
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_cw_fold_and_band_key_sql_match_python_in_duckdb(vals):
+    """The fold strings the Spark plan AND the oracle both embed
+    (cw_fold_sql / band_key_sql) evaluate in DuckDB to the pure-Python
+    reference on arbitrary in-range inputs, and the packed band key
+    stays below 2⁶³ (BIGINT-safe). This is the arithmetic backbone the
+    portable-LSH oracle replay rides — pinned independently of any
+    corpus."""
+    import duckdb
+
+    names = [f"v{i}" for i in range(len(vals))]
+    sel = ", ".join(f"CAST({v} AS BIGINT) AS v{i}" for i, v in enumerate(vals))
+    fold, bk = cw_fold_sql(names, MINHASH_R), band_key_sql(names)
+    got_fold, got_bk = duckdb.sql(
+        f"SELECT {fold} AS f, {bk} AS k FROM (SELECT {sel})"
+    ).fetchone()
+    assert got_fold == _fold_ref(vals, MINHASH_R)
+    expected_key = _fold_ref(vals, MINHASH_R) * MINHASH_P + _fold_ref(vals, MINHASH_R2)
+    assert got_bk == expected_key and expected_key < 2**63
+
+
+@given(tok=st.text(min_size=1, max_size=24))
+@settings(max_examples=150, deadline=None)
+def test_portable_token_hash_duckdb_matches_md5_reference(tok):
+    """DuckDB's side of the portable token hash — ('0x' ||
+    substr(md5(t),1,15))::BIGINT % P — equals the definitional md5
+    60-bit prefix on arbitrary unicode tokens. (The Spark side of the
+    same identity is pinned corpus-wide by tests/test_oracle_parity.py;
+    together they fix both engines to one function.)"""
+    import duckdb
+    import hashlib
+
+    got = duckdb.execute(
+        f"SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT % {MINHASH_P}", [tok]
+    ).fetchone()[0]
+    ref = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
+    assert got == ref
+
+
+def test_cw_coefficients_are_overflow_free():
+    """max(aᵢ)·max(h) + max(bᵢ) for the fixed-seed family stays below
+    2⁶² — the signature min-agg never overflows in either engine."""
+    coeffs = cw_hash_coefficients(64)
+    for a, b in coeffs:
+        assert 1 <= a < MINHASH_P and 0 <= b < MINHASH_P
+        assert a * (MINHASH_P - 1) + b < 2**62
