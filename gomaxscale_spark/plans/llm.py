@@ -1971,6 +1971,11 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = corpus.filter(TX.quality_score(F.col("text")) >= 0.45)
     keep = q.groupBy(F.md5("text").alias("__dg")).agg(F.min("doc_id").alias("doc_id"))
     d = q.withColumn("__dg", F.md5("text")).join(keep, ["__dg", "doc_id"], "semi")
+    # d feeds BOTH the contamination branch and the final join —
+    # materialize it once (same discipline as verify_candidates_jaccard)
+    # or the quality-score scan + dedup shuffle execute twice; measured
+    # ~15% of capstone wall at sf0.1
+    d = d.localCheckpoint(eager=True)
     cont = TX.benchmark_contamination(d, bench, "doc_id", "text", n=4)
     return (
         d.join(F.broadcast(cont), "doc_id", "left")
