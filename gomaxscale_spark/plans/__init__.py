@@ -85,7 +85,12 @@ _PRIORITY: list[str] = [
     "similarity_cosine_topk",
     "similarity_lsh_bucketed",
     "similarity_ivf_topk",
-    "dedup_embedding_lsh",
+    # r6 (VERDICT r5 item 1): the window slot carries the ADAPTIVE-width
+    # banded sign-LSH — the fixed 8-bit form DNF'd (>15 min) at the 30×
+    # replica while this one finished in 37 s (SCALING.md); at gate
+    # scale the derived width coincides with the classic 8 bits, so
+    # driver semantics are unchanged. Fixed-width twin lives in tier 2.
+    "dedup_embedding_lsh_scaled",
     # B17 text analysis (incl. the benchmark-decontamination capstone)
     "text_tfidf",
     "text_quality_score",
@@ -119,7 +124,10 @@ _TIER2: list[str] = [
     "dedup_prefix_filter_join",
     "cdc_snapshot_latest_state_salted",
     "dedup_minhash_lsh_capped",
-    "dedup_embedding_lsh_scaled",
+    # demoted from the window in round 6: the fixed 8-bit signature is
+    # the proven 30× scale-killer; kept as the classic-width semantics
+    # twin (oracle-green at every SF the gate runs)
+    "dedup_embedding_lsh",
     # demoted from the window in round 5: blocked-exact CC/keep-reps
     # twins — oracle-exact small-block semantics, quadratic per block
     # (their window slots now carry the bounded LSH compositions)

@@ -85,6 +85,16 @@ def test_scale_safe_cc_compositions_hold_the_window_slots():
     assert "dedup_keep_representatives" not in window
 
 
+def test_scale_safe_embedding_lsh_holds_the_window_slot():
+    """VERDICT r5 item 1: the driver-checked embedding-LSH slot must
+    carry the adaptive-width form; the fixed 8-bit signature gives
+    N²/256 candidate growth and DNF'd (>15 min) at the 30× replica
+    (SCALING.md) while the adaptive twin finished in 37 s."""
+    window = list(all_queries())[:WINDOW]
+    assert "dedup_embedding_lsh_scaled" in window
+    assert "dedup_embedding_lsh" not in window
+
+
 def test_window_entries_all_have_oracles():
     qs = all_queries()
     null_slots = [n for n in list(qs)[:WINDOW] if qs[n].oracle is None]
