@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from .bucketing import parallelize_narrow_input  # noqa: F401  (shared utility, re-exported)
+from .materialize import materialize_once
 
 
 def tokenize(text: Column) -> Column:
@@ -301,14 +302,16 @@ def _lsh_buckets(
     one aggregation buffer for a boilerplate band hash — executor OOM
     at 100 TB. Over-cap rows are *dropped during the join probe*
     (streamed, never buffered); with AQE skew-join the hot key's
-    shuffle partition splits too. The band-row base is localCheckpointed
+    shuffle partition splits too. The band-row base is materialized once
     (id + 2 longs per row — tiny next to the corpus) because both the
     count pre-pass and the join consume it; without materialization the
-    shingle→minhash pipeline would run twice.
+    shingle→minhash pipeline would run twice (strategy via
+    SPARK_GRAFT_MATERIALIZE — persist_disk on a real cluster, see
+    operators/materialize.py).
     """
-    band_rows = _lsh_band_rows(
-        df, id_col, text_col, num_hashes, bands, shingle_n, portable
-    ).localCheckpoint(eager=True)
+    band_rows = materialize_once(
+        _lsh_band_rows(df, id_col, text_col, num_hashes, bands, shingle_n, portable)
+    )
     counts = _lsh_bucket_counts(band_rows)
     if max_bucket_size is not None:
         counts = counts.filter(F.col("n_members") <= max_bucket_size)
@@ -507,9 +510,11 @@ def verify_candidates_jaccard(
     the lowest above-threshold pair in the test corpus).
 
     Scale: the candidate pair list is materialized once
-    (``localCheckpoint`` — it is id-pairs, tiny relative to the corpus;
-    without this the whole LSH candidate pipeline would re-execute for
-    every plan arm that touches it), then a broadcast semi-join prunes
+    (``materialize_once`` — it is id-pairs, tiny relative to the
+    corpus; without this the whole LSH candidate pipeline would
+    re-execute for every plan arm that touches it; on a cluster set
+    SPARK_GRAFT_MATERIALIZE=persist_disk — localCheckpoint blocks are
+    executor-local and non-replicated), then a broadcast semi-join prunes
     the corpus to candidate-adjacent docs BEFORE the (expensive)
     shingling map — verify cost scales with the candidate set, not the
     corpus. The two equi-joins ship shingle arrays only for those docs;
@@ -521,7 +526,7 @@ def verify_candidates_jaccard(
     rounded value: x/2ᵃ5ᵇ unions make exactly-(d+1)-decimal quotients
     where round(…, d) disagrees across engines.
     """
-    candidates = candidates.localCheckpoint(eager=True)
+    candidates = materialize_once(candidates)
     needed = (
         candidates.select(F.col("id_a").alias(id_col))
         .union(candidates.select(F.col("id_b").alias(id_col)))
@@ -532,15 +537,13 @@ def verify_candidates_jaccard(
     # shingle on one core), and checkpoint the result: both join arms
     # (a and b) consume it, and without materialization each arm would
     # re-run the shingling
-    withsh = (
-        parallelize_narrow_input(df.join(F.broadcast(needed), id_col, "semi"))
-        .select(
+    withsh = materialize_once(
+        parallelize_narrow_input(df.join(F.broadcast(needed), id_col, "semi")).select(
             F.col(id_col),
             F.transform(
                 word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
             ).alias("__sh"),
         )
-        .localCheckpoint(eager=True)
     )
     a = withsh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
     b = withsh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
@@ -571,24 +574,24 @@ def connected_components(
     diameter is tiny in practice.
 
     Scale: each round is one shuffle join on the edge list (ids only —
-    documents never move) plus a min-aggregate; `localCheckpoint`
+    documents never move) plus a min-aggregate; `materialize_once`
     truncates the growing lineage so round N doesn't replay rounds
-    1..N-1 (on a cluster use `checkpoint` to HDFS instead). For
+    1..N-1 (SPARK_GRAFT_MATERIALIZE=persist_disk on a cluster keeps
+    lineage recomputable; reliable `checkpoint` to HDFS for lineages
+    too costly to ever replay). For
     web-scale graphs swap the propagation loop for the large-star/
     small-star algorithm (Kiveris et al., same DataFrame shape, fewer
     rounds on high-degree graphs).
     """
-    edges = (
+    edges = materialize_once(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = materialize_once(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         nbr_min = (
@@ -596,15 +599,13 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
-            .select(
+        new_labels = materialize_once(
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left").select(
                 labels["id"],
                 F.least(labels["label"], F.coalesce("nbr_label", labels["label"])).alias(
                     "label"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -642,7 +643,7 @@ def connected_components_star(
     property-tested against the min-label implementation).
 
     Scale: per round, two hash aggregations + two joins on ids only;
-    ``localCheckpoint`` truncates lineage; the converged state is a
+    ``materialize_once`` truncates lineage; the converged state is a
     one-level star per component. The convergence check is an
     edge-set-equality count — same driver-side `.count()` class as the
     min-label loop (inherent to fixpoint detection).
@@ -655,9 +656,9 @@ def connected_components_star(
             .distinct()
         )
 
-    edges = canon(
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    ).localCheckpoint(eager=True)
+    edges = materialize_once(
+        canon(pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")))
+    )
     edges_count = edges.count()
 
     for _ in range(max_iters):
@@ -681,7 +682,7 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(mins2.select("u", F.col("m").alias("v")))
         )
-        new_edges = canon(small).localCheckpoint(eager=True)
+        new_edges = materialize_once(canon(small))
         # carry the previous round's count forward — one count job per
         # round, not two (the checkpointed edge set never changes size
         # underneath us)

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup as D
+from ..operators.materialize import materialize_once
 from ..operators import multimodal as M
 from ..operators import sampling as SA
 from ..operators import similarity as S
@@ -1973,9 +1974,14 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = q.withColumn("__dg", F.md5("text")).join(keep, ["__dg", "doc_id"], "semi")
     # d feeds BOTH the contamination branch and the final join —
     # materialize it once (same discipline as verify_candidates_jaccard)
-    # or the quality-score scan + dedup shuffle execute twice; measured
-    # ~15% of capstone wall at sf0.1
-    d = d.localCheckpoint(eager=True)
+    # or the quality-score scan + dedup shuffle execute twice. r6 A/B
+    # (tools/ab_capstone.py, sf0.1, 5 interleaved runs/mode): the
+    # executed no-materialization plan has NO ReusedExchange over the
+    # shared subtree, and measured localCheckpoint 2.38 s / persist_disk
+    # 2.58 s / none 2.80 s (min) — materializing saves ~15% of capstone
+    # wall, confirming the r5 commit's claim (the r5 bench halving was
+    # host noise).
+    d = materialize_once(d)
     cont = TX.benchmark_contamination(d, bench, "doc_id", "text", n=4)
     return (
         d.join(F.broadcast(cont), "doc_id", "left")
@@ -2041,10 +2047,10 @@ def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = D.minhash_lsh_candidates(
         d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2, portable=True
     )
-    pairs = (
-        D.verify_candidates_jaccard(d, cands, "doc_id", "text", threshold=0.8, shingle_n=2)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+    pairs = materialize_once(
+        D.verify_candidates_jaccard(
+            d, cands, "doc_id", "text", threshold=0.8, shingle_n=2
+        ).select("id_a", "id_b")
     )
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")

@@ -637,3 +637,23 @@ def test_capstone_excludes_benchmark_and_dups(spark, sf_dir):
     texts = {r.doc_id: r.text for r in docs.collect()}
     digests = [texts[i] for i in kept]
     assert len(digests) == len(set(digests)), "duplicate texts survived"
+
+
+def test_materialize_modes_agree(spark, sf_dir, monkeypatch):
+    """The SPARK_GRAFT_MATERIALIZE knob trades recovery semantics for
+    speed, never results: the capstone (which exercises a
+    materialize_once fan-out) must return identical rows under
+    local_checkpoint, persist_disk, and none."""
+    from gomaxscale_spark.operators.materialize import ENV_VAR, materialize_once
+    from gomaxscale_spark.plans import all_queries
+
+    fn = all_queries()["pipeline_training_corpus"].fn
+    results = {}
+    for mode in ("local_checkpoint", "persist_disk", "none"):
+        monkeypatch.setenv(ENV_VAR, mode)
+        results[mode] = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    assert results["local_checkpoint"] == results["persist_disk"] == results["none"]
+    assert results["local_checkpoint"]
+
+    with pytest.raises(ValueError):
+        materialize_once(load_table(spark, sf_dir, "region"), strategy="bogus")
