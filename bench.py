@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -124,17 +125,38 @@ def main() -> None:
     # best-of-3 per query: this host shows 2-4× run-to-run noise from
     # neighbors; the minimum is the standard noise-resistant estimator
     # of the plan's actual cost (run 1 also pays codegen compilation
-    # for the wide-aggregate pipelines — the min discounts that too)
+    # for the wide-aggregate pipelines — the min discounts that too).
+    # r6 (VERDICT r5 item 6): the median rides alongside so a noisy
+    # host is detectable from the JSON alone — when median >> min on
+    # queries whose code didn't change, suspect the host, not the plan.
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
+        runs = []
         for _ in range(3):
             start = time.perf_counter()
             materialize(registry[name].fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - start)
+        timings[name] = round(min(runs), 3)
+        medians[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
+
+    # fixed-cost calibration probe: scan_filter_project's plan has been
+    # frozen since round 1 (one pushed-filter parquet scan), so its
+    # round-over-round delta measures the HOST, not the repo. Re-run it
+    # cold-ish at the end of the battery; compare across BENCH_r*.json
+    # before reading anything into per-query swings.
+    calib_runs = []
+    for _ in range(3):
+        start = time.perf_counter()
+        materialize(registry["scan_filter_project"].fn(spark, sf_dir))
+        calib_runs.append(time.perf_counter() - start)
+    calibration = {
+        "query": "scan_filter_project",
+        "min": round(min(calib_runs), 3),
+        "median": round(statistics.median(calib_runs), 3),
+    }
 
     # LLM-pipeline capstone throughput: documents/sec through
     # quality-filter → exact-dedup → decontamination (best-of-2)
@@ -152,6 +174,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "calibration": calibration,
                 "sf": sf,
                 "capstone_docs_per_sec": round(n_docs / cap_best, 0),
                 # best-of-2: same noise-resistance as the queries

@@ -178,6 +178,60 @@ def test_prefix_filter_lemma_never_misses_a_pair(sets, threshold):
                 )
 
 
+@given(
+    sets=st.lists(
+        st.frozensets(st.integers(min_value=0, max_value=60), min_size=1, max_size=40),
+        min_size=2, max_size=12,
+    ),
+    threshold=st.floats(min_value=0.05, max_value=0.99, allow_nan=False),
+)
+@settings(max_examples=300, deadline=None)
+def test_prefix_filter_pair_level_bounds_never_prune_a_true_pair(sets, threshold):
+    """The r6 pair-level filters (PPJoin positional + boundary-suffix,
+    operators/dedup.py::prefix_filter_candidates positional=True),
+    modeled as pure math: for every pair with Jaccard >= t, both
+    certifiable-overlap upper bounds must clear the
+    alpha = t/(1+t)*(|x|+|y|) overlap requirement — i.e. the filters
+    only ever drop FALSE candidates."""
+    import math
+
+    def ordered_prefix(s: frozenset) -> list:
+        ordered = sorted(s)
+        plen = len(s) - int(math.ceil(threshold * len(s) - 1e-9)) + 1
+        return ordered[:plen]
+
+    for i, x in enumerate(sets):
+        for y in sets[i + 1:]:
+            inter = len(x & y)
+            union = len(x) + len(y) - inter
+            if not union or inter / union < threshold:
+                continue
+            px, py = ordered_prefix(x), ordered_prefix(y)
+            shared = set(px) & set(py)
+            assert shared  # prefix lemma, re-asserted
+            ox, oy = sorted(x), sorted(y)
+            alpha = threshold / (1.0 + threshold) * (len(x) + len(y)) - 1e-9
+            # positional: best (first-common-token) remaining bound
+            best_rem = max(
+                min(len(x) - (ox.index(h) + 1), len(y) - (oy.index(h) + 1))
+                for h in shared
+            )
+            assert 1 + best_rem >= alpha, (
+                f"t={threshold}: positional filter would drop a true pair "
+                f"{sorted(x)} / {sorted(y)}"
+            )
+            # boundary-suffix: m + smaller-boundary side's suffix size
+            m = len(shared)
+            if px[-1] <= py[-1]:
+                bound = m + (len(x) - len(px))
+            else:
+                bound = m + (len(y) - len(py))
+            assert bound >= alpha, (
+                f"t={threshold}: boundary-suffix filter would drop a true pair "
+                f"{sorted(x)} / {sorted(y)} (m={m})"
+            )
+
+
 # -- portable minhash fold family ------------------------------------------
 
 from gomaxscale_spark.operators.dedup import (  # noqa: E402
