@@ -182,7 +182,8 @@ def portable_minhash_signatures(
     Like the classic path (shingle_hash_rows), each token is md5'd
     ONCE and shingles are derived by combining adjacent token hashes —
     never by building "w1 w2" shingle strings. The string-building
-    variant measured 2.4× slower at sf0.1 (concat_ws allocation + md5
+    variant measured 2.2× slower at sf0.1 on the headline entry
+    (1.9 → 4.1 s, SCALING.md; concat_ws allocation + md5
     over doubled bytes + string array_distinct); the fold is three
     integer ops per shingle. Same shuffle shape: explode → 64
     partial-agg mins, one (doc_id, 64 ints) row per doc survives.

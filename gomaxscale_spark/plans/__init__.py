@@ -67,6 +67,13 @@ _PRIORITY: list[str] = [
     "cdc_event_routing",
     "cdc_snapshot_latest_state",
     "cdc_transaction_stitching",
+    # r6 (VERDICT r5 item 7): the skew-proof salted max_by fold earns a
+    # driver row alongside the classic Window form — it is the 100 TB
+    # path when one hot key dominates the change stream. Its slot comes
+    # from dedup_embedding_cosine (label-blocked quadratic semantics
+    # twin — its scale successor dedup_embedding_lsh_scaled already
+    # holds a window row), demoted to tier-2 head.
+    "cdc_snapshot_latest_state_salted",
     # B15 dedup (incl. the incremental batch-vs-lake capstone). The CC
     # and keep-representatives slots carry the bounded LSH compositions
     # (r5, per VERDICT r4): the (lang, len_band)-blocked exact twins
@@ -75,7 +82,6 @@ _PRIORITY: list[str] = [
     "dedup_exact_documents",
     "text_language_id",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
     "dedup_connected_components_lsh",
     "dedup_keep_representatives_lsh",
     "dedup_incremental_batch",
@@ -122,7 +128,10 @@ _TIER2: list[str] = [
     # r5: the exact-recall candidate generator as a standalone
     # PPJoin-style entry, and the skew-proof salted snapshot fold
     "dedup_prefix_filter_join",
-    "cdc_snapshot_latest_state_salted",
+    # demoted from the window in round 6 (slot given to the salted
+    # snapshot fold): exact-cosine within label blocks — quadratic per
+    # label, the semantics twin of the scale path dedup_embedding_lsh_scaled
+    "dedup_embedding_cosine",
     "dedup_minhash_lsh_capped",
     # demoted from the window in round 6: the fixed 8-bit signature is
     # the proven 30× scale-killer; kept as the classic-width semantics

@@ -138,7 +138,9 @@ def _language_id_oracle() -> str:
 
 # ------------------------------------------------------------- B15 dedup
 
-def _portable_lsh_pairs_ctes(threshold: float, num_hashes: int = 64, bands: int = 16) -> str:
+def _portable_lsh_pairs_ctes(
+    threshold: float, num_hashes: int = 64, bands: int = 16, shingle_n: int = 2
+) -> str:
     """CTE chain ``toks → sh → hm → sig → bk → cand → pairs`` that
     REPLAYS the Spark portable-minhash LSH pipeline in DuckDB: the same
     md5-60-bit base hash, the same Carter-Wegman (a·h+b) % P family
@@ -154,7 +156,7 @@ def _portable_lsh_pairs_ctes(threshold: float, num_hashes: int = 64, bands: int 
     """
     ors = " OR ".join(f"a.k{b} = b.k{b}" for b in range(bands))
     jac = _JACCARD_SQL
-    return _portable_lsh_base_ctes(num_hashes, bands) + f""", cand AS (
+    return _portable_lsh_base_ctes(num_hashes, bands, shingle_n) + f""", cand AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bk a JOIN bk b ON a.doc_id < b.doc_id AND ({ors})
     ), pairs AS (
@@ -173,13 +175,18 @@ _JACCARD_SQL = (
 )
 
 
-def _portable_lsh_base_ctes(num_hashes: int = 64, bands: int = 16) -> str:
+def _portable_lsh_base_ctes(
+    num_hashes: int = 64, bands: int = 16, shingle_n: int = 2
+) -> str:
     """The shared ``toks → sh/th → hm → sig → bk`` replay of the
     portable minhash signatures + band keys (see
     _portable_lsh_pairs_ctes). The shingle-hash fold and the band-key
     fold are emitted by the SAME helpers the Spark plan uses
     (operators/dedup.py cw_fold_sql / band_key_sql), so the two engines
-    evaluate literally identical arithmetic."""
+    evaluate literally identical arithmetic. ``shingle_n`` must match
+    the Spark side's (portable_minhash_signatures) — the fold, the
+    shingle strings, and the ≥-n-tokens guard are all emitted for the
+    same n (ADVICE r5: previously hardcoded to bigrams)."""
     coeffs = D.cw_hash_coefficients(num_hashes)
     p = D.MINHASH_P
     rpb = num_hashes // bands
@@ -190,7 +197,15 @@ def _portable_lsh_base_ctes(num_hashes: int = 64, bands: int = 16) -> str:
         D.band_key_sql([f"m{b * rpb + r}" for r in range(rpb)]) + f" AS k{b}"
         for b in range(bands)
     )
-    shingle_fold = D.cw_fold_sql(["th[i]", "th[i+1]"], D.MINHASH_R)
+    shingle_fold = D.cw_fold_sql(
+        ["th[i]"] + [f"th[i+{k}]" for k in range(1, shingle_n)], D.MINHASH_R
+    )
+    # DuckDB lists are 1-indexed and range() excludes the end, so the
+    # last n-shingle starts at len - n + 1 → range(1, len - n + 2)
+    rng_end = f"- {shingle_n - 2}" if shingle_n > 2 else ""
+    shingle_str = " || ' ' || ".join(
+        ["toks[i]"] + [f"toks[i+{k}]" for k in range(1, shingle_n)]
+    )
     return f"""
     toks AS (
       SELECT doc_id,
@@ -198,17 +213,17 @@ def _portable_lsh_base_ctes(num_hashes: int = 64, bands: int = 16) -> str:
       FROM documents
     ), sh AS (
       SELECT doc_id,
-             list_distinct(list_transform(range(1, len(toks)),
-                                          i -> toks[i] || ' ' || toks[i+1])) AS sh
-      FROM toks WHERE len(toks) >= 2
+             list_distinct(list_transform(range(1, len(toks) {rng_end}),
+                                          i -> {shingle_str})) AS sh
+      FROM toks WHERE len(toks) >= {shingle_n}
     ), th AS (
       SELECT doc_id,
              list_transform(toks,
                             t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {p}) AS th
-      FROM toks WHERE len(toks) >= 2
+      FROM toks WHERE len(toks) >= {shingle_n}
     ), hm AS (
       SELECT doc_id,
-             unnest(list_distinct(list_transform(range(1, len(th)),
+             unnest(list_distinct(list_transform(range(1, len(th) {rng_end}),
                                                  i -> {shingle_fold}))) AS hm
       FROM th
     ), sig AS (
@@ -223,7 +238,7 @@ def _portable_lsh_base_ctes(num_hashes: int = 64, bands: int = 16) -> str:
 
 
 def _portable_lsh_capped_oracle(
-    threshold: float, cap: int, num_hashes: int = 64, bands: int = 16
+    threshold: float, cap: int, num_hashes: int = 64, bands: int = 16, shingle_n: int = 2
 ) -> str:
     """Replay of the count-first capped pipeline: bucket sizes from a
     pure count; pairs expand only inside buckets with 2 ≤ n ≤ cap;
@@ -232,7 +247,7 @@ def _portable_lsh_capped_oracle(
         f"SELECT doc_id, {b} AS band_id, k{b} AS band_key FROM bk" for b in range(bands)
     )
     jac = _JACCARD_SQL
-    return _portable_lsh_base_ctes(num_hashes, bands) + f""", br AS (
+    return _portable_lsh_base_ctes(num_hashes, bands, shingle_n) + f""", br AS (
       {br_arms}
     ), cnt AS (
       SELECT band_id, band_key, count(*) AS n_members
