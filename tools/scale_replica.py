@@ -19,8 +19,13 @@ documents.text gets a per-copy suffix token so replicas are near-dups
 (≈ the boilerplate-duplication growth a real corpus shows at scale)
 rather than degenerate exact-identical minhash families.
 
-Usage: python tools/scale_replica.py [N] [src_dir] [out_dir] [hot_frac]
+Usage: python tools/scale_replica.py [N] [src_dir] [out_dir] [hot_frac] [tables]
 Then:  SPARK_GRAFT_SF_DIR=<out_dir> python bench.py
+
+``tables`` (comma list, default all facts) restricts WHICH fact tables
+get the N× treatment; the rest are written at 1×. The r6 100× study
+scales only the document axis (documents,embeddings — 500k docs / 2M
+vectors) without materializing a 600M-row lineitem nobody queries.
 
 With ``hot_frac`` (e.g. 0.3), that fraction of events rows is remapped
 to ONE hot user id after replication — the skewed-key stress shape
@@ -48,6 +53,8 @@ def main() -> None:
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     out = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/scaled_x{n}"
     hot_frac = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
+    scaled = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else set(FACTS)
+    assert scaled <= set(FACTS), f"unknown tables: {scaled - set(FACTS)}"
     spark = get_session("scale_replica")
 
     def base(table: str, key: str) -> int:
@@ -76,6 +83,12 @@ def main() -> None:
             f"{out}/{t}.parquet"
         )
     for t in FACTS:
+        if t not in scaled:
+            spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
+                f"{out}/{t}.parquet"
+            )
+            print(f"{t}: x1 copied")
+            continue
         df = spark.read.parquet(f"{src}/{t}.parquet").crossJoin(F.broadcast(copies))
         for col, b in offsets[t].items():
             df = df.withColumn(col, F.col(col) + F.col("copy") * F.lit(b))
