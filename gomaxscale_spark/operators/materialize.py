@@ -29,6 +29,13 @@ Pick with the ``SPARK_GRAFT_MATERIALIZE`` env var or per call:
   disk-backed blocks, an eager count() job populates the cache before
   any consumer arm runs (without eagerness, two arms scheduled in the
   same job may each compute partitions before the cache fills).
+- ``reliable`` — eager ``checkpoint()`` to the directory configured
+  via ``spark.sparkContext.setCheckpointDir`` (HDFS/object storage on
+  a cluster): blocks survive executor AND node loss, lineage is
+  truncated. The setting for intermediates whose lineage is too
+  expensive to ever replay (a multi-hour candidate-generation stage
+  feeding a week of downstream jobs). Raises if no checkpoint dir is
+  configured — that is a deploy mistake, not something to paper over.
 - ``none`` — no materialization; every consumer arm replays lineage.
   Only for A/B measurement.
 
@@ -46,7 +53,7 @@ from pyspark.sql import DataFrame
 
 ENV_VAR = "SPARK_GRAFT_MATERIALIZE"
 
-_VALID = ("local_checkpoint", "persist_disk", "none")
+_VALID = ("local_checkpoint", "persist_disk", "reliable", "none")
 
 
 def materialize_once(df: DataFrame, strategy: str | None = None) -> DataFrame:
@@ -65,4 +72,12 @@ def materialize_once(df: DataFrame, strategy: str | None = None) -> DataFrame:
         out = df.persist(StorageLevel.DISK_ONLY)
         out.count()
         return out
+    if strategy == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            raise RuntimeError(
+                "SPARK_GRAFT_MATERIALIZE=reliable needs "
+                "spark.sparkContext.setCheckpointDir(<fault-tolerant path>)"
+            )
+        return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)

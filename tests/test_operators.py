@@ -639,11 +639,11 @@ def test_capstone_excludes_benchmark_and_dups(spark, sf_dir):
     assert len(digests) == len(set(digests)), "duplicate texts survived"
 
 
-def test_materialize_modes_agree(spark, sf_dir, monkeypatch):
+def test_materialize_modes_agree(spark, sf_dir, monkeypatch, tmp_path):
     """The SPARK_GRAFT_MATERIALIZE knob trades recovery semantics for
     speed, never results: the capstone (which exercises a
     materialize_once fan-out) must return identical rows under
-    local_checkpoint, persist_disk, and none."""
+    local_checkpoint, persist_disk, reliable, and none."""
     from gomaxscale_spark.operators.materialize import ENV_VAR, materialize_once
     from gomaxscale_spark.plans import all_queries
 
@@ -652,7 +652,19 @@ def test_materialize_modes_agree(spark, sf_dir, monkeypatch):
     for mode in ("local_checkpoint", "persist_disk", "none"):
         monkeypatch.setenv(ENV_VAR, mode)
         results[mode] = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
-    assert results["local_checkpoint"] == results["persist_disk"] == results["none"]
+    # reliable requires a configured checkpoint dir — error first, then work
+    monkeypatch.setenv(ENV_VAR, "reliable")
+    with pytest.raises(RuntimeError, match="setCheckpointDir"):
+        fn(spark, sf_dir).collect()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    results["reliable"] = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+
+    assert (
+        results["local_checkpoint"]
+        == results["persist_disk"]
+        == results["reliable"]
+        == results["none"]
+    )
     assert results["local_checkpoint"]
 
     with pytest.raises(ValueError):
