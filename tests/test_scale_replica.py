@@ -80,3 +80,22 @@ def test_embedding_copies_are_rolled_not_duplicated(spark, replica):
 
     # intra-copy pairwise structure replicates exactly (rotation-invariant)
     assert cos(rows[b_vec], rows[b_vec + 1]) == pytest.approx(cos(rows[0], rows[1]), abs=1e-6)
+
+
+def test_table_subset_scales_only_named_facts(spark, tmp_path):
+    """The r6 ``tables`` arg: only the named fact tables get the N×
+    treatment; the rest are written at 1× (so a document-axis study
+    doesn't materialize a 600M-row lineitem nobody queries)."""
+    out = str(tmp_path / "subset_x2")
+    subprocess.run(
+        [sys.executable, str(REPO / "tools" / "scale_replica.py"), "2", SRC, out,
+         "0.0", "documents,embeddings"],
+        check=True,
+        capture_output=True,
+    )
+    for t in ("documents", "embeddings"):
+        base = spark.read.parquet(f"{SRC}/{t}.parquet").count()
+        assert spark.read.parquet(f"{out}/{t}.parquet").count() == 2 * base, t
+    for t in ("customer", "orders", "lineitem", "events", "region"):
+        base = spark.read.parquet(f"{SRC}/{t}.parquet").count()
+        assert spark.read.parquet(f"{out}/{t}.parquet").count() == base, t
