@@ -204,3 +204,161 @@ def frame_sample(media_df: DataFrame, every_n: int = 10) -> DataFrame:
         ).alias("frame_no"),
     )
     return frames.withColumn("frame_offset_bytes", F.col("frame_no") * 64 * every_n)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, mime string, in_w int, in_h int, out_w int, out_h int, "
+    "out_media binary, out_payload_bytes int"
+)
+
+
+def fit_dims(w: int, h: int, max_dim: int) -> tuple[int, int]:
+    """Fit (w, h) into a max_dim box preserving aspect ratio — pure
+    integer arithmetic (floor division, greatest(1, ·)) so a SQL oracle
+    replays it exactly. Degenerate 0×0 inputs stay 0×0."""
+    m = max(w, h)
+    if m == 0:
+        return 0, 0
+    if m <= max_dim:
+        return w, h
+    return max(1, (w * max_dim) // m), max(1, (h * max_dim) // m)
+
+
+def _rgb_raster(data: bytes) -> tuple[int, int, bytes]:
+    """(width, height, row-major RGB bytes) for the dependency-free
+    formats: P6/P3 netpbm and uncompressed 24/32-bpp BMP (converted to
+    top-down RGB). Raises like decode_image_real for anything else."""
+    import struct
+
+    if data[:2] in (b"P6", b"P3"):
+        magic = data[:2]
+        pos = 2
+        fields: list[int] = []
+        while len(fields) < 3:
+            while pos < len(data) and data[pos : pos + 1].isspace():
+                pos += 1
+            if data[pos : pos + 1] == b"#":
+                while pos < len(data) and data[pos] not in (0x0A, 0x0D):
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(data[start:pos]))
+        width, height, maxval = fields
+        if maxval <= 0 or maxval > 255:
+            raise NotImplementedError("PPM maxval > 255 not supported")
+        pos += 1
+        n = width * height * 3
+        if magic == b"P6":
+            raster = data[pos : pos + n]
+            if len(raster) != n:
+                raise ValueError("truncated P6 raster")
+            return width, height, raster
+        samples = data[pos:].split()
+        if len(samples) < n:
+            raise ValueError("truncated P3 raster")
+        return width, height, bytes(int(s) for s in samples[:n])
+    if data[:2] == b"BM":
+        if len(data) < 54:
+            raise ValueError("not a BMP file")
+        (pixel_offset,) = struct.unpack_from("<I", data, 10)
+        width, height = struct.unpack_from("<ii", data, 18)
+        (bpp,) = struct.unpack_from("<H", data, 28)
+        (compression,) = struct.unpack_from("<I", data, 30)
+        if compression != 0 or bpp not in (24, 32):
+            raise NotImplementedError("only uncompressed 24/32-bpp BMP supported")
+        n_rows = abs(height)
+        bpx = bpp // 8
+        stride = ((width * bpx + 3) // 4) * 4
+        out = bytearray(width * n_rows * 3)
+        for r in range(n_rows):
+            # BMP stores bottom-up unless height < 0
+            src_r = (n_rows - 1 - r) if height > 0 else r
+            row = data[pixel_offset + src_r * stride : pixel_offset + src_r * stride + width * bpx]
+            if len(row) != width * bpx:
+                raise ValueError("truncated BMP pixel array")
+            for x in range(width):
+                b, g, rr = row[x * bpx], row[x * bpx + 1], row[x * bpx + 2]
+                o = (r * width + x) * 3
+                out[o], out[o + 1], out[o + 2] = rr, g, b
+        return width, n_rows, bytes(out)
+    raise NotImplementedError(
+        "no dependency-free parser for this format; production "
+        "deployments plug PIL/cv2 in here"
+    )
+
+
+def resize_image_real(data: bytes, max_dim: int = 64) -> dict:
+    """REAL nearest-neighbor resize for the dependency-free formats:
+    decode to RGB (P6/P3/uncompressed-BMP), fit into a max_dim box
+    (fit_dims — aspect-preserving integer arithmetic), sample source
+    pixel (x·w ÷ out_w, y·h ÷ out_h) per output pixel, re-encode as
+    binary P6. Nearest-neighbor because it is exactly reproducible
+    (no float filter kernels) — the property the dedup/oracle
+    discipline of this repo rides everywhere."""
+    w, h, rgb = _rgb_raster(data)
+    ow, oh = fit_dims(w, h, max_dim)
+    out = bytearray(ow * oh * 3)
+    for y in range(oh):
+        sy = (y * h) // oh
+        for x in range(ow):
+            sx = (x * w) // ow
+            s = (sy * w + sx) * 3
+            o = (y * ow + x) * 3
+            out[o : o + 3] = rgb[s : s + 3]
+    header = f"P6\n{ow} {oh}\n255\n".encode()
+    return {
+        "in_w": w,
+        "in_h": h,
+        "out_w": ow,
+        "out_h": oh,
+        "out_media": header + bytes(out),
+        "out_payload_bytes": ow * oh * 3,
+    }
+
+
+def resize_media(media_df: DataFrame, max_dim: int = 64) -> DataFrame:
+    """mapInPandas resize stage — the third leg of the multimodal
+    plumbing (decode / feature-extract / RESIZE / frame-sample). One
+    Arrow batch in → one batch out, partition-parallel, zero shuffle;
+    blobs never leave the executor.
+
+    Real path: PPM/BMP payloads get a genuine nearest-neighbor resize
+    re-encoded as P6 (resize_image_real). Entropy-coded formats and the
+    synthetic fake media fall back per payload to the deterministic
+    dimension arithmetic (fake_decode_features dims + fit_dims), with
+    out_media NULL — same schema either way, so a mixed batch never
+    fails the job and the stage's plumbing is oracle-checkable on the
+    fake corpus (the resize arithmetic is the same integer program in
+    both paths)."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b: bytes) -> dict:
+            try:
+                return resize_image_real(b, max_dim)
+            except (NotImplementedError, ValueError):
+                feats = fake_decode_features(b)
+                w, h = feats["width"], feats["height"]
+                ow, oh = fit_dims(w, h, max_dim)
+                return {
+                    "in_w": w,
+                    "in_h": h,
+                    "out_w": ow,
+                    "out_h": oh,
+                    "out_media": None,
+                    "out_payload_bytes": ow * oh * 3,
+                }
+
+        for pdf in batches:
+            res = pdf["media"].map(lambda b: one(bytes(b)))
+            out = pdf[["doc_id", "mime"]].copy()
+            for col in ("in_w", "in_h", "out_w", "out_h"):
+                out[col] = res.map(lambda d: d[col]).astype("int32")
+            out["out_media"] = res.map(lambda d: d["out_media"])
+            out["out_payload_bytes"] = res.map(
+                lambda d: d["out_payload_bytes"]
+            ).astype("int32")
+            yield out
+
+    return media_df.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)

@@ -150,6 +150,7 @@ _TIER2: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_exact_hashed",
     "multimodal_frame_sample",
+    "multimodal_resize_fit",
     "sampling_stratified_sample",
     "dq_column_profile",
     "dq_contract_violations",

@@ -864,6 +864,47 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize_fit",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) % 640 AS INTEGER) AS in_w,
+             CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS in_h
+      FROM documents
+    ), fit AS (
+      SELECT doc_id, in_w, in_h,
+             CASE WHEN greatest(in_w, in_h) = 0 THEN 0
+                  WHEN greatest(in_w, in_h) <= 64 THEN in_w
+                  ELSE greatest(1, (in_w * 64) // greatest(in_w, in_h)) END AS out_w,
+             CASE WHEN greatest(in_w, in_h) = 0 THEN 0
+                  WHEN greatest(in_w, in_h) <= 64 THEN in_h
+                  ELSE greatest(1, (in_h * 64) // greatest(in_w, in_h)) END AS out_h
+      FROM dims
+    )
+    SELECT doc_id, in_w, in_h,
+           CAST(out_w AS INTEGER) AS out_w, CAST(out_h AS INTEGER) AS out_h,
+           CAST(out_w * out_h * 3 AS INTEGER) AS out_payload_bytes
+    FROM fit
+    """,
+    doc="Multimodal RESIZE stage (the third plumbing leg beside decode "
+    "and frame-sample): mapInPandas nearest-neighbor resize fitting "
+    "each image into a 64px box. PPM/BMP payloads get a REAL resize "
+    "re-encoded as P6 (operators/multimodal.py resize_image_real — "
+    "pixel-level correctness pytested on crafted rasters in "
+    "tests/test_multimodal_codec.py); the synthetic corpus media fall "
+    "back to the deterministic dimension arithmetic, which is the SAME "
+    "integer fit program — so the oracle replays the stage exactly. "
+    "Scale: zero shuffle, blobs never leave the executor; Arrow batch "
+    "size is the memory knob (module docstring).",
+)
+def multimodal_resize_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return M.resize_media(M.attach_media(d), max_dim=64).select(
+        "doc_id", "in_w", "in_h", "out_w", "out_h", "out_payload_bytes"
+    )
+
+
+@query(
     "dedup_exact_hashed",
     oracle="""
     SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups

@@ -85,3 +85,75 @@ def test_decode_media_real_codec_end_to_end(spark):
     expected_fake = fake_decode_features(fake)
     assert (rows[3].width, rows[3].height) == (expected_fake["width"], expected_fake["height"])
     assert rows[3].mean_intensity == expected_fake["mean_intensity"]
+
+
+def make_ppm_p6_quadrants(width: int, height: int) -> bytes:
+    """P6 with four solid-color quadrants — distinguishes nearest-
+    neighbor sampling positions."""
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+    rows = bytearray()
+    for y in range(height):
+        for x in range(width):
+            q = (1 if x >= width // 2 else 0) + (2 if y >= height // 2 else 0)
+            rows += bytes(colors[q])
+    return f"P6\n{width} {height}\n255\n".encode() + bytes(rows)
+
+
+def test_resize_real_nearest_neighbor_quadrants():
+    from gomaxscale_spark.operators.multimodal import resize_image_real
+
+    src = make_ppm_p6_quadrants(32, 32)
+    out = resize_image_real(src, max_dim=4)
+    assert (out["in_w"], out["in_h"], out["out_w"], out["out_h"]) == (32, 32, 4, 4)
+    media = out["out_media"]
+    assert media.startswith(b"P6\n4 4\n255\n")
+    raster = media[len(b"P6\n4 4\n255\n"):]
+    assert len(raster) == 4 * 4 * 3 == out["out_payload_bytes"]
+
+    def px(x, y):
+        o = (y * 4 + x) * 3
+        return tuple(raster[o:o + 3])
+
+    # each output pixel must be its quadrant's solid color
+    assert px(0, 0) == (255, 0, 0) and px(3, 0) == (0, 255, 0)
+    assert px(0, 3) == (0, 0, 255) and px(3, 3) == (255, 255, 0)
+
+
+def test_resize_real_preserves_aspect_and_handles_small_inputs():
+    from gomaxscale_spark.operators.multimodal import fit_dims, resize_image_real
+
+    out = resize_image_real(make_ppm_p6(128, 32, (10, 20, 30)), max_dim=64)
+    assert (out["out_w"], out["out_h"]) == (64, 16)
+    # already-fitting images pass through unresized
+    out2 = resize_image_real(make_ppm_p6(8, 2, (1, 2, 3)), max_dim=64)
+    assert (out2["out_w"], out2["out_h"]) == (8, 2)
+    # BMP goes through the same raster path (bottom-up flip + BGR->RGB)
+    out3 = resize_image_real(make_bmp24(16, 16, (30, 60, 90)), max_dim=4)
+    assert (out3["out_w"], out3["out_h"]) == (4, 4)
+    assert out3["out_media"][len(b"P6\n4 4\n255\n"):][:3] == bytes((90, 60, 30))
+    assert fit_dims(0, 0, 64) == (0, 0)
+    assert fit_dims(1000, 1, 64) == (64, 1)
+
+
+def test_resize_media_mixed_batch(spark):
+    """The mapInPandas resize stage on one mixed Arrow batch: real
+    payloads resize for real, non-images fall back to the deterministic
+    dimension arithmetic with NULL media — no failures."""
+    from gomaxscale_spark.operators.multimodal import fake_decode_features, fit_dims, resize_media
+
+    ppm = make_ppm_p6_quadrants(32, 16)
+    fake = b"not-an-image-payload-" * 40
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm), "image/x-portable-pixmap"),
+         (2, bytearray(fake), "application/octet-stream")],
+        "doc_id long, media binary, mime string",
+    )
+    rows = {r.doc_id: r for r in resize_media(df, max_dim=8).collect()}
+    assert (rows[1].in_w, rows[1].in_h, rows[1].out_w, rows[1].out_h) == (32, 16, 8, 4)
+    assert bytes(rows[1].out_media).startswith(b"P6\n8 4\n255\n")
+    feats = fake_decode_features(fake)
+    ow, oh = fit_dims(feats["width"], feats["height"], 8)
+    assert (rows[2].in_w, rows[2].in_h, rows[2].out_w, rows[2].out_h) == (
+        feats["width"], feats["height"], ow, oh)
+    assert rows[2].out_media is None
+    assert rows[2].out_payload_bytes == ow * oh * 3
