@@ -284,3 +284,11 @@ def test_headline_shuffle_ceilings(spark, sf_dir):
         if ex > cap:
             over[name] = (ex, cap)
     assert not over, f"shuffle regressions (got, ceiling): {over}"
+
+
+def test_multimodal_resize_zero_shuffle(spark, sf_dir):
+    """The resize stage is a pure mapInPandas pass: blobs must never
+    ride an exchange, and the plan must have no shuffle at all."""
+    p = plan_str(spark, sf_dir, "multimodal_resize_fit")
+    assert "Exchange" not in p, f"resize stage shuffles:\n{p[:1500]}"
+    assert "MapInPandas" in p or "ArrowEvalPython" in p
