@@ -132,6 +132,9 @@ _TIER2: list[str] = [
     # snapshot fold): exact-cosine within label blocks — quadratic per
     # label, the semantics twin of the scale path dedup_embedding_lsh_scaled
     "dedup_embedding_cosine",
+    # r6: semantic-dedup clustering (adaptive embedding LSH pairs →
+    # star-CC) — the embedding analogue of the text CC composition
+    "dedup_embedding_cc",
     "dedup_minhash_lsh_capped",
     # demoted from the window in round 6: the fixed 8-bit signature is
     # the proven 30× scale-killer; kept as the classic-width semantics

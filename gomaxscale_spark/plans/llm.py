@@ -553,13 +553,17 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_near_duplicates(e, threshold=0.3, dim=64)
 
 
-def _embedding_lsh_adaptive_oracle(
+def _embedding_lsh_adaptive_pairs_ctes(
     threshold: float,
     dim: int = 64,
     planes_per_band: int = 16,
     n_bands: int = 4,
     target_bucket: int = 64,
 ) -> str:
+    """CTE chain ``nn → p2 → sig → cand → epairs`` replaying the
+    ADAPTIVE-width banded sign-LSH + exact-cosine verify (the embedding
+    analogue of _portable_lsh_pairs_ctes) — shared by the pair entry
+    and the embedding CC composition."""
     all_planes = S.hyperplanes(dim, n_bands * planes_per_band, seed=42)
     sig_cols = ",\n           ".join(
         f"{_lsh_sig_sql('e.embedding', all_planes[b * planes_per_band:(b + 1) * planes_per_band])} AS s{b}"
@@ -568,7 +572,7 @@ def _embedding_lsh_adaptive_oracle(
     pow2 = S.adaptive_pow2_case_sql("nn.n", target_bucket=target_bucket)
     or_cond = " OR ".join(f"(a.s{b} % p2.p2) = (b.s{b} % p2.p2)" for b in range(n_bands))
     return f"""
-    WITH nn AS (SELECT count(*) AS n FROM embeddings),
+    nn AS (SELECT count(*) AS n FROM embeddings),
     p2 AS (SELECT {pow2} AS p2 FROM nn),
     sig AS (SELECT e.vec_id,
            {sig_cols}
@@ -577,14 +581,23 @@ def _embedding_lsh_adaptive_oracle(
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM sig a JOIN sig b ON a.vec_id < b.vec_id CROSS JOIN p2
       WHERE ({or_cond})
+    ),
+    epairs AS (
+      SELECT c.id_a, c.id_b,
+             round({_cos_sql("x.embedding", "y.embedding")}, 6) AS score
+      FROM cand c
+      JOIN embeddings x ON x.vec_id = c.id_a
+      JOIN embeddings y ON y.vec_id = c.id_b
+      WHERE {_cos_sql("x.embedding", "y.embedding")} >= {threshold}
+    )"""
+
+
+def _embedding_lsh_adaptive_oracle(threshold: float) -> str:
+    return (
+        "WITH "
+        + _embedding_lsh_adaptive_pairs_ctes(threshold)
+        + "\n    SELECT id_a, id_b, score FROM epairs"
     )
-    SELECT c.id_a, c.id_b,
-           round({_cos_sql("x.embedding", "y.embedding")}, 6) AS score
-    FROM cand c
-    JOIN embeddings x ON x.vec_id = c.id_a
-    JOIN embeddings y ON y.vec_id = c.id_b
-    WHERE {_cos_sql("x.embedding", "y.embedding")} >= {threshold}
-    """
 
 
 @query(
@@ -606,6 +619,42 @@ def _embedding_lsh_adaptive_oracle(
 def dedup_embedding_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     return S.lsh_near_duplicates_adaptive(e, threshold=0.3, dim=64)
+
+
+@query(
+    "dedup_embedding_cc",
+    oracle="WITH RECURSIVE "
+    + _embedding_lsh_adaptive_pairs_ctes(threshold=0.3)
+    + """, edges AS (
+      SELECT id_a AS src, id_b AS dst FROM epairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM epairs
+    ), reach AS (
+      SELECT src AS id, src AS lbl FROM edges
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    """,
+    doc="SEMANTIC dedup clustering: the embedding-side analogue of "
+    "dedup_connected_components_lsh — adaptive-width sign-LSH pairs "
+    "(the scale-safe generator that holds the driver window row) + "
+    "exact-cosine verify, closed into duplicate clusters with "
+    "large-star/small-star CC. This is the modern semantic-dedup "
+    "pipeline (SemDeDup-shaped: cluster by embedding similarity, keep "
+    "one representative per cluster) expressed with the same bounded "
+    "machinery as the text pipeline: candidate exchange carries "
+    "(band, bucket, id) only, verify cost ∝ candidates, star rounds "
+    "are O(log² n) id-only joins. The oracle unrolls the identical "
+    "banded candidates (plan-literal planes + in-plan width) and a "
+    "recursive-CTE min-label closure.",
+)
+def dedup_embedding_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    pairs = S.lsh_near_duplicates_adaptive(e, threshold=0.3, dim=64)
+    return D.connected_components_star(pairs).select(
+        F.col("id").alias("vec_id"), "cluster_id"
+    )
 
 
 # -------------------------------------------------------- B16 similarity
