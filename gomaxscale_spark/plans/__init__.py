@@ -135,6 +135,7 @@ _TIER2: list[str] = [
     # r6: semantic-dedup clustering (adaptive embedding LSH pairs →
     # star-CC) — the embedding analogue of the text CC composition
     "dedup_embedding_cc",
+    "dedup_embedding_keep_representatives",
     "dedup_minhash_lsh_capped",
     # demoted from the window in round 6: the fixed 8-bit signature is
     # the proven 30× scale-killer; kept as the classic-width semantics

@@ -657,6 +657,45 @@ def dedup_embedding_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_embedding_keep_representatives",
+    oracle="WITH RECURSIVE "
+    + _embedding_lsh_adaptive_pairs_ctes(threshold=0.3)
+    + """, edges AS (
+      SELECT id_a AS src, id_b AS dst FROM epairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM epairs
+    ), reach AS (
+      SELECT src AS id, src AS lbl FROM edges
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ), clusters AS (
+      SELECT id AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT e.vec_id, e.label
+    FROM embeddings e LEFT JOIN clusters c ON c.vec_id = e.vec_id
+    WHERE c.vec_id IS NULL OR c.cluster_id = e.vec_id
+    """,
+    doc="The SemDeDup kept-corpus: semantic clusters from "
+    "dedup_embedding_cc, keep the min-id representative per cluster "
+    "(broadcast anti-join of the non-representative id set — vectors "
+    "shuffle zero times end-to-end, the id list is bounded by the "
+    "duplicate count). With the text keep-reps capstone this gives "
+    "both halves of a production dedup: near-identical TEXT dies "
+    "there, near-identical MEANING dies here.",
+)
+def dedup_embedding_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    pairs = S.lsh_near_duplicates_adaptive(e, threshold=0.3, dim=64)
+    clusters = D.connected_components_star(pairs)
+    drop = clusters.filter(F.col("cluster_id") != F.col("id")).select("id")
+    return (
+        t(spark, sf_dir, "embeddings")
+        .join(F.broadcast(drop), F.col("vec_id") == F.col("id"), "left_anti")
+        .select("vec_id", "label")
+    )
+
+
 # -------------------------------------------------------- B16 similarity
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
