@@ -54,6 +54,17 @@ HEADLINE = [
 ]
 
 
+#: Measured and reported under "extra_queries" WITHOUT entering the
+#: headline total — the total has been round-over-round comparable
+#: since r1, so new operators get tracked here instead of inflating it.
+EXTRA = [
+    "cdc_snapshot_latest_state_salted",
+    "dedup_embedding_lsh_scaled",
+    "dedup_embedding_cc",
+    "multimodal_resize_fit",
+]
+
+
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -142,6 +153,15 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        runs = []
+        for _ in range(3):
+            start = time.perf_counter()
+            materialize(registry[name].fn(spark, sf_dir))
+            runs.append(time.perf_counter() - start)
+        extra[name] = round(min(runs), 3)
+
     # fixed-cost calibration probe: scan_filter_project's plan has been
     # frozen since round 1 (one pushed-filter parquet scan), so its
     # round-over-round delta measures the HOST, not the repo. Re-run it
@@ -175,6 +195,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                "extra_queries": extra,
                 "calibration": calibration,
                 "sf": sf,
                 "capstone_docs_per_sec": round(n_docs / cap_best, 0),
