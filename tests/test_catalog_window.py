@@ -58,6 +58,15 @@ FAMILY_REPRESENTATIVES = {
 }
 
 
+def test_priority_list_is_exactly_the_window():
+    """_PRIORITY must stay exactly WINDOW entries long: one short and a
+    tier-2 query silently gains a gate slot, one long and a prioritized
+    query silently loses its row."""
+    from gomaxscale_spark.plans import _PRIORITY
+
+    assert len(_PRIORITY) == WINDOW
+
+
 def test_every_family_inside_window():
     window = set(list(all_queries())[:WINDOW])
     missing = {
