@@ -35,6 +35,19 @@ RUNTIME_CONFS = {
 }
 
 
+#: Large-state streaming path: Spark's embedded RocksDB state store keeps
+#: per-key streaming state (aggregations, dedup sets, join buffers) on
+#: local disk with an in-memory block cache instead of as JVM-heap objects.
+#: At 100 TB-class state (billions of dedup keys, week-long stream-stream
+#: join buffers) the default HDFS-backed in-memory provider OOMs or GC-
+#: stalls; RocksDB bounds memory and survives state ≫ RAM. Opt in with
+#: SPARK_GRAFT_STATE_STORE=rocksdb (session-build-time only — the state
+#: store provider cannot change across a checkpoint's lifetime).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an externally-provided session (driver's)."""
     for k, v in RUNTIME_CONFS.items():
@@ -42,6 +55,13 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             # Non-settable at runtime in some deployments — never fatal.
+            pass
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        try:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+            )
+        except Exception:
             pass
     return spark
 

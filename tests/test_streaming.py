@@ -278,3 +278,62 @@ def test_transform_with_state_v2_running_stats(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_rocksdb_state_store_batch_equals_stream(spark, sf_dir, events_stream_source, monkeypatch):
+    """The large-state path (SPARK_GRAFT_STATE_STORE=rocksdb → Spark's
+    embedded RocksDB state store): the same tumbling aggregation must
+    produce identical windows through the RocksDB provider, and the
+    query's state-operator metrics must prove the provider actually
+    engaged (rocksdb* custom metrics only exist on that provider).
+    On a real cluster this is the setting that survives state ≫ RAM —
+    heap-object state (the default provider) OOMs at 100 TB-class
+    dedup/join state."""
+    from gomaxscale_spark.session import ROCKSDB_PROVIDER, configure
+
+    path, schema = events_stream_source
+    batch_df = load_table(spark, sf_dir, "events")
+    expected = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in tumbling_counts(batch_df).collect()
+    }
+
+    monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "rocksdb")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        configure(spark)
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
+        )
+        stream = replay_parquet_stream(spark, path, schema)
+        q = (
+            tumbling_counts(stream)
+            .writeStream.format("memory")
+            .queryName("tumbling_rocks")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        progress = q.recentProgress
+        got = {
+            (r.window_start, r.event_type): (r.n, r.sum_value)
+            for r in spark.sql("SELECT * FROM tumbling_rocks").collect()
+        }
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    assert got, "stream produced no windows"
+    for key, val in got.items():
+        assert expected[key] == val
+    metric_keys = set()
+    for p in progress:
+        for op in p.get("stateOperators", []):
+            metric_keys |= set((op.get("customMetrics") or {}).keys())
+    assert any(k.startswith("rocksdb") for k in metric_keys), (
+        f"RocksDB provider metrics absent — provider did not engage: {sorted(metric_keys)[:8]}"
+    )
