@@ -308,3 +308,29 @@ def test_cw_coefficients_are_overflow_free():
     for a, b in coeffs:
         assert 1 <= a < MINHASH_P and 0 <= b < MINHASH_P
         assert a * (MINHASH_P - 1) + b < 2**62
+
+
+@given(
+    w=st.integers(min_value=0, max_value=100_000),
+    h=st.integers(min_value=0, max_value=100_000),
+    max_dim=st.integers(min_value=1, max_value=4096),
+)
+@settings(max_examples=500, deadline=None)
+def test_fit_dims_bounds_aspect_and_idempotence(w, h, max_dim):
+    """operators/multimodal.py::fit_dims — the integer fit program the
+    resize oracle replays: outputs bounded by max_dim, aspect preserved
+    to within integer truncation, already-fitting inputs untouched, and
+    the fit is idempotent (resizing a resized image is a no-op)."""
+    from gomaxscale_spark.operators.multimodal import fit_dims
+
+    ow, oh = fit_dims(w, h, max_dim)
+    if max(w, h) <= max_dim:
+        assert (ow, oh) == (w, h)
+    else:
+        assert 1 <= max(ow, oh) <= max_dim
+        assert min(ow, oh) >= 1
+        # aspect: out_w/out_h ≈ w/h within floor truncation of the scale
+        m = max(w, h)
+        assert ow == max(1, (w * max_dim) // m)
+        assert oh == max(1, (h * max_dim) // m)
+    assert fit_dims(ow, oh, max_dim) == (ow, oh)
