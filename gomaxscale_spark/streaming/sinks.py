@@ -92,3 +92,155 @@ class CDCSnapshotSink:
 
     def read_snapshot(self, spark) -> DataFrame:
         return spark.read.parquet(self.path).drop("__bucket")
+
+
+class IncrementalLSHDedupSink:
+    """foreachBatch handler maintaining a DEDUPLICATED document lake
+    under ``path`` — the streaming form of the batch-vs-lake dedup
+    (operators/dedup.py::incremental_dedup) extended with the MinHash-
+    LSH near-dup layer: "dedupe today's crawl against everything ever
+    kept", continuously.
+
+    State layout (parquet):
+      ``kept/``   — surviving documents + their content digest
+      ``bands/``  — (doc_id, band_id, band_hash) LSH band rows of every
+                    kept doc: the lake-side index the next batch joins
+                    against, so cross-batch candidate generation costs
+                    a band-key equi-join — never a scan of lake text
+
+    Per micro-batch:
+      1. exact layer: md5-digest anti-join vs kept digests + min-id
+         within batch (transitive-free, so batch-split-invariant);
+      2. cross-batch near-dup: batch band rows ⨝ lake band rows →
+         candidate (lake_id, batch_id) pairs → exact-Jaccard verify
+         (text pulled only for candidate-adjacent docs) → matched batch
+         docs drop (greedy: the earlier-kept doc stays the
+         representative);
+      3. within-batch near-dup: the bounded LSH pipeline + star-CC,
+         keep the min-id representative per cluster;
+      4. append survivors to ``kept/`` and their band rows to
+         ``bands/``.
+
+    Semantics: greedy first-seen-kept. The kept set is always an
+    independent set of the verified match graph (no two kept docs are
+    verified near-dups); cross-batch it can differ from the all-at-once
+    CC clustering on chain cases (a~b, b~c, a≁c split across batches) —
+    the standard online/offline dedup divergence, documented rather
+    than hidden.
+
+    Exactly-once: an ``_epoch_N`` marker makes a retried epoch a no-op
+    (foreachBatch replays epochs on failure). Production points the
+    same logic at a transactional lake table (Delta/Iceberg MERGE);
+    plain parquet append + marker is the lakehouse-less emulation.
+
+    Scale: all joins carry ids/digests/band keys; lake text is touched
+    only for candidate-adjacent docs (semi-join pruned inside
+    verify_candidates_jaccard); the bands/ index grows one row per
+    (kept doc × band) and is the only lake-side input to candidate
+    generation. Hot boilerplate band keys inherit the capped-LSH
+    review-queue option of the underlying operators.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        threshold: float = 0.8,
+        num_hashes: int = 64,
+        bands: int = 16,
+        shingle_n: int = 2,
+    ) -> None:
+        self.path = path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.threshold = threshold
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        self.apply_batch(batch_df, epoch_id)
+
+    def _read_or_none(self, spark, sub: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(f"{self.path}/{sub}")
+        except Exception:
+            return None
+
+    def apply_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        import os
+
+        from ..operators import dedup as D
+        from ..operators.materialize import materialize_once
+
+        marker = f"{self.path}/_epoch_{epoch_id}"
+        if os.path.exists(marker):
+            return  # retried epoch — already applied
+        spark = batch_df.sparkSession
+        id_c, txt = self.id_col, self.text_col
+
+        # 1. exact layer: lake digests then min-id within batch
+        batch = batch_df.withColumn("__digest", F.md5(F.col(txt)))
+        kept = self._read_or_none(spark, "kept")
+        if kept is not None:
+            batch = batch.join(
+                kept.select("__digest").distinct(), "__digest", "left_anti"
+            )
+        first = batch.groupBy("__digest").agg(F.min(id_c).alias(id_c))
+        batch = batch.join(first, ["__digest", id_c], "semi")
+
+        # 2. cross-batch near-dup vs the lake band index
+        lake_bands = self._read_or_none(spark, "bands")
+        if lake_bands is not None and kept is not None:
+            batch_bands = D._lsh_band_rows(
+                batch, id_c, txt, self.num_hashes, self.bands, self.shingle_n,
+                portable=True,
+            )
+            cross = (
+                lake_bands.withColumnRenamed(id_c, "id_a")
+                .join(
+                    batch_bands.withColumnRenamed(id_c, "id_b"),
+                    ["band_id", "band_hash"],
+                )
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            docs_for_verify = kept.select(id_c, txt).unionByName(
+                batch.select(id_c, txt)
+            )
+            matched = (
+                D.verify_candidates_jaccard(
+                    docs_for_verify, cross, id_c, txt, self.threshold, self.shingle_n
+                )
+                .select(F.col("id_b").alias(id_c))
+                .distinct()
+            )
+            batch = batch.join(matched, id_c, "left_anti")
+
+        # 3. within-batch near-dup: bounded LSH + star-CC, min-id reps
+        cands = D.minhash_lsh_candidates(
+            batch, id_c, txt, self.num_hashes, self.bands, self.shingle_n,
+            portable=True,
+        )
+        pairs = D.verify_candidates_jaccard(
+            batch, cands, id_c, txt, self.threshold, self.shingle_n
+        )
+        clusters = D.connected_components_star(pairs)
+        drop = clusters.filter(F.col("cluster_id") != F.col("id")).select("id")
+        survivors = batch.join(
+            F.broadcast(drop), F.col(id_c) == F.col("id"), "left_anti"
+        )
+
+        # 4. commit: kept docs + their band-row index, then the marker
+        survivors = materialize_once(survivors)
+        survivors.write.mode("append").parquet(f"{self.path}/kept")
+        D._lsh_band_rows(
+            survivors, id_c, txt, self.num_hashes, self.bands, self.shingle_n,
+            portable=True,
+        ).write.mode("append").parquet(f"{self.path}/bands")
+        os.makedirs(self.path, exist_ok=True)
+        open(marker, "w").close()
+
+    def read_kept(self, spark) -> DataFrame:
+        return spark.read.parquet(f"{self.path}/kept").drop("__digest")

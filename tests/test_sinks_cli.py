@@ -167,3 +167,51 @@ def test_cli_streaming_mode_prints_stats():
     # console sink batches reached stdout; stats lines reached stderr
     assert "Batch:" in proc.stdout
     assert "events/second" in proc.stderr
+
+
+def test_incremental_lsh_dedup_sink(spark, sf_dir, tmp_path):
+    """The streaming dedup lake: documents applied in 3 chronological
+    micro-batches must (a) keep a digest-unique corpus, (b) keep NO
+    verified near-dup pair (the kept set is an independent set of the
+    match graph — checked by running the same candidate generator +
+    verify over the final kept corpus), (c) agree with the one-batch
+    run on the exact layer, and (d) be idempotent under epoch replay."""
+    from gomaxscale_spark.operators import dedup as D
+    from gomaxscale_spark.streaming.sinks import IncrementalLSHDedupSink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+
+    sink = IncrementalLSHDedupSink(str(tmp_path / "lake"), threshold=0.8)
+    b1 = docs.filter(F.col("doc_id") <= cut1)
+    b2 = docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2))
+    b3 = docs.filter(F.col("doc_id") > cut2)
+    for epoch, b in enumerate([b1, b2, b3]):
+        sink.apply_batch(b, epoch)
+    # (d) replaying an already-applied epoch is a no-op
+    n_before = sink.read_kept(spark).count()
+    sink.apply_batch(b2, 1)
+    kept = sink.read_kept(spark)
+    assert kept.count() == n_before
+
+    # (a) digest-unique
+    n = kept.count()
+    assert n > 0
+    assert kept.select(F.md5("text")).distinct().count() == n
+
+    # (b) independent set: no verified pair survives among kept docs
+    cands = D.minhash_lsh_candidates(
+        kept, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2, portable=True
+    )
+    pairs = D.verify_candidates_jaccard(kept, cands, "doc_id", "text", 0.8, 2)
+    assert pairs.count() == 0, "kept corpus still contains verified near-dups"
+
+    # (c) one-batch run: exact layer must agree; near-dup layer may
+    # diverge only on cross-batch chain cases
+    sink1 = IncrementalLSHDedupSink(str(tmp_path / "lake_one"), threshold=0.8)
+    sink1.apply_batch(docs, 0)
+    kept1 = sink1.read_kept(spark)
+    d3 = {r[0] for r in kept.select(F.md5("text")).collect()}
+    d1 = {r[0] for r in kept1.select(F.md5("text")).collect()}
+    assert d3 == d1, "batch-split changed the kept corpus on this fixture"
