@@ -215,3 +215,29 @@ def test_incremental_lsh_dedup_sink(spark, sf_dir, tmp_path):
     d3 = {r[0] for r in kept.select(F.md5("text")).collect()}
     d1 = {r[0] for r in kept1.select(F.md5("text")).collect()}
     assert d3 == d1, "batch-split changed the kept corpus on this fixture"
+
+
+def test_incremental_lsh_dedup_sink_as_stream_target(spark, sf_dir, tmp_path):
+    """The dedup-lake sink through the REAL engine: readStream over the
+    chunked corpus → writeStream.foreachBatch(sink) → the lake ends
+    digest-unique and near-dup-free, same as direct apply_batch."""
+    import time
+
+    from gomaxscale_spark.streaming.sinks import IncrementalLSHDedupSink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    src_path = str(tmp_path / "doc_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(src_path)
+    sink = IncrementalLSHDedupSink(str(tmp_path / "lake_stream"), threshold=0.8)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_path)
+    )
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    time.sleep(0.2)
+    kept = sink.read_kept(spark)
+    n = kept.count()
+    assert n > 0
+    assert kept.select(F.md5("text")).distinct().count() == n
