@@ -99,3 +99,33 @@ def test_table_subset_scales_only_named_facts(spark, tmp_path):
     for t in ("customer", "orders", "lineitem", "events", "region"):
         base = spark.read.parquet(f"{SRC}/{t}.parquet").count()
         assert spark.read.parquet(f"{out}/{t}.parquet").count() == base, t
+
+
+def test_bench_compare_noise_normalization(tmp_path, capsys):
+    """tools/bench_compare.py: host drift measured by the calibration
+    probe must be divided out — a uniform 1.5× slowdown is all noise,
+    while a real 2× regression stays flagged."""
+    import json
+    import runpy
+    import sys as _sys
+
+    a = {"value": 2.0, "queries": {"q_steady": 1.0, "q_regressed": 1.0},
+         "calibration": {"query": "scan_filter_project", "min": 0.10, "median": 0.11}}
+    b = {"value": 4.5, "queries": {"q_steady": 1.5, "q_regressed": 3.0},
+         "calibration": {"query": "scan_filter_project", "min": 0.15, "median": 0.16}}
+    pa, pb = tmp_path / "a.json", tmp_path / "b.json"
+    pa.write_text(json.dumps(a))
+    pb.write_text(json.dumps(b))
+    argv = _sys.argv
+    _sys.argv = ["bench_compare.py", str(pa), str(pb)]
+    try:
+        runpy.run_path(str(REPO / "tools" / "bench_compare.py"), run_name="__main__")
+    finally:
+        _sys.argv = argv
+    out = capsys.readouterr().out
+    assert "x1.50" in out  # host drift detected
+    assert "q_steady" in out and "q_steady   " in out or "noise" in out
+    lines = {l.split()[0]: l for l in out.splitlines() if l.startswith("q_")}
+    assert "noise" in lines["q_steady"]
+    assert "SLOWER" in lines["q_regressed"]
+    assert "regressions beyond the calibrated noise band: q_regressed" in out
