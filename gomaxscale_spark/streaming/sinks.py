@@ -150,6 +150,7 @@ class IncrementalLSHDedupSink:
         num_hashes: int = 64,
         bands: int = 16,
         shingle_n: int = 2,
+        max_bucket_size: int | None = None,
     ) -> None:
         self.path = path
         self.id_col = id_col
@@ -158,6 +159,17 @@ class IncrementalLSHDedupSink:
         self.num_hashes = num_hashes
         self.bands = bands
         self.shingle_n = shingle_n
+        #: 100 TB control loop: cap the per-band-key join fan-out. The
+        #: LAKE side of the cross-batch join accumulates every kept
+        #: doc's band rows forever, so one boilerplate band key
+        #: eventually matches millions of lake rows — the same hot-
+        #: bucket quadratic the batch operators cap count-first.
+        #: With a cap set, over-cap lake keys skip the auto join and
+        #: surface as (band_id, band_hash, n_members) rows under
+        #: ``review/`` — the deferred-work channel; within-batch
+        #: candidate generation gets the same cap via
+        #: minhash_lsh_candidates(max_bucket_size=...).
+        self.max_bucket_size = max_bucket_size
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         self.apply_batch(batch_df, epoch_id)
@@ -193,6 +205,22 @@ class IncrementalLSHDedupSink:
         # 2. cross-batch near-dup vs the lake band index
         lake_bands = self._read_or_none(spark, "bands")
         if lake_bands is not None and kept is not None:
+            if self.max_bucket_size is not None:
+                # count-first cap on the LAKE side of the join: sizes
+                # from a skew-immune count agg, over-cap keys routed to
+                # the review/ queue BEFORE any join fan-out exists
+                key_counts = lake_bands.groupBy("band_id", "band_hash").agg(
+                    F.count(F.lit(1)).alias("n_members")
+                )
+                key_counts.filter(
+                    F.col("n_members") > self.max_bucket_size
+                ).write.mode("append").parquet(f"{self.path}/review")
+                lake_bands = lake_bands.join(
+                    key_counts.filter(
+                        F.col("n_members") <= self.max_bucket_size
+                    ).select("band_id", "band_hash"),
+                    ["band_id", "band_hash"],
+                )
             batch_bands = D._lsh_band_rows(
                 batch, id_c, txt, self.num_hashes, self.bands, self.shingle_n,
                 portable=True,
@@ -221,7 +249,7 @@ class IncrementalLSHDedupSink:
         # 3. within-batch near-dup: bounded LSH + star-CC, min-id reps
         cands = D.minhash_lsh_candidates(
             batch, id_c, txt, self.num_hashes, self.bands, self.shingle_n,
-            portable=True,
+            max_bucket_size=self.max_bucket_size, portable=True,
         )
         pairs = D.verify_candidates_jaccard(
             batch, cands, id_c, txt, self.threshold, self.shingle_n

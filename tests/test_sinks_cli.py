@@ -241,3 +241,40 @@ def test_incremental_lsh_dedup_sink_as_stream_target(spark, sf_dir, tmp_path):
     n = kept.count()
     assert n > 0
     assert kept.select(F.md5("text")).distinct().count() == n
+
+
+def test_incremental_lsh_dedup_sink_capped_review_queue(spark, tmp_path):
+    """max_bucket_size=1 on a degenerate one-family corpus: every lake
+    band key is hot, so the cross-batch auto join is skipped for all of
+    them — near-dups are DEFERRED (kept + review rows), never silently
+    dropped — while the exact digest layer still dedupes regardless of
+    the cap."""
+    from gomaxscale_spark.streaming.sinks import IncrementalLSHDedupSink
+
+    base = "common boilerplate text repeated across the corpus for every single document"
+    docs = spark.createDataFrame(
+        [(i, f"{base} {'tail' + str(i) if i % 2 else ''}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lake_capped")
+    sink = IncrementalLSHDedupSink(path, threshold=0.8, max_bucket_size=1)
+    sink.apply_batch(docs.filter(F.col("doc_id") < 6), 0)
+    sink.apply_batch(docs.filter(F.col("doc_id") >= 6), 1)
+    kept = sink.read_kept(spark)
+    kept_ids = sorted(r.doc_id for r in kept.collect())
+    # cap=1 blocks ALL near-dup candidate generation (a pair needs a
+    # 2-member bucket), so only the digest layer dedupes: evens collapse
+    # to doc 0, every odd tail-variant is deferred-kept
+    assert kept_ids == [0, 1, 3, 5, 7, 9, 11]
+    n = kept.count()
+    assert kept.select(F.md5("text")).distinct().count() == n
+    review = spark.read.parquet(f"{path}/review")
+    assert review.count() > 0, "hot lake band keys should surface as review rows"
+    assert set(review.columns) == {"band_id", "band_hash", "n_members"}
+    assert review.agg(F.min("n_members")).head()[0] > 1
+
+    # uncapped control on the same corpus: near-dups actually drop
+    sink2 = IncrementalLSHDedupSink(str(tmp_path / "lake_uncapped"), threshold=0.8)
+    sink2.apply_batch(docs.filter(F.col("doc_id") < 6), 0)
+    sink2.apply_batch(docs.filter(F.col("doc_id") >= 6), 1)
+    assert sink2.read_kept(spark).count() < len(kept_ids)
