@@ -474,3 +474,70 @@ def test_streaming_mid_stream_ddl_schema_evolution(registered):
     # the registry holds both versions; pinning v1 drops the new column
     assert reg.versions("example", "users") == [1, 2]
     assert "email" not in reg.schema("example", "users", version=1).fieldNames()
+
+
+def test_cdc_stream_feeds_dedup_lake(registered, tmp_path):
+    """The full bridge: the reference's CDC protocol (mock MaxScale →
+    maxscale_cdc streaming source) carrying a documents table, typed-
+    projected per micro-batch and folded into the LLM dedup lake
+    (IncrementalLSHDedupSink) — exact copies and near-dups arriving as
+    row-change events never enter the kept corpus."""
+    from gomaxscale_spark.streaming.sinks import IncrementalLSHDedupSink
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill nearby every single morning")
+    docs_ddl = dict(DDL, table="documents", fields=[
+        {"name": "doc_id", "type": "int"},
+        {"name": "text", "type": "string"},
+    ])
+    payloads = {
+        1: base,
+        2: base,                                   # exact copy of 1
+        3: base.replace("morning", "evening"),     # near-dup of 1 (J ≈ 0.9)
+        4: "completely different content about distributed query engines and shuffles",
+        5: "yet another unrelated document mentioning parquet files and arrow batches",
+    }
+    script = [docs_ddl] + [
+        dml(i, doc_id=i, text=payloads[i]) for i in sorted(payloads)
+    ]
+
+    reg = SchemaRegistry()
+    reg.register(json.dumps(docs_ddl).encode())
+    schema = reg.full_dml_schema("example", "documents")
+    sink = IncrementalLSHDedupSink(str(tmp_path / "cdc_lake"), threshold=0.8)
+
+    def fold(batch_df, epoch_id):
+        projected = (
+            batch_df.filter(F.col("kind") == "dml")
+            .select(F.from_json("raw", schema).alias("r"))
+            .select(F.col("r.doc_id").cast("long").alias("doc_id"), "r.text")
+        )
+        sink.apply_batch(projected, epoch_id)
+
+    opts = dict(read_options((None, None)), table="documents")
+    with MockMaxScaleServer(script=script, write_delay=0.05) as addr:
+        opts["host"], opts["port"] = addr[0], str(addr[1])
+        q = (
+            registered.readStream.format("maxscale_cdc")
+            .options(**opts)
+            .load()
+            .writeStream.foreachBatch(fold)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 45
+            while time.time() < deadline:
+                try:
+                    if sink.read_kept(registered).count() >= 3:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+        finally:
+            q.stop()
+
+    kept = {r.doc_id for r in sink.read_kept(registered).collect()}
+    assert 1 in kept and 4 in kept and 5 in kept
+    assert 2 not in kept, "exact CDC copy survived"
+    assert 3 not in kept, "near-dup CDC payload survived"
