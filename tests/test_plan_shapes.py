@@ -244,6 +244,17 @@ def test_adaptive_embedding_lsh_no_vector_shuffle_and_broadcast_width(spark, sf_
                for e in exchanges), exchanges
 
 
+def test_embedding_cc_compositions_never_shuffle_vectors(spark, sf_dir):
+    """r6's semantic-dedup compositions (adaptive LSH pairs → star-CC
+    clusters / kept-corpus): embedding arrays must never ride an
+    exchange — star rounds and the anti-join shuffle ids only."""
+    for name in ("dedup_embedding_cc", "dedup_embedding_keep_representatives"):
+        p = plan_str(spark, sf_dir, name)
+        exchanges = [seg.splitlines()[0] for seg in p.split("Exchange")[1:]]
+        assert all("embedding" not in e and "vec_a" not in e and "vec_b" not in e
+                   for e in exchanges), (name, exchanges)
+
+
 #: Shuffle-count ceilings for every headline query (sf0.001 executed
 #: plans). A higher count on a future change = an extra exchange crept
 #: into a tuned plan — a perf regression at any scale, caught here
