@@ -362,3 +362,110 @@ def resize_media(media_df: DataFrame, max_dim: int = 64) -> DataFrame:
             yield out
 
     return media_df.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, mime string, byte_len int, sample_rate int, channels int, "
+    "bits int, n_frames int, duration_ms int, rms double"
+)
+
+
+def decode_audio_real(data: bytes) -> dict:
+    """Real audio decode for the dependency-free case: RIFF/WAVE with
+    uncompressed PCM (format tag 1), 8-bit unsigned or 16-bit signed
+    LE samples. Walks the chunk list properly (LIST/fact/cue chunks
+    skipped; word-aligned sizes), so files with metadata chunks parse.
+    Compressed formats (MP3/AAC/FLAC… need entropy decoders) raise
+    NotImplementedError — production plugs ffmpeg/soundfile in here.
+
+    Features: frame count from data-chunk length ÷ block_align,
+    duration in ms (integer floor — oracle-friendly), RMS amplitude
+    over all channel samples normalized to [0, 1], rounded to 4dp."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    payload = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or payload is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, sample_rate, _byte_rate, block_align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only uncompressed 8/16-bit PCM supported (format={audio_format}, bits={bits})"
+        )
+    n_frames = len(payload) // block_align if block_align else 0
+    n_samples = n_frames * channels
+    if bits == 16:
+        samples = struct.unpack_from(f"<{n_samples}h", payload, 0)
+        acc = sum((s / 32768.0) ** 2 for s in samples)
+    else:
+        acc = sum(((b - 128) / 128.0) ** 2 for b in payload[: n_samples])
+    rms = (acc / n_samples) ** 0.5 if n_samples else 0.0
+    return {
+        "byte_len": len(data),
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits": bits,
+        "n_frames": n_frames,
+        "duration_ms": (n_frames * 1000) // sample_rate if sample_rate else 0,
+        "rms": round(rms, 4),
+    }
+
+
+def fake_audio_features(data: bytes) -> dict:
+    """Deterministic stand-in for audio decode — pure integer
+    arithmetic on the byte length (oracle-replayable), mirroring
+    fake_decode_features for images."""
+    n = len(data)
+    sample_rate = 8000 + (n % 3) * 4000        # 8/12/16 kHz pseudo-rates
+    channels = 1 + (n % 2)
+    n_frames = n // (2 * channels)             # as if 16-bit PCM
+    return {
+        "byte_len": n,
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits": 16,
+        "n_frames": n_frames,
+        "duration_ms": (n_frames * 1000) // sample_rate,
+        "rms": round((n % 1000) / 1000.0, 4),
+    }
+
+
+def audio_features(media_df: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """mapInPandas audio feature-extract stage — same Arrow-batched,
+    zero-shuffle plumbing as ``decode_media``; real RIFF/PCM payloads
+    decode for real, everything else falls back per payload to the
+    deterministic fake so a mixed batch never fails the job."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_real_codec:
+            def decode(b: bytes) -> dict:
+                try:
+                    return decode_audio_real(b)
+                except (NotImplementedError, ValueError):
+                    return fake_audio_features(b)
+        else:
+            decode = fake_audio_features
+        for pdf in batches:
+            feats = pdf["media"].map(lambda b: decode(bytes(b)))
+            out = pdf[["doc_id", "mime"]].copy()
+            for col in ("byte_len", "sample_rate", "channels", "bits", "n_frames",
+                        "duration_ms"):
+                out[col] = feats.map(lambda d, c=col: d[c]).astype("int32")
+            out["rms"] = feats.map(lambda d: d["rms"]).astype("float64")
+            yield out
+
+    return media_df.mapInPandas(decode_batches, schema=AUDIO_SCHEMA)

@@ -155,6 +155,7 @@ _TIER2: list[str] = [
     "dedup_exact_hashed",
     "multimodal_frame_sample",
     "multimodal_resize_fit",
+    "multimodal_audio_features",
     "sampling_stratified_sample",
     "dq_column_profile",
     "dq_contract_violations",

@@ -993,6 +993,36 @@ def multimodal_resize_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+           CAST(8000 + (octet_length(encode(text)) % 3) * 4000 AS INTEGER) AS sample_rate,
+           CAST(1 + (octet_length(encode(text)) % 2) AS INTEGER) AS channels,
+           CAST(octet_length(encode(text)) // (2 * (1 + (octet_length(encode(text)) % 2))) AS INTEGER) AS n_frames,
+           CAST((octet_length(encode(text)) // (2 * (1 + (octet_length(encode(text)) % 2)))) * 1000
+                // (8000 + (octet_length(encode(text)) % 3) * 4000) AS INTEGER) AS duration_ms,
+           round((octet_length(encode(text)) % 1000) / 1000.0, 4) AS rms
+    FROM documents
+    """,
+    doc="Multimodal AUDIO plumbing: binary media column + mapInPandas "
+    "feature-extract (sample rate / channels / frames / duration / "
+    "RMS). Real RIFF/PCM WAV payloads decode for real "
+    "(operators/multimodal.py decode_audio_real — dependency-free "
+    "chunk-walking parser, pytested on crafted 8- and 16-bit fixtures "
+    "incl. metadata chunks); the synthetic corpus media ride the "
+    "deterministic integer fallback the oracle replays. Same zero-"
+    "shuffle Arrow-batch scale shape as the image stages.",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return M.audio_features(M.attach_media(d)).select(
+        "doc_id", "byte_len", "sample_rate", "channels", "n_frames",
+        "duration_ms", "rms",
+    )
+
+
+@query(
     "dedup_exact_hashed",
     oracle="""
     SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups

@@ -157,3 +157,63 @@ def test_resize_media_mixed_batch(spark):
         feats["width"], feats["height"], ow, oh)
     assert rows[2].out_media is None
     assert rows[2].out_payload_bytes == ow * oh * 3
+
+
+def make_wav(sample_rate: int, channels: int, bits: int, frames: list,
+             extra_chunk: bool = False) -> bytes:
+    """RIFF/WAVE PCM fixture; `frames` is a list of per-frame tuples
+    (one int per channel). Optionally inserts a LIST metadata chunk
+    before data to exercise chunk-walking."""
+    block_align = channels * bits // 8
+    if bits == 16:
+        payload = b"".join(struct.pack("<h", s) for fr in frames for s in fr)
+    else:
+        payload = bytes(s for fr in frames for s in fr)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block_align, block_align, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:
+        meta = b"INFOsoft"
+        chunks += b"LIST" + struct.pack("<I", len(meta)) + meta
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_16bit_parsed_exactly():
+    from gomaxscale_spark.operators.multimodal import decode_audio_real
+
+    # constant half-amplitude stereo: RMS = 0.5
+    frames = [(16384, -16384)] * 8000
+    out = decode_audio_real(make_wav(16000, 2, 16, frames, extra_chunk=True))
+    assert out["sample_rate"] == 16000 and out["channels"] == 2
+    assert out["bits"] == 16 and out["n_frames"] == 8000
+    assert out["duration_ms"] == 500
+    assert out["rms"] == 0.5
+
+
+def test_wav_8bit_and_rejections():
+    from gomaxscale_spark.operators.multimodal import decode_audio_real
+
+    out = decode_audio_real(make_wav(8000, 1, 8, [(128 + 64,)] * 4000))
+    assert (out["bits"], out["n_frames"], out["duration_ms"]) == (8, 4000, 500)
+    assert out["rms"] == 0.5
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        decode_audio_real(b"ID3\x03not-a-wav-at-all" * 4)
+
+
+def test_audio_features_mixed_batch(spark):
+    from gomaxscale_spark.operators.multimodal import audio_features, fake_audio_features
+
+    wav = make_wav(16000, 1, 16, [(0,)] * 1600)
+    fake = b"plain text payload standing in for opaque media"
+    df = spark.createDataFrame(
+        [(1, bytearray(wav), "audio/wav"), (2, bytearray(fake), "text/plain")],
+        "doc_id long, media binary, mime string",
+    )
+    rows = {r.doc_id: r for r in audio_features(df, use_real_codec=True).collect()}
+    assert (rows[1].sample_rate, rows[1].n_frames, rows[1].duration_ms) == (16000, 1600, 100)
+    assert rows[1].rms == 0.0
+    exp = fake_audio_features(fake)
+    assert (rows[2].sample_rate, rows[2].channels, rows[2].n_frames) == (
+        exp["sample_rate"], exp["channels"], exp["n_frames"])
