@@ -469,3 +469,103 @@ def audio_features(media_df: DataFrame, use_real_codec: bool = False) -> DataFra
             yield out
 
     return media_df.mapInPandas(decode_batches, schema=AUDIO_SCHEMA)
+
+
+FRAMES_SCHEMA = (
+    "doc_id bigint, mime string, frame_no int, frame_w int, frame_h int, "
+    "frame_media binary"
+)
+
+
+def extract_frames_real(data: bytes, every_n: int = 1) -> dict:
+    """Real video frame extraction for the dependency-free case:
+    RIFF/AVI with uncompressed DIB frames ('00db' chunks, BI_RGB
+    24-bpp) — the same bottom-up BGR row layout as BMP. Walks
+    hdrl ('avih' for dims) and the 'movi' LIST; every ``every_n``-th
+    frame is re-encoded as binary P6 (top-down RGB). Compressed
+    streams ('00dc' with a codec) raise NotImplementedError —
+    production plugs ffmpeg/pyav in here."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise NotImplementedError("not a RIFF/AVI payload")
+
+    width = height = None
+    frames: list[tuple[int, bytes]] = []
+    frame_no = 0
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height, frame_no
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)  # skip list type tag
+            elif cid == b"avih":
+                width, height = struct.unpack_from("<II", data, body_start + 32)
+            elif cid[2:4] == b"db":
+                if width is None or height is None:
+                    raise ValueError("frame chunk before avih header")
+                if frame_no % every_n == 0:
+                    raw = data[body_start : body_start + size]
+                    stride = ((width * 3 + 3) // 4) * 4
+                    if len(raw) < stride * height:
+                        raise ValueError("truncated DIB frame")
+                    out = bytearray(width * height * 3)
+                    for r in range(height):
+                        row = raw[(height - 1 - r) * stride :][: width * 3]
+                        for x in range(width):
+                            o = (r * width + x) * 3
+                            out[o] = row[x * 3 + 2]      # R <- BGR
+                            out[o + 1] = row[x * 3 + 1]
+                            out[o + 2] = row[x * 3]
+                    header = f"P6\n{width} {height}\n255\n".encode()
+                    frames.append((frame_no, header + bytes(out)))
+                frame_no += 1
+            elif cid[2:4] == b"dc":
+                raise NotImplementedError(
+                    "compressed AVI stream; production plugs ffmpeg/pyav in here"
+                )
+            pos = body_start + size + (size & 1)
+
+    walk(12, len(data))
+    if width is None:
+        raise ValueError("missing avih header")
+    return {"width": width, "height": height, "n_frames": frame_no, "frames": frames}
+
+
+def sample_frames(media_df: DataFrame, every_n: int = 10, use_real_codec: bool = False) -> DataFrame:
+    """mapInPandas frame-sampling stage with a REAL path: uncompressed
+    AVI payloads explode into actual (frame_no, P6 frame bytes) rows
+    (extract_frames_real); everything else falls back per payload to
+    the deterministic pseudo-frame arithmetic (frame count from
+    byte_len, NULL media) — same schema either way, so mixed batches
+    never fail and the plumbing stays oracle-checkable on the fake
+    corpus. One input row fans out to many output rows INSIDE the
+    Arrow batch — zero shuffle, blobs never leave the executor."""
+
+    def explode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def rows_for(doc_id: int, mime: str, b: bytes):
+            if use_real_codec:
+                try:
+                    out = extract_frames_real(b, every_n)
+                    return [
+                        (doc_id, mime, fn, out["width"], out["height"], fb)
+                        for fn, fb in out["frames"]
+                    ]
+                except (NotImplementedError, ValueError):
+                    pass
+            n_pseudo = len(b) // (64 * every_n) + 1
+            return [
+                (doc_id, mime, k * every_n, 0, 0, None) for k in range(n_pseudo)
+            ]
+
+        cols = ["doc_id", "mime", "frame_no", "frame_w", "frame_h", "frame_media"]
+        for pdf in batches:
+            out_rows: list = []
+            for _, row in pdf.iterrows():
+                out_rows.extend(rows_for(row["doc_id"], row["mime"], bytes(row["media"])))
+            yield pd.DataFrame(out_rows, columns=cols)
+
+    return media_df.mapInPandas(explode_batches, schema=FRAMES_SCHEMA)

@@ -217,3 +217,71 @@ def test_audio_features_mixed_batch(spark):
     exp = fake_audio_features(fake)
     assert (rows[2].sample_rate, rows[2].channels, rows[2].n_frames) == (
         exp["sample_rate"], exp["channels"], exp["n_frames"])
+
+
+def make_avi(width: int, height: int, frame_colors: list) -> bytes:
+    """Minimal uncompressed RIFF/AVI fixture: avih header + one 00db
+    DIB frame (bottom-up BGR, 4-byte-aligned rows) per color."""
+    stride = ((width * 3 + 3) // 4) * 4
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack("<8I", 33333, 0, 0, 0, len(frame_colors), 0, 1, 0)
+    avih += struct.pack("<II", width, height) + b"\x00" * 16
+    hdrl = lst(b"hdrl", chunk(b"avih", avih))
+    movi_frames = b""
+    for bgr in frame_colors:
+        row = (bytes(bgr) * width + b"\x00" * (stride - width * 3))
+        movi_frames += chunk(b"00db", row * height)
+    movi = lst(b"movi", movi_frames)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_frame_extraction_exact_pixels():
+    from gomaxscale_spark.operators.multimodal import extract_frames_real
+
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]  # BGR
+    out = extract_frames_real(make_avi(4, 2, colors), every_n=2)
+    assert (out["width"], out["height"], out["n_frames"]) == (4, 2, 4)
+    assert [fn for fn, _ in out["frames"]] == [0, 2]
+    header = b"P6\n4 2\n255\n"
+    # frame 0 was solid BGR (255,0,0) -> RGB (0,0,255)
+    assert out["frames"][0][1][len(header):][:3] == bytes((0, 0, 255))
+    assert out["frames"][1][1][len(header):][:3] == bytes((255, 0, 0))
+
+
+def test_avi_compressed_rejected():
+    import struct as _s
+
+    from gomaxscale_spark.operators.multimodal import extract_frames_real
+
+    avi = make_avi(2, 2, [(1, 2, 3)])
+    avi = avi.replace(b"00db", b"00dc")
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        extract_frames_real(avi)
+    with _pytest.raises(NotImplementedError):
+        extract_frames_real(b"not media at all")
+
+
+def test_sample_frames_mixed_batch(spark):
+    from gomaxscale_spark.operators.multimodal import sample_frames
+
+    avi = make_avi(4, 4, [(9, 9, 9)] * 6)
+    fake = b"opaque payload " * 40
+    df = spark.createDataFrame(
+        [(1, bytearray(avi), "video/x-msvideo"), (2, bytearray(fake), "text/plain")],
+        "doc_id long, media binary, mime string",
+    )
+    rows = sample_frames(df, every_n=3, use_real_codec=True).collect()
+    real = sorted((r.frame_no, r.frame_w, r.frame_h, r.frame_media is not None)
+                  for r in rows if r.doc_id == 1)
+    assert real == [(0, 4, 4, True), (3, 4, 4, True)]
+    pseudo = [r for r in rows if r.doc_id == 2]
+    assert pseudo and all(r.frame_media is None and r.frame_w == 0 for r in pseudo)
+    assert [r.frame_no for r in pseudo] == [k * 3 for k in range(len(pseudo))]
