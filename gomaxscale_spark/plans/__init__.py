@@ -156,6 +156,7 @@ _TIER2: list[str] = [
     "multimodal_frame_sample",
     "multimodal_resize_fit",
     "multimodal_audio_features",
+    "multimodal_frame_extract",
     "sampling_stratified_sample",
     "dq_column_profile",
     "dq_contract_violations",

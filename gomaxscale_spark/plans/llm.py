@@ -993,6 +993,33 @@ def multimodal_resize_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frame_extract",
+    oracle="""
+    SELECT doc_id, CAST(k.k * 5 AS INTEGER) AS frame_no,
+           CAST(0 AS INTEGER) AS frame_w, CAST(0 AS INTEGER) AS frame_h
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(0,
+                  CAST(octet_length(encode(text)) // (64 * 5) AS INTEGER))) AS k) k
+    """,
+    doc="Multimodal frame EXTRACTION stage (the real-codec successor "
+    "of multimodal_frame_sample's offset arithmetic): sample_frames "
+    "explodes every-nth frame into rows INSIDE the Arrow batch — for "
+    "uncompressed AVI payloads with actual P6 frame bytes "
+    "(operators/multimodal.py extract_frames_real, pixel-exact "
+    "pytests); the synthetic corpus media ride the pseudo-frame "
+    "fallback whose integer arithmetic the oracle replays. Scale: the "
+    "per-doc frame fan-out happens in the map stage, zero shuffle, so "
+    "a 2-hour video becomes rows without its bytes ever riding an "
+    "exchange.",
+)
+def multimodal_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return M.sample_frames(M.attach_media(d), every_n=5).select(
+        "doc_id", "frame_no", "frame_w", "frame_h"
+    )
+
+
+@query(
     "multimodal_audio_features",
     oracle="""
     SELECT doc_id,
