@@ -297,9 +297,12 @@ def test_headline_shuffle_ceilings(spark, sf_dir):
     assert not over, f"shuffle regressions (got, ceiling): {over}"
 
 
-def test_multimodal_resize_zero_shuffle(spark, sf_dir):
-    """The resize stage is a pure mapInPandas pass: blobs must never
-    ride an exchange, and the plan must have no shuffle at all."""
-    p = plan_str(spark, sf_dir, "multimodal_resize_fit")
-    assert "Exchange" not in p, f"resize stage shuffles:\n{p[:1500]}"
-    assert "MapInPandas" in p or "ArrowEvalPython" in p
+def test_multimodal_stages_zero_shuffle(spark, sf_dir):
+    """Every multimodal processing stage (resize / audio features /
+    frame extraction) is a pure mapInPandas pass: blobs must never ride
+    an exchange, and the plans must have no shuffle at all."""
+    for name in ("multimodal_resize_fit", "multimodal_audio_features",
+                 "multimodal_frame_extract"):
+        p = plan_str(spark, sf_dir, name)
+        assert "Exchange" not in p, f"{name} shuffles:\n{p[:1500]}"
+        assert "MapInPandas" in p or "ArrowEvalPython" in p, name
