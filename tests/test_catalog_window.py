@@ -128,3 +128,20 @@ def test_spark_entry_preserves_priority_order():
     oracles = mod.oracle_sql()
     for name in list(all_queries())[:WINDOW]:
         assert name in oracles
+
+
+def test_bench_query_lists_resolve_in_registry():
+    """A typo in bench.py's HEADLINE/EXTRA lists would KeyError midway
+    through the driver's bench run — pin every name to the registry."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", Path(__file__).resolve().parents[1] / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    registry = set(all_queries())
+    missing = [n for n in bench.HEADLINE + bench.EXTRA if n not in registry]
+    assert not missing, f"bench names not in the registry: {missing}"
+    assert "scan_filter_project" in registry  # the calibration probe
