@@ -62,6 +62,16 @@ EXTRA = [
     "dedup_embedding_lsh_scaled",
     "dedup_embedding_cc",
     "multimodal_resize_fit",
+    # r6 operators (VERDICT r6 item 3): tracked here so a regression in
+    # any of them shows in the bench JSON without touching the
+    # r1-comparable headline total
+    "multimodal_audio_features",
+    "multimodal_frame_extract",
+    "dedup_embedding_keep_representatives",
+    "dedup_prefix_filter_join",
+    "dedup_minhash_lsh_capped",
+    # r7: the SCD2 validity-interval fold (C2's other standard shape)
+    "cdc_scd2_history",
 ]
 
 

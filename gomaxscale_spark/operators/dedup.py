@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from .bucketing import parallelize_narrow_input  # noqa: F401  (shared utility, re-exported)
-from .materialize import materialize_once
+from .materialize import materialize_fixpoint, materialize_once, release
 
 
 def tokenize(text: Column) -> Column:
@@ -652,21 +652,23 @@ def connected_components(
     diameter is tiny in practice.
 
     Scale: each round is one shuffle join on the edge list (ids only —
-    documents never move) plus a min-aggregate; `materialize_once`
-    truncates the growing lineage so round N doesn't replay rounds
-    1..N-1 (SPARK_GRAFT_MATERIALIZE=persist_disk on a cluster keeps
-    lineage recomputable; reliable `checkpoint` to HDFS for lineages
-    too costly to ever replay). For
+    documents never move) plus a min-aggregate; `materialize_fixpoint`
+    truncates the growing PLAN each round — fixpoint state must
+    checkpoint, not persist: a step referencing its state twice
+    doubles the analyzed tree per round (measured driver OOM;
+    materialize.py docstring), which is why persist_disk upgrades to a
+    truncating strategy here. Superseded generations are `release`d so
+    block storage holds one generation, not one per round. For
     web-scale graphs swap the propagation loop for the large-star/
     small-star algorithm (Kiveris et al., same DataFrame shape, fewer
     rounds on high-degree graphs).
     """
-    edges = materialize_once(
+    edges = materialize_fixpoint(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
-    labels = materialize_once(
+    labels = materialize_fixpoint(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
@@ -677,7 +679,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = materialize_once(
+        new_labels = materialize_fixpoint(
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left").select(
                 labels["id"],
                 F.least(labels["label"], F.coalesce("nbr_label", labels["label"])).alias(
@@ -691,9 +693,14 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the superseded generation's blocks are dead once the change
+        # count has consumed it — unpersist so persist_disk mode holds
+        # ONE generation of blocks, not one per round
+        release(labels)
         labels = new_labels
         if changed == 0:
             break
+    release(edges)  # the returned plan references only `labels`
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
@@ -721,7 +728,9 @@ def connected_components_star(
     property-tested against the min-label implementation).
 
     Scale: per round, two hash aggregations + two joins on ids only;
-    ``materialize_once`` truncates lineage; the converged state is a
+    ``materialize_fixpoint`` truncates the plan each round (fixpoint
+    state must checkpoint, not persist — see materialize.py) and
+    superseded generations are ``release``d; the converged state is a
     one-level star per component. The convergence check is an
     edge-set-equality count — same driver-side `.count()` class as the
     min-label loop (inherent to fixpoint detection).
@@ -734,7 +743,7 @@ def connected_components_star(
             .distinct()
         )
 
-    edges = materialize_once(
+    edges = materialize_fixpoint(
         canon(pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")))
     )
     edges_count = edges.count()
@@ -760,15 +769,21 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(mins2.select("u", F.col("m").alias("v")))
         )
-        new_edges = materialize_once(canon(small))
+        new_edges = materialize_fixpoint(canon(small))
         # carry the previous round's count forward — one count job per
         # round, not two (the checkpointed edge set never changes size
         # underneath us)
         new_count = new_edges.count()
-        if new_count == edges_count and new_edges.exceptAll(edges).count() == 0:
-            edges = new_edges
-            break
+        converged = (
+            new_count == edges_count and new_edges.exceptAll(edges).count() == 0
+        )
+        # the superseded round's blocks are dead once the convergence
+        # check has consumed them — unpersist so persist_disk mode
+        # holds ONE generation of blocks, not one per round
+        release(edges)
         edges, edges_count = new_edges, new_count
+        if converged:
+            break
 
     # converged: every edge is (member, component-min); roots label themselves
     members = edges.groupBy("u").agg(F.min("v").alias("cluster_id")).select(

@@ -42,6 +42,16 @@ Pick with the ``SPARK_GRAFT_MATERIALIZE`` env var or per call:
 Both non-none modes are result-equivalent (asserted by
 tests/test_operators.py::test_materialize_modes_agree); the knob trades
 recovery semantics for speed, never results.
+
+One measured limitation of ``persist_disk`` in ITERATIVE callers:
+persist truncates *execution* (cached blocks are reused) but NOT the
+*logical plan* — round N's analyzed tree still contains rounds 1..N-1,
+and a fixpoint whose step references its state twice doubles the tree
+per round. A 39-round min-label run OOMed the driver on plan-string
+generation alone. Deep O(diameter) fixpoints should therefore run
+under ``local_checkpoint`` or ``reliable`` (both replace the plan with
+a scan of the materialized result); ``persist_disk`` is safe for the
+O(log² n)-round star variant and for non-iterative fan-outs.
 """
 
 from __future__ import annotations
@@ -81,3 +91,68 @@ def materialize_once(df: DataFrame, strategy: str | None = None) -> DataFrame:
             )
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def materialize_fixpoint(df: DataFrame, strategy: str | None = None) -> DataFrame:
+    """``materialize_once`` for PER-ROUND FIXPOINT STATE (the CC loops).
+
+    Iterative state has a requirement one-shot fan-outs don't: the
+    logical plan must be TRUNCATED each round, because a step that
+    references its state twice doubles the analyzed tree per round —
+    measured here as a driver OOM on plan-string generation alone
+    (module docstring). ``persist`` caches execution but keeps the
+    plan, so ``persist_disk`` cannot serve fixpoints no matter how
+    diligently superseded generations are unpersisted. This is the
+    same reason GraphX/GraphFrames periodically *checkpoint* iterative
+    state rather than persist it.
+
+    Mapping: ``persist_disk`` upgrades to the cluster-safe truncating
+    strategy — ``reliable`` checkpoint when a checkpoint dir is
+    configured (the production setting), else ``localCheckpoint`` (the
+    single-JVM fallback; executor loss would fail the job there, which
+    on a real cluster is exactly why you configure the dir).
+    ``local_checkpoint`` / ``reliable`` / ``none`` pass through
+    (``none`` stays available for A/B on few-round graphs; a deep
+    fixpoint under ``none`` hits the same plan growth, documented).
+    """
+    strategy = strategy or os.environ.get(ENV_VAR, "local_checkpoint")
+    if strategy == "persist_disk":
+        sc = df.sparkSession.sparkContext
+        if not sc._jsc.sc().getCheckpointDir().isEmpty():
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+    return materialize_once(df, strategy)
+
+
+def release(df: DataFrame) -> None:
+    """Free a materialized frame's storage once NOTHING will consume it
+    again — the other half of the strategy-knob contract.
+
+    Two backing stores, two paths:
+
+    - ``persist_disk`` frames: blocks are pinned by the cache manager
+      until session end, so an iterative caller (the CC fixpoint
+      loops, the streaming dedup sink's per-batch survivors) that
+      never unpersists accumulates one generation of DISK_ONLY blocks
+      per round — linear disk growth with iteration count on a real
+      cluster. ``unpersist`` frees them; on a never-persisted frame
+      (the ``none`` mode) it is a harmless no-op.
+    - checkpoint-backed frames (``local_checkpoint`` / ``reliable``):
+      the plan is a LogicalRDD over the checkpointed RDD — unpersist
+      that RDD directly. The ContextCleaner would eventually reclaim
+      these on driver GC, but "eventually" is unbounded inside a long
+      fixpoint or a 100-batch streaming run, so superseded generations
+      are freed deterministically here instead.
+
+    DANGER, stated plainly: a locally-checkpointed frame has NO
+    lineage — after release it cannot be read again. Only call this on
+    frames whose last consumer has run (the superseded generation in a
+    loop; a sink's frame after its final write).
+    """
+    try:
+        df.unpersist(blocking=False)
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # freeing storage must never fail the computation

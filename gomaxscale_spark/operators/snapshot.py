@@ -108,6 +108,52 @@ def materialize_snapshot_salted(
     )
 
 
+def materialize_history(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    event_type_col: str = "event_type",
+) -> DataFrame:
+    """SCD2 / type-2 history: the OTHER standard CDC fold. Where
+    ``materialize_snapshot`` keeps only each key's latest row, this
+    keeps EVERY accepted change image with its validity interval —
+    the slowly-changing-dimension table a warehouse derives from the
+    reference's change stream (insert / update_after open a version,
+    the next change closes it, delete closes without opening).
+
+    Output = the non-tombstone change rows plus:
+      - ``valid_from`` — the row's first order column value;
+      - ``valid_to``   — the NEXT event's (any type, including the
+        closing delete) first order column value, NULL while open;
+      - ``is_current`` — valid_to IS NULL.
+
+    Semantics notes: ``update_before`` images are discarded as in the
+    snapshot fold (they duplicate the prior version's payload);
+    a re-insert after a delete opens a fresh interval — the gap
+    between the delete's timestamp and the re-insert is correctly
+    uncovered. The fold is deterministic for a total ``order_cols``
+    (end the tuple in the unique event id, types.go:172-179 GTID
+    discipline).
+
+    Scale: one hash shuffle on the key + a per-key ``lead`` window.
+    The lead is inherently sequential per key (each version needs its
+    successor), so a pathologically hot key serializes its partition —
+    same class as the window snapshot form; range-partition the
+    changelog by (key, time) first if one key dominates (the salted
+    max_by trick does not apply: intervals are not associative).
+    """
+    df = changes.filter(F.col(event_type_col) != UPDATE_BEFORE)
+    w = W.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    valid_from = F.col(order_cols[0])
+    df = df.withColumn("__valid_to", F.lead(valid_from).over(w))
+    return (
+        df.filter(F.col(event_type_col) != DELETE)
+        .withColumn("valid_from", valid_from)
+        .withColumnRenamed("__valid_to", "valid_to")
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
 def route_by_event_type(changes: DataFrame, event_type_col: str = "event_type") -> dict[str, DataFrame]:
     """Event-type routing (reference dispatch, stream.go:119-141): one
     filtered DataFrame per change kind. Filters are pushed to the scan,

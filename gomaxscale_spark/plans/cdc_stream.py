@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import event_ts_as_timestamp
-from ..operators.snapshot import materialize_snapshot, materialize_snapshot_salted
+from ..operators.snapshot import (
+    materialize_history,
+    materialize_snapshot,
+    materialize_snapshot_salted,
+)
 from .base import query, t
 
 
@@ -114,6 +118,55 @@ def cdc_snapshot_latest_state_salted(spark: SparkSession, sf_dir: str) -> DataFr
     )
     return snap.select(
         "user_id", F.col("value").alias("last_value"), F.col("ts_us").alias("last_ts_us")
+    )
+
+
+@query(
+    "cdc_scd2_history",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, value, epoch_us(ts) AS ts_us, event_id,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op
+      FROM events
+    ), led AS (
+      SELECT *, lead(ts_us) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS valid_to_us
+      FROM ch
+    )
+    SELECT user_id, value, ts_us AS valid_from_us, valid_to_us,
+           (valid_to_us IS NULL) AS is_current
+    FROM led WHERE op <> 'delete'
+    """,
+    doc="C2's OTHER standard fold — SCD2 / type-2 HISTORY: every "
+    "accepted change image with its [valid_from, valid_to) validity "
+    "interval and is_current flag (operators/snapshot.py "
+    "materialize_history). Deletes ('error') close the prior version "
+    "without opening one, so their intervals end exactly at the "
+    "tombstone; the latest open version per key is the snapshot fold's "
+    "row — the two folds are consistent views of the same GTID-ordered "
+    "changelog (types.go:172-179). Scale: one PK shuffle + a per-key "
+    "lead window (sequential per key by nature — each version needs "
+    "its successor); a hot key serializes its partition, the honest "
+    "limit the docstring states (the salted max_by trick does not "
+    "apply: intervals are not associative).",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_type") == "error", "delete").otherwise("insert").alias("op"),
+    )
+    hist = materialize_history(
+        e, key_cols=["user_id"], order_cols=["ts_us", "event_id"], event_type_col="op"
+    )
+    return hist.select(
+        "user_id",
+        "value",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "is_current",
     )
 
 

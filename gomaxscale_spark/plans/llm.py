@@ -976,12 +976,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Multimodal RESIZE stage (the third plumbing leg beside decode "
     "and frame-sample): mapInPandas nearest-neighbor resize fitting "
-    "each image into a 64px box. PPM/BMP payloads get a REAL resize "
-    "re-encoded as P6 (operators/multimodal.py resize_image_real — "
-    "pixel-level correctness pytested on crafted rasters in "
-    "tests/test_multimodal_codec.py); the synthetic corpus media fall "
-    "back to the deterministic dimension arithmetic, which is the SAME "
-    "integer fit program — so the oracle replays the stage exactly. "
+    "each image into a 64px box. With use_real_codec=True, PPM/BMP "
+    "payloads get a REAL resize re-encoded as P6 "
+    "(operators/multimodal.py resize_image_real — pixel-level "
+    "correctness pytested on crafted rasters in "
+    "tests/test_multimodal_codec.py); the catalog entry rides the "
+    "default deterministic path (same gate as every multimodal stage, "
+    "so a text payload that parses as netpbm can't diverge from the "
+    "oracle), which is the SAME integer fit program. "
     "Scale: zero shuffle, blobs never leave the executor; Arrow batch "
     "size is the memory knob (module docstring).",
 )

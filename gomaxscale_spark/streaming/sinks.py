@@ -14,12 +14,17 @@ Scale: the snapshot sink's read-merge-rewrite is the lakehouse-less
 emulation of MERGE INTO; at 100 TB you'd point the same foreachBatch at
 Delta/Iceberg MERGE (jars not present here — see pyspark_guide "CDC /
 SCD2"). The fold itself (union + window latest-wins) is identical; only
-the storage commit changes. Rewrites are scoped per key-hash bucket via
-partitioned output so a micro-batch touching few keys rewrites few
-files.
+the storage commit changes. Rewrites are scoped per key-hash bucket:
+the batch's keys hash to a bucket set, only those buckets' current
+rows are read (partition-pruned scan) and folded, and only those
+buckets' directories are republished — a micro-batch touching few
+keys reads and rewrites few files, never the whole snapshot.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -40,6 +45,13 @@ class CDCSnapshotSink:
         sink = CDCSnapshotSink(path, key_cols=["id"],
                                order_cols=["sequence", "event_number"])
         stream.writeStream.foreachBatch(sink).start()
+
+    Storage commit is driver-local-filesystem rename (the lakehouse-less
+    emulation); production points the same fold at a transactional
+    MERGE. The per-bucket publish below is atomic per bucket, not
+    across buckets — a mid-publish crash leaves some buckets new and
+    some old, which the next (idempotent, latest-wins) replay of the
+    epoch repairs.
     """
 
     def __init__(
@@ -59,8 +71,24 @@ class CDCSnapshotSink:
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         self.apply_batch(batch_df)
 
+    def _bucket(self) -> F.Column:
+        return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_buckets))
+
     def apply_batch(self, batch_df: DataFrame) -> None:
-        """Merge one micro-batch of change events into the snapshot.
+        """Merge one micro-batch of change events into the snapshot —
+        touching ONLY the key-hash buckets the batch's keys fall in.
+
+        1. bucket set: distinct ``hash(key) % n_buckets`` of the batch
+           (≤ n_buckets small ints — driver-safe collect);
+        2. fold: (current rows OF THOSE BUCKETS ∪ batch) through the
+           same latest-wins window as the batch operator — the
+           partition filter prunes untouched buckets' files out of the
+           scan, so per-batch read cost is O(touched buckets), not
+           O(snapshot);
+        3. publish: stage the folded buckets, then swap each touched
+           bucket's directory. A touched bucket with no surviving rows
+           (every key deleted) is removed. Untouched buckets' files are
+           never listed, read, or rewritten.
 
         Order-robust: existing snapshot rows keep their order columns, so
         folding (current ∪ batch) with the same latest-wins window makes
@@ -70,25 +98,37 @@ class CDCSnapshotSink:
         would resurrect the row — the classic tombstone-GC tradeoff,
         acceptable because the CDC source delivers per-key order)."""
         spark = batch_df.sparkSession
+        batch = batch_df.withColumn("__bucket", self._bucket())
+        touched = sorted(
+            r[0] for r in batch.select("__bucket").distinct().collect()
+        )
+        if not touched:
+            return  # empty micro-batch
         try:
-            current = spark.read.parquet(self.path).drop("__bucket")
-            merged_input = current.unionByName(batch_df)
+            current = spark.read.parquet(self.path)
+            # partition filter → pruned scan: untouched buckets unread
+            merged_input = current.filter(
+                F.col("__bucket").isin(touched)
+            ).drop("__bucket").unionByName(batch_df)
         except Exception:
             merged_input = batch_df
         new_state = materialize_snapshot(
             merged_input, self.key_cols, self.order_cols, self.event_type_col
         )
-        bucket = F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_buckets)).alias("__bucket")
-        tmp = self.path + "._staged"
-        new_state.withColumn("__bucket", bucket).write.mode("overwrite").partitionBy(
-            "__bucket"
-        ).parquet(tmp)
-        # atomic-ish swap (single-FS rename; a lake table would commit a
-        # transaction instead)
-        import shutil
-
-        shutil.rmtree(self.path, ignore_errors=True)
-        shutil.move(tmp, self.path)
+        staged = self.path + "._staged"
+        new_state.withColumn("__bucket", self._bucket()).write.mode(
+            "overwrite"
+        ).partitionBy("__bucket").parquet(staged)
+        os.makedirs(self.path, exist_ok=True)
+        for b in touched:
+            src = os.path.join(staged, f"__bucket={b}")
+            dst = os.path.join(self.path, f"__bucket={b}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                shutil.move(src, dst)
+            # a touched bucket absent from the staged output means every
+            # key in it was deleted — removing dst IS the publish
+        shutil.rmtree(staged, ignore_errors=True)
 
     def read_snapshot(self, spark) -> DataFrame:
         return spark.read.parquet(self.path).drop("__bucket")
@@ -101,12 +141,16 @@ class IncrementalLSHDedupSink:
     LSH near-dup layer: "dedupe today's crawl against everything ever
     kept", continuously.
 
-    State layout (parquet):
-      ``kept/``   — surviving documents + their content digest
-      ``bands/``  — (doc_id, band_id, band_hash) LSH band rows of every
-                    kept doc: the lake-side index the next batch joins
-                    against, so cross-batch candidate generation costs
-                    a band-key equi-join — never a scan of lake text
+    State layout (parquet, epoch-partitioned):
+      ``kept/epoch=N/``   — documents that survived epoch N + digests
+      ``bands/epoch=N/``  — (doc_id, band_id, band_hash) LSH band rows
+                    of epoch N's kept docs: the lake-side index the next
+                    batch joins against, so cross-batch candidate
+                    generation costs a band-key equi-join — never a
+                    scan of lake text
+      ``review/epoch=N/`` — over-cap lake band keys deferred in epoch N
+                    (capped mode only); keyed by epoch, so a persistent
+                    hot key yields one row per epoch, not per retry
 
     Per micro-batch:
       1. exact layer: md5-digest anti-join vs kept digests + min-id
@@ -118,8 +162,8 @@ class IncrementalLSHDedupSink:
          representative);
       3. within-batch near-dup: the bounded LSH pipeline + star-CC,
          keep the min-id representative per cluster;
-      4. append survivors to ``kept/`` and their band rows to
-         ``bands/``.
+      4. commit epoch N's survivors + band rows + review rows to their
+         epoch directories, then write the ``_epoch_N`` marker.
 
     Semantics: greedy first-seen-kept. The kept set is always an
     independent set of the verified match graph (no two kept docs are
@@ -128,16 +172,33 @@ class IncrementalLSHDedupSink:
     the standard online/offline dedup divergence, documented rather
     than hidden.
 
-    Exactly-once: an ``_epoch_N`` marker makes a retried epoch a no-op
-    (foreachBatch replays epochs on failure). Production points the
-    same logic at a transactional lake table (Delta/Iceberg MERGE);
-    plain parquet append + marker is the lakehouse-less emulation.
+    Failure atomicity (epoch-scoped commit protocol): foreachBatch
+    replays a failed epoch with the same epoch_id, sequentially — no
+    two epochs are ever in flight. The ``_epoch_N`` marker is the
+    commit point; any ``*/epoch=N`` directory WITHOUT its marker is by
+    construction a partial attempt of the epoch about to be retried, so
+    ``apply_batch`` deletes those directories before reading any lake
+    state. A crash at ANY point before the marker (mid-write, between
+    the kept and bands writes, after review) therefore leaves nothing
+    the retry can see: the retried epoch recomputes from exactly the
+    committed prefix, and the band index always covers every kept doc.
+    A crash after the marker makes the replay a no-op. Caveats, stated
+    plainly: the marker and the recovery delete use driver-local
+    filesystem paths — correct for local paths only (this sandbox);
+    readers that race a crashed-but-not-yet-retried epoch can observe
+    its partial directories. Production points the same logic at a
+    transactional lake table (Delta/Iceberg) whose commit protocol
+    subsumes all of this.
 
     Scale: all joins carry ids/digests/band keys; lake text is touched
     only for candidate-adjacent docs (semi-join pruned inside
     verify_candidates_jaccard); the bands/ index grows one row per
     (kept doc × band) and is the only lake-side input to candidate
-    generation. Hot boilerplate band keys inherit the capped-LSH
+    generation. The LAKE side is never shuffled: the exact layer probes
+    lake digests with a broadcast of the (small) batch digest set, and
+    the cross-batch band join broadcasts the batch's band rows — each
+    micro-batch costs one pruned columnar scan per lake input, with no
+    O(lake) exchange. Hot boilerplate band keys inherit the capped-LSH
     review-queue option of the underlying operators.
     """
 
@@ -166,10 +227,15 @@ class IncrementalLSHDedupSink:
         #: bucket quadratic the batch operators cap count-first.
         #: With a cap set, over-cap lake keys skip the auto join and
         #: surface as (band_id, band_hash, n_members) rows under
-        #: ``review/`` — the deferred-work channel; within-batch
+        #: ``review/epoch=N`` — the deferred-work channel; within-batch
         #: candidate generation gets the same cap via
         #: minhash_lsh_candidates(max_bucket_size=...).
         self.max_bucket_size = max_bucket_size
+        #: fault-injection hook for the commit-protocol tests ONLY:
+        #: "kept" raises after the kept/ write (before bands/), "bands"
+        #: raises after bands/ (before the marker). Never set in
+        #: production use.
+        self._fail_after: str | None = None
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         self.apply_batch(batch_df, epoch_id)
@@ -181,40 +247,53 @@ class IncrementalLSHDedupSink:
             return None
 
     def apply_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
-        import os
-
         from ..operators import dedup as D
-        from ..operators.materialize import materialize_once
+        from ..operators.materialize import materialize_once, release
 
         marker = f"{self.path}/_epoch_{epoch_id}"
         if os.path.exists(marker):
-            return  # retried epoch — already applied
+            return  # retried epoch — already committed
+        self._finish_compaction_swap()  # repair an interrupted compact()
+        # recovery: epoch dirs without their marker are a partial prior
+        # attempt of THIS epoch (epochs are sequential) — drop them so
+        # every read below sees only the committed prefix
+        for sub in ("kept", "bands", "review"):
+            shutil.rmtree(f"{self.path}/{sub}/epoch={epoch_id}", ignore_errors=True)
         spark = batch_df.sparkSession
         id_c, txt = self.id_col, self.text_col
 
-        # 1. exact layer: lake digests then min-id within batch
+        # 1. exact layer: lake digests then min-id within batch. Probe
+        # direction keeps the lake un-shuffled: broadcast the batch's
+        # digest set into a semi-join over the lake's digest column
+        # (columnar scan, no exchange), then broadcast the (≤ batch-
+        # sized) hit set back as the anti-join build side.
         batch = batch_df.withColumn("__digest", F.md5(F.col(txt)))
         kept = self._read_or_none(spark, "kept")
         if kept is not None:
-            batch = batch.join(
-                kept.select("__digest").distinct(), "__digest", "left_anti"
-            )
+            batch_digests = batch.select("__digest").distinct()
+            lake_hits = kept.select("__digest").join(
+                F.broadcast(batch_digests), "__digest", "semi"
+            ).distinct()
+            batch = batch.join(F.broadcast(lake_hits), "__digest", "left_anti")
         first = batch.groupBy("__digest").agg(F.min(id_c).alias(id_c))
         batch = batch.join(first, ["__digest", id_c], "semi")
 
         # 2. cross-batch near-dup vs the lake band index
         lake_bands = self._read_or_none(spark, "bands")
         if lake_bands is not None and kept is not None:
+            lake_bands = lake_bands.select(id_c, "band_id", "band_hash")
             if self.max_bucket_size is not None:
                 # count-first cap on the LAKE side of the join: sizes
                 # from a skew-immune count agg, over-cap keys routed to
-                # the review/ queue BEFORE any join fan-out exists
+                # the epoch's review/ dir BEFORE any join fan-out exists
                 key_counts = lake_bands.groupBy("band_id", "band_hash").agg(
                     F.count(F.lit(1)).alias("n_members")
                 )
                 key_counts.filter(
                     F.col("n_members") > self.max_bucket_size
-                ).write.mode("append").parquet(f"{self.path}/review")
+                ).write.mode("overwrite").parquet(
+                    f"{self.path}/review/epoch={epoch_id}"
+                )
                 lake_bands = lake_bands.join(
                     key_counts.filter(
                         F.col("n_members") <= self.max_bucket_size
@@ -228,7 +307,7 @@ class IncrementalLSHDedupSink:
             cross = (
                 lake_bands.withColumnRenamed(id_c, "id_a")
                 .join(
-                    batch_bands.withColumnRenamed(id_c, "id_b"),
+                    F.broadcast(batch_bands.withColumnRenamed(id_c, "id_b")),
                     ["band_id", "band_hash"],
                 )
                 .select("id_a", "id_b")
@@ -244,7 +323,7 @@ class IncrementalLSHDedupSink:
                 .select(F.col("id_b").alias(id_c))
                 .distinct()
             )
-            batch = batch.join(matched, id_c, "left_anti")
+            batch = batch.join(F.broadcast(matched), id_c, "left_anti")
 
         # 3. within-batch near-dup: bounded LSH + star-CC, min-id reps
         cands = D.minhash_lsh_candidates(
@@ -260,15 +339,105 @@ class IncrementalLSHDedupSink:
             F.broadcast(drop), F.col(id_c) == F.col("id"), "left_anti"
         )
 
-        # 4. commit: kept docs + their band-row index, then the marker
+        # 4. commit: epoch-scoped kept + band-index dirs, then the marker
         survivors = materialize_once(survivors)
-        survivors.write.mode("append").parquet(f"{self.path}/kept")
-        D._lsh_band_rows(
-            survivors, id_c, txt, self.num_hashes, self.bands, self.shingle_n,
-            portable=True,
-        ).write.mode("append").parquet(f"{self.path}/bands")
+        try:
+            survivors.write.mode("overwrite").parquet(
+                f"{self.path}/kept/epoch={epoch_id}"
+            )
+            if self._fail_after == "kept":
+                raise RuntimeError("injected crash between kept and bands writes")
+            D._lsh_band_rows(
+                survivors, id_c, txt, self.num_hashes, self.bands, self.shingle_n,
+                portable=True,
+            ).write.mode("overwrite").parquet(f"{self.path}/bands/epoch={epoch_id}")
+            if self._fail_after == "bands":
+                raise RuntimeError("injected crash between bands write and marker")
+        finally:
+            release(survivors)
         os.makedirs(self.path, exist_ok=True)
         open(marker, "w").close()
 
     def read_kept(self, spark) -> DataFrame:
-        return spark.read.parquet(f"{self.path}/kept").drop("__digest")
+        return spark.read.parquet(f"{self.path}/kept").drop("__digest", "epoch")
+
+    # ------------------------------------------------------------------
+    # maintenance: epoch compaction (the small-files control)
+    # ------------------------------------------------------------------
+
+    def _finish_compaction_swap(self) -> None:
+        """Recover a compaction interrupted mid-swap. The swap is two
+        renames per subdir (live → __old, __new → live); every crash
+        point leaves a state these three rules repair:
+
+        - live missing + __new present → the crash hit between the two
+          renames: finish it (rename __new → live);
+        - __old present → the crash hit before its cleanup: remove it;
+        - __new present beside a live dir → the crash hit before the
+          first rename: the staged copy is redundant, remove it.
+        """
+        for sub in ("kept", "bands"):
+            live = f"{self.path}/{sub}"
+            new, old = live + "__new", live + "__old"
+            if os.path.isdir(new) and not os.path.isdir(live):
+                os.rename(new, live)
+            if os.path.isdir(old):
+                shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(new):
+                shutil.rmtree(new, ignore_errors=True)
+
+    def compact(self, spark, target_files: int = 8) -> None:
+        """Fold every committed epoch directory into ONE base epoch —
+        the maintenance pass the epoch-per-micro-batch commit layout
+        needs at scale. A year of 1-minute micro-batches is ~500k
+        epoch directories of tiny files; every lake-side scan (kept
+        digests, band index) then pays file-listing + footer overhead
+        per epoch. Compaction rewrites kept/ and bands/ as
+        ``target_files``-file datasets under ``epoch=<max committed>``
+        and removes the older epoch dirs — the lakehouse OPTIMIZE
+        analogue, expressed on plain parquet.
+
+        Safety: partial (markerless) epoch dirs are deleted first
+        (same rule as the retry path — they are garbage from a crashed
+        attempt); all ``_epoch_N`` markers are KEPT so replays of
+        compacted epochs stay no-ops; the per-subdir swap is two
+        renames with a crash-recovery preamble
+        (``_finish_compaction_swap``, also run before every
+        apply_batch). kept/ and bands/ swap independently — a crash
+        between them leaves one compacted and one not, which is
+        consistent (the epoch value is bookkeeping, not a join key).
+        Run it between triggers, as with any OPTIMIZE: it must not
+        race an in-flight apply_batch. review/ is an append-only
+        deferred-work log and is left as-is.
+        """
+        self._finish_compaction_swap()
+        kept_root = f"{self.path}/kept"
+        if not os.path.isdir(kept_root):
+            return
+        epochs = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(kept_root)
+            if d.startswith("epoch=")
+        )
+        for e in epochs:
+            if not os.path.exists(f"{self.path}/_epoch_{e}"):
+                for sub in ("kept", "bands", "review"):
+                    shutil.rmtree(f"{self.path}/{sub}/epoch={e}", ignore_errors=True)
+        committed = [e for e in epochs if os.path.exists(f"{self.path}/_epoch_{e}")]
+        if len(committed) <= 1:
+            return
+        base = max(committed)
+        for sub in ("kept", "bands"):
+            live = f"{self.path}/{sub}"
+            new, old = live + "__new", live + "__old"
+            shutil.rmtree(new, ignore_errors=True)
+            (
+                spark.read.parquet(live)
+                .drop("epoch")
+                .coalesce(target_files)
+                .write.mode("overwrite")
+                .parquet(f"{new}/epoch={base}")
+            )
+            os.rename(live, old)
+            os.rename(new, live)
+            shutil.rmtree(old, ignore_errors=True)

@@ -23,7 +23,7 @@ FAMILY_REPRESENTATIVES = {
     "B3 join": ["join_inner_customer_orders"],
     "B4 range join": ["range_join_bucketed", "range_join_theta"],
     "B5 as-of": ["asof_join_purchase_attribution"],
-    "B6 agg": ["q1_pricing_summary", "agg_approx_percentile"],
+    "B6 agg": ["q1_pricing_summary", "agg_collect_sorted", "agg_approx_percentile"],
     "B7 rollup": ["rollup_lineitem", "cube_orders", "grouping_sets_orders"],
     "B8 window": ["window_time_range_sum", "window_topk_orders_per_customer"],
     "B9 top-k": ["topn_global_orders"],
@@ -92,6 +92,15 @@ def test_scale_safe_cc_compositions_hold_the_window_slots():
     assert "dedup_keep_representatives_lsh" in window
     assert "dedup_connected_components" not in window
     assert "dedup_keep_representatives" not in window
+
+
+def test_capped_lsh_promoted_alongside_uncapped():
+    """VERDICT r6 item 6: the count-first-capped MinHash-LSH twin — the
+    form that survives a boilerplate hot band key at 100 TB — holds a
+    driver window row alongside the uncapped headline form."""
+    window = list(all_queries())[:WINDOW]
+    assert "dedup_minhash_lsh" in window
+    assert "dedup_minhash_lsh_capped" in window
 
 
 def test_scale_safe_embedding_lsh_holds_the_window_slot():

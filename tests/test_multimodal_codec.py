@@ -148,7 +148,7 @@ def test_resize_media_mixed_batch(spark):
          (2, bytearray(fake), "application/octet-stream")],
         "doc_id long, media binary, mime string",
     )
-    rows = {r.doc_id: r for r in resize_media(df, max_dim=8).collect()}
+    rows = {r.doc_id: r for r in resize_media(df, max_dim=8, use_real_codec=True).collect()}
     assert (rows[1].in_w, rows[1].in_h, rows[1].out_w, rows[1].out_h) == (32, 16, 8, 4)
     assert bytes(rows[1].out_media).startswith(b"P6\n8 4\n255\n")
     feats = fake_decode_features(fake)
@@ -157,6 +157,53 @@ def test_resize_media_mixed_batch(spark):
         feats["width"], feats["height"], ow, oh)
     assert rows[2].out_media is None
     assert rows[2].out_payload_bytes == ow * oh * 3
+
+
+def test_resize_media_default_path_ignores_netpbm_lookalikes(spark):
+    """use_real_codec defaults to False on EVERY multimodal stage: a
+    text payload that happens to parse as netpbm ('P3 2 2 255 ...')
+    must ride the deterministic arithmetic, not silently take the real
+    decoder and diverge from the SQL oracle."""
+    from gomaxscale_spark.operators.multimodal import (
+        fake_decode_features,
+        fit_dims,
+        resize_media,
+    )
+
+    lookalike = b"P3 2 2 255 " + b"7 " * 12  # valid ascii PPM, but it's "text"
+    df = spark.createDataFrame(
+        [(1, bytearray(lookalike), "text/plain")], "doc_id long, media binary, mime string"
+    )
+    row = resize_media(df, max_dim=8).collect()[0]
+    feats = fake_decode_features(lookalike)
+    ow, oh = fit_dims(feats["width"], feats["height"], 8)
+    assert (row.in_w, row.in_h, row.out_w, row.out_h) == (
+        feats["width"], feats["height"], ow, oh,
+    )
+    assert row.out_media is None
+    # and with the gate on, the same payload resizes for real
+    real = resize_media(df, max_dim=8, use_real_codec=True).collect()[0]
+    assert (real.in_w, real.in_h) == (2, 2)
+    assert bytes(real.out_media).startswith(b"P6\n2 2\n255\n")
+
+
+def test_sample_frames_survives_lying_riff_header(spark):
+    """A malformed AVI whose avih/chunk sizes run past the buffer must
+    fall back per payload (struct.error caught), never fail the stage —
+    the mixed-batch contract."""
+    import struct as _struct
+
+    from gomaxscale_spark.operators.multimodal import sample_frames
+
+    # RIFF/AVI magic + an avih chunk whose declared size lies: body
+    # truncated before the dims at offset +32
+    lying = b"RIFF" + _struct.pack("<I", 200) + b"AVI " + b"avih" + _struct.pack("<I", 56) + b"\x00" * 8
+    df = spark.createDataFrame(
+        [(1, bytearray(lying), "video/avi")], "doc_id long, media binary, mime string"
+    )
+    rows = sample_frames(df, every_n=5, use_real_codec=True).collect()
+    assert len(rows) > 0
+    assert all(r.frame_media is None for r in rows)  # fallback pseudo-frames
 
 
 def make_wav(sample_rate: int, channels: int, bits: int, frames: list,

@@ -669,3 +669,41 @@ def test_materialize_modes_agree(spark, sf_dir, monkeypatch, tmp_path):
 
     with pytest.raises(ValueError):
         materialize_once(load_table(spark, sf_dir, "region"), strategy="bogus")
+
+
+def test_release_bounds_persist_disk_accumulation(spark, monkeypatch):
+    """persist_disk mode must not leak one generation of DISK_ONLY
+    blocks per fixpoint round: the CC loops release each superseded
+    generation, so the number of pinned RDDs after a multi-round run
+    stays O(1), not O(rounds). (A 40-node chain forces several
+    large-star/small-star rounds.)"""
+    from gomaxscale_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+    from gomaxscale_spark.operators.materialize import ENV_VAR
+
+    monkeypatch.setenv(ENV_VAR, "persist_disk")
+    # chain → several star rounds; star converges in O(log² n) so the
+    # kept-lineage plan stays small (persist does NOT truncate the
+    # logical plan — deep O(diameter) fixpoints under persist_disk are
+    # a documented don't, see materialize.py docstring)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "id_a long, id_b long"
+    )
+    # hub graph → min-label converges in 2 rounds
+    hub = spark.createDataFrame(
+        [(0, i) for i in range(1, 21)], "id_a long, id_b long"
+    )
+
+    def pinned() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = pinned()
+    out = connected_components_star(chain)
+    assert out.filter(F.col("cluster_id") != 0).count() == 0  # one chain
+    assert pinned() - base <= 2, "star loop leaked persisted generations"
+    base2 = pinned()
+    out2 = connected_components(hub)
+    assert out2.filter(F.col("cluster_id") != 0).count() == 0
+    assert pinned() - base2 <= 2, "min-label loop leaked persisted generations"

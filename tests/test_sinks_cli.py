@@ -80,6 +80,73 @@ def test_cdc_snapshot_sink_as_stream_target(spark, tmp_path):
     assert snap == {i: float(45 + i) for i in range(5)}
 
 
+def test_cdc_snapshot_sink_bucket_scoped_rewrite(spark, tmp_path):
+    """The scale contract of the snapshot sink: a micro-batch touching
+    one key must rewrite ONLY that key's hash bucket — every other
+    bucket's files stay byte-identical on disk (same names, inodes,
+    mtimes). A batch deleting every key in a bucket removes exactly
+    that bucket's directory."""
+    import os
+
+    path = str(tmp_path / "snap_buckets")
+    schema = "id int, event_type string, v double, seq long"
+    sink = CDCSnapshotSink(path, key_cols=["id"], order_cols=["seq"])
+    b1 = spark.createDataFrame(
+        [(i, "insert", float(i), i) for i in range(50)], schema
+    )
+    sink.apply_batch(b1)
+
+    def listing():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("__bucket="):
+                files = {}
+                for f in sorted(os.listdir(os.path.join(path, d))):
+                    st = os.stat(os.path.join(path, d, f))
+                    files[f] = (st.st_ino, st.st_mtime_ns, st.st_size)
+                out[d] = files
+        return out
+
+    bmap = {
+        r.id: r.b
+        for r in spark.createDataFrame([(i,) for i in range(50)], "id int")
+        .select("id", F.pmod(F.xxhash64("id"), F.lit(16)).alias("b"))
+        .collect()
+    }
+    assert len(set(bmap.values())) > 1, "fixture must span several buckets"
+
+    before = listing()
+    target = f"__bucket={bmap[7]}"
+    sink.apply_batch(
+        spark.createDataFrame([(7, "update_after", 99.0, 100)], schema)
+    )
+    after = listing()
+    assert after[target] != before[target], "touched bucket must be rewritten"
+    for d in before:
+        if d != target:
+            assert after[d] == before[d], f"untouched bucket {d} was rewritten"
+    state = {r.id: r.v for r in sink.read_snapshot(spark).collect()}
+    assert state[7] == 99.0 and len(state) == 50
+
+    # delete EVERY key of one bucket → its directory disappears; all
+    # other buckets' files again stay untouched
+    victims = [i for i in bmap if bmap[i] == bmap[7]]
+    before2 = listing()
+    sink.apply_batch(
+        spark.createDataFrame(
+            [(i, "delete", 0.0, 200 + i) for i in victims], schema
+        )
+    )
+    after2 = listing()
+    assert target not in after2, "fully-deleted bucket dir must be removed"
+    for d in before2:
+        if d != target:
+            assert after2[d] == before2[d]
+    state = {r.id: r.v for r in sink.read_snapshot(spark).collect()}
+    assert len(state) == 50 - len(victims)
+    assert not any(i in state for i in victims)
+
+
 DML = {
     "domain": 0,
     "server_id": 1,
@@ -243,6 +310,138 @@ def test_incremental_lsh_dedup_sink_as_stream_target(spark, sf_dir, tmp_path):
     assert kept.select(F.md5("text")).distinct().count() == n
 
 
+@pytest.mark.parametrize("fail_stage", ["kept", "bands"])
+def test_incremental_lsh_dedup_sink_crash_between_writes(
+    spark, sf_dir, tmp_path, fail_stage
+):
+    """The commit-protocol hole the r6 review found: a crash BETWEEN the
+    kept and bands writes (or after bands, before the marker) must not
+    strip docs from the band index on retry. With the epoch-scoped
+    commit, the retry clears the partial epoch dirs first, so the final
+    lake (a) covers every kept doc in bands/ and (b) is identical to a
+    crash-free run."""
+    import os
+
+    from gomaxscale_spark.streaming.sinks import IncrementalLSHDedupSink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    b1 = docs.filter(F.col("doc_id") <= cut)
+    b2 = docs.filter(F.col("doc_id") > cut)
+
+    path = str(tmp_path / f"lake_crash_{fail_stage}")
+    sink = IncrementalLSHDedupSink(path, threshold=0.8)
+    sink.apply_batch(b1, 0)
+    sink._fail_after = fail_stage
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sink.apply_batch(b2, 1)
+    # partial state on disk, no marker — exactly the failure window
+    assert os.path.isdir(f"{path}/kept/epoch=1")
+    assert os.path.isdir(f"{path}/bands/epoch=1") == (fail_stage == "bands")
+    assert not os.path.exists(f"{path}/_epoch_1")
+
+    sink._fail_after = None
+    sink.apply_batch(b2, 1)  # foreachBatch's retry of the same epoch
+    assert os.path.exists(f"{path}/_epoch_1")
+    kept_ids = {r.doc_id for r in sink.read_kept(spark).select("doc_id").collect()}
+    band_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{path}/bands")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert kept_ids == band_ids, "band index must cover every kept doc"
+
+    clean = IncrementalLSHDedupSink(str(tmp_path / f"lake_clean_{fail_stage}"), threshold=0.8)
+    clean.apply_batch(b1, 0)
+    clean.apply_batch(b2, 1)
+    clean_ids = {r.doc_id for r in clean.read_kept(spark).select("doc_id").collect()}
+    assert kept_ids == clean_ids, "crash+retry must equal the crash-free run"
+
+
+def test_incremental_lsh_dedup_sink_compaction(spark, sf_dir, tmp_path):
+    """Epoch compaction (the small-files control): after 3 committed
+    epochs, compact() folds kept/ and bands/ into one base epoch dir —
+    contents identical, band index still covers every kept doc, old
+    epoch markers still make replays no-ops, and the next epoch
+    applies cleanly on top."""
+    import os
+
+    from gomaxscale_spark.streaming.sinks import IncrementalLSHDedupSink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    c1, c2, c3 = ids[len(ids) // 4], ids[len(ids) // 2], ids[3 * len(ids) // 4]
+    path = str(tmp_path / "lake_compact")
+    sink = IncrementalLSHDedupSink(path, threshold=0.8)
+    sink.apply_batch(docs.filter(F.col("doc_id") <= c1), 0)
+    sink.apply_batch(docs.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)), 1)
+    sink.apply_batch(docs.filter((F.col("doc_id") > c2) & (F.col("doc_id") <= c3)), 2)
+
+    before_ids = sorted(r.doc_id for r in sink.read_kept(spark).collect())
+    assert len(os.listdir(f"{path}/kept")) >= 3  # one dir per epoch
+
+    sink.compact(spark, target_files=2)
+    kept_dirs = [d for d in os.listdir(f"{path}/kept") if d.startswith("epoch=")]
+    assert kept_dirs == ["epoch=2"], kept_dirs
+    assert sorted(r.doc_id for r in sink.read_kept(spark).collect()) == before_ids
+    kept_set = set(before_ids)
+    band_set = {
+        r.doc_id
+        for r in spark.read.parquet(f"{path}/bands").select("doc_id").distinct().collect()
+    }
+    assert band_set == kept_set
+
+    # replaying a compacted epoch is still a no-op (markers survive)
+    sink.apply_batch(docs.filter(F.col("doc_id") <= c1), 1)
+    assert sorted(r.doc_id for r in sink.read_kept(spark).collect()) == before_ids
+
+    # the next epoch applies on top of the compacted base
+    sink.apply_batch(docs.filter(F.col("doc_id") > c3), 3)
+    after = sorted(r.doc_id for r in sink.read_kept(spark).collect())
+    assert set(after) > kept_set
+
+    # equivalent un-compacted run agrees exactly
+    ref = IncrementalLSHDedupSink(str(tmp_path / "lake_ref"), threshold=0.8)
+    ref.apply_batch(docs.filter(F.col("doc_id") <= c1), 0)
+    ref.apply_batch(docs.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)), 1)
+    ref.apply_batch(docs.filter((F.col("doc_id") > c2) & (F.col("doc_id") <= c3)), 2)
+    ref.apply_batch(docs.filter(F.col("doc_id") > c3), 3)
+    assert after == sorted(r.doc_id for r in ref.read_kept(spark).collect())
+
+
+def test_incremental_lsh_dedup_sink_compaction_swap_recovery(spark, tmp_path):
+    """A compaction crash between the two renames (live dir gone,
+    __new staged) must self-heal on the next apply_batch."""
+    import os
+    import shutil
+
+    from gomaxscale_spark.streaming.sinks import IncrementalLSHDedupSink
+
+    docs = spark.createDataFrame(
+        [(i, f"wholly distinct document number {i} {'x' * (i % 7)}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lake_swap")
+    sink = IncrementalLSHDedupSink(path, threshold=0.8)
+    sink.apply_batch(docs.filter(F.col("doc_id") < 15), 0)
+    sink.apply_batch(docs.filter(F.col("doc_id") >= 15), 1)
+    before = sorted(r.doc_id for r in sink.read_kept(spark).collect())
+
+    # simulate the crash window: kept/ renamed away, staged copy present
+    shutil.copytree(f"{path}/kept", f"{path}/kept__new")
+    shutil.move(f"{path}/kept", f"{path}/kept__old")
+    assert not os.path.isdir(f"{path}/kept")
+
+    sink.apply_batch(docs.limit(0), 2)  # any next batch triggers recovery
+    assert os.path.isdir(f"{path}/kept")
+    assert not os.path.isdir(f"{path}/kept__new")
+    assert not os.path.isdir(f"{path}/kept__old")
+    assert sorted(r.doc_id for r in sink.read_kept(spark).collect()) == before
+
+
 def test_incremental_lsh_dedup_sink_capped_review_queue(spark, tmp_path):
     """max_bucket_size=1 on a degenerate one-family corpus: every lake
     band key is hot, so the cross-batch auto join is skipped for all of
@@ -270,8 +469,12 @@ def test_incremental_lsh_dedup_sink_capped_review_queue(spark, tmp_path):
     assert kept.select(F.md5("text")).distinct().count() == n
     review = spark.read.parquet(f"{path}/review")
     assert review.count() > 0, "hot lake band keys should surface as review rows"
-    assert set(review.columns) == {"band_id", "band_hash", "n_members"}
+    # epoch-keyed: one row per (hot key, epoch), never per retry
+    assert set(review.columns) == {"band_id", "band_hash", "n_members", "epoch"}
     assert review.agg(F.min("n_members")).head()[0] > 1
+    n_review = review.count()
+    sink.apply_batch(docs.filter(F.col("doc_id") >= 6), 1)  # committed replay
+    assert spark.read.parquet(f"{path}/review").count() == n_review
 
     # uncapped control on the same corpus: near-dups actually drop
     sink2 = IncrementalLSHDedupSink(str(tmp_path / "lake_uncapped"), threshold=0.8)
