@@ -246,6 +246,44 @@ class IncrementalLSHDedupSink:
         except Exception:
             return None
 
+    def exact_layer_vs_lake(self, batch: DataFrame, kept: DataFrame) -> DataFrame:
+        """Exact-digest layer, lake-probe direction: drop batch docs
+        whose ``__digest`` already exists in the lake — WITHOUT ever
+        shuffling the lake. The batch's (small) digest set broadcasts
+        into a semi-join over the lake's digest column (one pruned
+        columnar scan, no exchange on the lake side); the resulting
+        hit set (≤ batch-sized by construction) broadcasts back as the
+        anti-join build side. The only hash exchange in the whole plan
+        is the batch-side distinct — plan-pinned in
+        tests/test_plan_shapes.py."""
+        batch_digests = batch.select("__digest").distinct()
+        lake_hits = kept.select("__digest").join(
+            F.broadcast(batch_digests), "__digest", "semi"
+        ).distinct()
+        return batch.join(F.broadcast(lake_hits), "__digest", "left_anti")
+
+    def cross_batch_candidates(
+        self, lake_bands: DataFrame, batch_bands: DataFrame
+    ) -> DataFrame:
+        """Cross-batch candidate pairs (lake doc, batch doc), lake-probe
+        direction: the batch's band rows (batch docs × bands — small)
+        broadcast against the ever-growing lake band index, so the lake
+        is scanned but never shuffled; per-batch join cost follows the
+        batch and candidate count, not lake size (SCALING.md r7 ramp
+        study). Hash exchanges in the plan are batch-sized only (the
+        band-row partial agg and the output distinct) — plan-pinned in
+        tests/test_plan_shapes.py."""
+        id_c = self.id_col
+        return (
+            lake_bands.withColumnRenamed(id_c, "id_a")
+            .join(
+                F.broadcast(batch_bands.withColumnRenamed(id_c, "id_b")),
+                ["band_id", "band_hash"],
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
     def apply_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
         from ..operators import dedup as D
         from ..operators.materialize import materialize_once, release
@@ -270,11 +308,7 @@ class IncrementalLSHDedupSink:
         batch = batch_df.withColumn("__digest", F.md5(F.col(txt)))
         kept = self._read_or_none(spark, "kept")
         if kept is not None:
-            batch_digests = batch.select("__digest").distinct()
-            lake_hits = kept.select("__digest").join(
-                F.broadcast(batch_digests), "__digest", "semi"
-            ).distinct()
-            batch = batch.join(F.broadcast(lake_hits), "__digest", "left_anti")
+            batch = self.exact_layer_vs_lake(batch, kept)
         first = batch.groupBy("__digest").agg(F.min(id_c).alias(id_c))
         batch = batch.join(first, ["__digest", id_c], "semi")
 
@@ -304,15 +338,7 @@ class IncrementalLSHDedupSink:
                 batch, id_c, txt, self.num_hashes, self.bands, self.shingle_n,
                 portable=True,
             )
-            cross = (
-                lake_bands.withColumnRenamed(id_c, "id_a")
-                .join(
-                    F.broadcast(batch_bands.withColumnRenamed(id_c, "id_b")),
-                    ["band_id", "band_hash"],
-                )
-                .select("id_a", "id_b")
-                .distinct()
-            )
+            cross = self.cross_batch_candidates(lake_bands, batch_bands)
             docs_for_verify = kept.select(id_c, txt).unionByName(
                 batch.select(id_c, txt)
             )

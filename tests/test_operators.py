@@ -190,6 +190,46 @@ def test_snapshot_fold_insert_update_delete(spark):
     assert state == {1: 20.0, 3: 2.0}
 
 
+def test_scd2_history_fold(spark):
+    """materialize_history: validity intervals, delete-closes-without-
+    opening, re-insert opens a fresh interval, and the open versions
+    equal the snapshot fold exactly (the two C2 folds are consistent
+    views of one changelog)."""
+    from gomaxscale_spark.operators.snapshot import materialize_history
+
+    rows = [
+        # key 1: insert → update → still open at v=20
+        (1, "insert", 10.0, 100, 1),
+        (1, "update_before", 10.0, 200, 1),
+        (1, "update_after", 20.0, 200, 2),
+        # key 2: insert → delete → closed, nothing current
+        (2, "insert", 5.0, 150, 1),
+        (2, "delete", 5.0, 250, 1),
+        # key 3: insert → delete → re-insert (gap, then a fresh version)
+        (3, "insert", 1.0, 300, 1),
+        (3, "delete", 1.0, 400, 1),
+        (3, "insert", 7.0, 500, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, event_type string, v double, seq long, event_number int"
+    )
+    hist = materialize_history(df, ["id"], ["seq", "event_number"]).collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r.id, []).append((r.v, r.valid_from, r.valid_to, r.is_current))
+    assert sorted(by_key[1]) == [(10.0, 100, 200, False), (20.0, 200, None, True)]
+    assert by_key[2] == [(5.0, 150, 250, False)]  # interval ends at the tombstone
+    assert sorted(by_key[3]) == [(1.0, 300, 400, False), (7.0, 500, None, True)]
+
+    # consistency: open versions ≡ the snapshot fold
+    current = {(r.id, r.v) for r in hist if r.is_current}
+    snap = {
+        (r.id, r.v)
+        for r in materialize_snapshot(df, ["id"], ["seq", "event_number"]).collect()
+    }
+    assert current == snap == {(1, 20.0), (3, 7.0)}
+
+
 def test_snapshot_as_of_time_travel(spark):
     rows = [(1, "insert", 1.0, 100, 1), (1, "update_after", 2.0, 200, 1)]
     df = spark.createDataFrame(rows, "id int, event_type string, v double, seq long, event_number int")

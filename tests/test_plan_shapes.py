@@ -297,6 +297,56 @@ def test_headline_shuffle_ceilings(spark, sf_dir):
     assert not over, f"shuffle regressions (got, ceiling): {over}"
 
 
+def test_dedup_lake_probe_joins_never_shuffle_the_lake(spark, sf_dir, tmp_path):
+    """The streaming dedup lake's scale contract (SCALING.md r7): both
+    per-batch joins against lake state are BROADCAST-probe joins — the
+    lake (kept digests, band index) is scanned, never exchanged. Every
+    hash exchange in either plan is batch-sized: the batch digest
+    distinct, the batch band-row partial agg, the candidate-pair
+    distinct. A hash exchange keyed on lake columns appearing here
+    would mean O(lake) shuffle per micro-batch — the scale-killer the
+    probe direction exists to prevent."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from gomaxscale_spark.catalog import load_table
+    from gomaxscale_spark.operators import dedup as D
+    from gomaxscale_spark.streaming.sinks import IncrementalLSHDedupSink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sink = IncrementalLSHDedupSink(str(tmp_path / "lake_plan"), threshold=0.8)
+    sink.apply_batch(docs.limit(40), 0)
+    kept = spark.read.parquet(f"{sink.path}/kept")
+    lake_bands = spark.read.parquet(f"{sink.path}/bands").select(
+        "doc_id", "band_id", "band_hash"
+    )
+    batch = docs.limit(60).withColumn("__digest", F.md5(F.col("text")))
+
+    p = sink.exact_layer_vs_lake(batch, kept)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastHashJoin") >= 2, p[:1500]
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 1, (
+        "exact layer must shuffle at most the batch digest distinct:\n" + p[:2000]
+    )
+
+    batch_bands = D._lsh_band_rows(batch, "doc_id", "text", 64, 16, 2, portable=True)
+    p2 = (
+        sink.cross_batch_candidates(lake_bands, batch_bands)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in p2, p2[:1500]
+    ex_keys = re.findall(r"Exchange hashpartitioning\(([^,)]+)", p2)
+    assert len(ex_keys) <= 2, "cross-batch join grew extra shuffles:\n" + p2[:2000]
+    for key in ex_keys:
+        # a band-key exchange would mean the join fell back to
+        # sort-merge and shuffled the LAKE side
+        assert "band_id" not in key, (
+            f"hash exchange keyed on the band join key ({key}):\n" + p2[:2000]
+        )
+
+
 def test_multimodal_stages_zero_shuffle(spark, sf_dir):
     """Every multimodal processing stage (resize / audio features /
     frame extraction) is a pure mapInPandas pass: blobs must never ride
