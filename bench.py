@@ -71,7 +71,10 @@ EXTRA = [
     "dedup_prefix_filter_join",
     "dedup_minhash_lsh_capped",
     # r7: the SCD2 validity-interval fold (C2's other standard shape)
+    # and the review-queue drain (full-signature collapse of hot
+    # buckets — the linear escape hatch for deferred boilerplate)
     "cdc_scd2_history",
+    "dedup_minhash_lsh_hot_drain",
 ]
 
 

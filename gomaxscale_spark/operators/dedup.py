@@ -149,6 +149,36 @@ def band_key_sql(values: list[str]) -> str:
     return f"({k1}) * {MINHASH_P} + ({k2})"
 
 
+def full_signature_key_sql(
+    value_fmt: str, n: int, chunk: int = 8
+) -> tuple[list[tuple[str, str]], str]:
+    """Two-LEVEL engine-portable fold of a full ``n``-slot signature
+    into one 62-bit BIGINT — depth-bounded because DuckDB's binder
+    rejects expression trees deeper than 128 frames (a flat 64-value
+    ``cw_fold_sql`` fails to bind around slot 21).
+
+    Level 1: each ``chunk`` of slots folds into two independent 31-bit
+    lanes (columns ``__c{i}a`` / ``__c{i}b``, each < P). Level 2: the
+    a-lanes fold into k₁, the b-lanes into k₂ (inputs < P, so the
+    arithmetic stays below 2⁶²), packed as k₁·P + k₂. Both levels are
+    ~7-wrap expressions — safely inside every engine's nesting limits.
+
+    Returns ``(level1, final)``: level1 is [(alias, sql)] to emit as a
+    first projection/CTE, final is the sql for the second, referencing
+    those aliases. ``value_fmt`` is a format string for slot i (e.g.
+    ``"minhash[{i}]"`` Spark-side, ``"m{i}"`` oracle-side).
+    """
+    level1: list[tuple[str, str]] = []
+    n_chunks = (n + chunk - 1) // chunk
+    for c in range(n_chunks):
+        vals = [value_fmt.format(i=i) for i in range(c * chunk, min(n, (c + 1) * chunk))]
+        level1.append((f"__c{c}a", cw_fold_sql(vals, MINHASH_R)))
+        level1.append((f"__c{c}b", cw_fold_sql(vals, MINHASH_R2)))
+    k1 = cw_fold_sql([f"__c{c}a" for c in range(n_chunks)], MINHASH_R)
+    k2 = cw_fold_sql([f"__c{c}b" for c in range(n_chunks)], MINHASH_R2)
+    return level1, f"({k1}) * {MINHASH_P} + ({k2})"
+
+
 def cw_hash_coefficients(n: int, seed: int = 7) -> list[tuple[int, int]]:
     """Fixed-seed Carter-Wegman coefficients (aᵢ ∈ [1, P−1], bᵢ ∈
     [0, P−1]) for the portable minhash family hᵢ(x) = (aᵢ·x + bᵢ) % P.
@@ -347,6 +377,95 @@ def lsh_hot_buckets(
     return _lsh_bucket_counts(
         _lsh_band_rows(df, id_col, text_col, num_hashes, bands, shingle_n, portable)
     ).filter(F.col("n_members") > max_bucket_size)
+
+
+def drain_hot_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_bucket_size: int,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """DRAIN the review queue: process the hot buckets the capped
+    pipeline deferred, without ever expanding them into pairs.
+
+    The escalation that stays linear: members of over-cap buckets are
+    grouped by their FULL ``num_hashes``-value signature (folded to one
+    8-byte key). Full-signature equality means every one of 64
+    independent min-hashes agreed — in practice the boilerplate family
+    (cookie banners, license headers, mirrored pages) that MADE the
+    bucket hot, so the hot mass collapses to one representative per
+    family via a plain aggregation: map-side combine, 8-byte shuffle
+    key, no membership arrays, no n² expansion anywhere. Docs whose
+    signature is unique within the hot set stay deferred (they shared
+    one band with a big family but are not member of one) — the honest
+    residue for template-stripping / tighter re-LSH.
+
+    Output, one row per hot-bucket member:
+      (id, kind, keep_id, family_size) where kind = 'collapsed'
+      (family_size ≥ 2; keep_id = family min id; the representative
+      itself included) or 'deferred' (keep_id/family_size NULL).
+
+    Semantics note: full-signature equality is a STRICTER predicate
+    than verified Jaccard ≥ t — the drain never drops a doc the
+    uncapped pipeline would have kept, it only collapses the
+    near-identical core of each hot family. With ``portable=True`` the
+    signature fold is the two-lane Carter-Wegman arithmetic
+    (band_key_sql over all 64 slots), so a DuckDB oracle replays the
+    families bit-for-bit (fold collisions, ~2⁻⁶², are identical in
+    both engines by construction).
+
+    Scale: signatures are computed once (materialize_once — band rows
+    and the collapse both consume them); hot keys come from the
+    skew-immune count pre-pass and are broadcast (bounded by duplicate-
+    family count — measured flat ~76k rows at the x100 replica,
+    SCALING.md r6); the only shuffles are the count agg, the hot-member
+    distinct, and the 8-byte family agg.
+    """
+    sigs = materialize_once(
+        portable_minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+        if portable
+        else minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    )
+    band_rows = _band_rows_from_sigs(sigs, id_col, num_hashes, bands, portable)
+    hot_keys = (
+        _lsh_bucket_counts(band_rows)
+        .filter(F.col("n_members") > max_bucket_size)
+        .select("band_id", "band_hash")
+    )
+    hot_ids = (
+        band_rows.join(F.broadcast(hot_keys), ["band_id", "band_hash"])
+        .select(id_col)
+        .distinct()
+    )
+    hot_members = sigs.join(hot_ids, id_col, "semi")
+    if portable:
+        # depth-bounded two-level fold, identical in the DuckDB oracle
+        level1, final = full_signature_key_sql("minhash[{i}]", num_hashes)
+        hot_sigs = hot_members.select(
+            F.col(id_col), *[F.expr(sql).alias(a) for a, sql in level1]
+        ).select(F.col(id_col), F.expr(final).alias("__sig_key"))
+    else:
+        vals = ", ".join(f"minhash[{i}]" for i in range(num_hashes))
+        hot_sigs = hot_members.select(
+            F.col(id_col), F.expr(f"xxhash64({vals})").alias("__sig_key")
+        )
+    fam = hot_sigs.groupBy("__sig_key").agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("family_size")
+    )
+    collapsed = F.col("family_size") >= 2
+    return (
+        hot_sigs.join(fam, "__sig_key")
+        .select(
+            F.col(id_col),
+            F.when(collapsed, F.lit("collapsed")).otherwise("deferred").alias("kind"),
+            F.when(collapsed, F.col("keep_id")).alias("keep_id"),
+            F.when(collapsed, F.col("family_size")).alias("family_size"),
+        )
+    )
 
 
 def minhash_lsh_candidates(

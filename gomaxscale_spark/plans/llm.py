@@ -383,6 +383,71 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.unionByName(hot)
 
 
+def _portable_lsh_drain_oracle(
+    cap: int, num_hashes: int = 64, bands: int = 16, shingle_n: int = 2
+) -> str:
+    """Replay of the hot-bucket DRAIN: hot keys from the count
+    pre-pass; members grouped by the full-signature two-lane fold
+    (band_key_sql over all 64 slots — the identical arithmetic the
+    Spark plan evaluates, collisions and all)."""
+    br_arms = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, k{b} AS band_key FROM bk" for b in range(bands)
+    )
+    level1, final = D.full_signature_key_sql("m{i}", num_hashes)
+    l1_cols = ",\n             ".join(f"{sql} AS {a}" for a, sql in level1)
+    return _portable_lsh_base_ctes(num_hashes, bands, shingle_n) + f""", br AS (
+      {br_arms}
+    ), cnt AS (
+      SELECT band_id, band_key, count(*) AS n_members
+      FROM br GROUP BY band_id, band_key
+    ), hot AS (
+      SELECT band_id, band_key FROM cnt WHERE n_members > {cap}
+    ), hot_docs AS (
+      SELECT DISTINCT br.doc_id FROM br JOIN hot USING (band_id, band_key)
+    ), keyed1 AS (
+      SELECT s.doc_id,
+             {l1_cols}
+      FROM sig s JOIN hot_docs h ON h.doc_id = s.doc_id
+    ), keyed AS (
+      SELECT doc_id, {final} AS sig_key FROM keyed1
+    ), fam AS (
+      SELECT sig_key, min(doc_id) AS keep_id, count(*) AS family_size
+      FROM keyed GROUP BY sig_key
+    )
+    SELECT k.doc_id,
+           CASE WHEN f.family_size >= 2 THEN 'collapsed'
+                ELSE 'deferred' END AS kind,
+           CASE WHEN f.family_size >= 2 THEN f.keep_id END AS keep_id,
+           CASE WHEN f.family_size >= 2 THEN f.family_size END AS family_size
+    FROM keyed k JOIN fam f USING (sig_key)"""
+
+
+@query(
+    "dedup_minhash_lsh_hot_drain",
+    oracle="WITH " + _portable_lsh_drain_oracle(cap=2),
+    doc="The DRAIN of the capped-LSH review queue — what actually "
+    "happens to deferred hot buckets (closing the control loop the "
+    "capped entry opens): members of over-cap buckets collapse by "
+    "FULL-signature equality (all 64 portable min-hashes, folded to "
+    "one 8-byte key), which is exactly the boilerplate-family shape "
+    "that made the bucket hot. A plain aggregation — map-side "
+    "combine, 8-byte shuffle key, no pair expansion, so the drain "
+    "stays LINEAR in hot-member count where the deferred pair join "
+    "would be quadratic. Signature-unique members emit as 'deferred' "
+    "residue (template-stripping / re-LSH territory), never silently "
+    "dropped. Stricter-than-threshold by construction: a collapse "
+    "implies 64/64 min-hash agreement, so no doc the uncapped "
+    "pipeline keeps is lost. operators/dedup.py drain_hot_buckets; "
+    "oracle replays fold, families, and residue bit-for-bit.",
+)
+def dedup_minhash_lsh_hot_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return D.drain_hot_buckets(
+        d, "doc_id", "text", max_bucket_size=2, num_hashes=64, bands=16,
+        shingle_n=2, portable=True,
+    )
+
+
 @query(
     "dedup_prefix_filter_join",
     oracle="""

@@ -190,6 +190,42 @@ def test_snapshot_fold_insert_update_delete(spark):
     assert state == {1: 20.0, 3: 2.0}
 
 
+def test_drain_hot_buckets_collapses_boilerplate(spark):
+    """The review-queue drain on the degenerate one-family corpus the
+    capped tests use: with cap=1 every multi-member bucket is hot; the
+    6 byte-identical even docs MUST collapse into one full-signature
+    family (keep_id = min id), tail-variant odds may only collapse
+    with equal signatures (never into the even family), and every
+    hot-bucket member appears exactly once in the output — nothing is
+    silently dropped. Both signature families (portable + xxhash64)
+    honor the same contract."""
+    from gomaxscale_spark.operators.dedup import drain_hot_buckets
+
+    base = "common boilerplate text repeated across the corpus for every single document"
+    docs = spark.createDataFrame(
+        [(i, f"{base} {'tail' + str(i) if i % 2 else ''}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    for portable in (True, False):
+        out = drain_hot_buckets(
+            docs, "doc_id", "text", max_bucket_size=1, num_hashes=64, bands=16,
+            shingle_n=2, portable=portable,
+        ).collect()
+        rows = {r.doc_id: r for r in out}
+        assert sorted(rows) == list(range(12)), "every hot member appears once"
+        evens = [rows[i] for i in range(0, 12, 2)]
+        assert all(r.kind == "collapsed" for r in evens)
+        assert {r.keep_id for r in evens} == {0}
+        assert {r.family_size for r in evens} == {6}
+        for i in range(1, 12, 2):
+            r = rows[i]
+            # a tail-variant's family representative is itself an odd
+            # doc — it can never join the identical-text even family
+            assert r.keep_id is None or r.keep_id % 2 == 1
+            if r.kind == "deferred":
+                assert r.keep_id is None and r.family_size is None
+
+
 def test_scd2_history_fold(spark):
     """materialize_history: validity intervals, delete-closes-without-
     opening, re-insert opens a fresh interval, and the open versions
