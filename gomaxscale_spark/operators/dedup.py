@@ -441,31 +441,42 @@ def drain_hot_buckets(
         .select(id_col)
         .distinct()
     )
-    hot_members = sigs.join(hot_ids, id_col, "semi")
+    families = collapse_signature_families(
+        sigs.join(hot_ids, id_col, "semi"), id_col, num_hashes, portable
+    )
+    collapsed = F.col("family_size") >= 2
+    return families.select(
+        F.col(id_col),
+        F.when(collapsed, F.lit("collapsed")).otherwise("deferred").alias("kind"),
+        F.when(collapsed, F.col("keep_id")).alias("keep_id"),
+        F.when(collapsed, F.col("family_size")).alias("family_size"),
+    )
+
+
+def collapse_signature_families(
+    sigs: DataFrame, id_col: str, num_hashes: int = 64, portable: bool = False
+) -> DataFrame:
+    """Family collapse over a ``(id, minhash array)`` frame: one row per
+    input doc — (id, keep_id = family min id, family_size) — keyed by
+    the full-signature fold (depth-bounded two-level Carter-Wegman when
+    ``portable``, one xxhash64 otherwise). The aggregation half of
+    ``drain_hot_buckets``, exposed for callers that already know WHICH
+    docs are hot (the streaming dedup lake's review queue)."""
     if portable:
         # depth-bounded two-level fold, identical in the DuckDB oracle
         level1, final = full_signature_key_sql("minhash[{i}]", num_hashes)
-        hot_sigs = hot_members.select(
+        keyed = sigs.select(
             F.col(id_col), *[F.expr(sql).alias(a) for a, sql in level1]
         ).select(F.col(id_col), F.expr(final).alias("__sig_key"))
     else:
         vals = ", ".join(f"minhash[{i}]" for i in range(num_hashes))
-        hot_sigs = hot_members.select(
+        keyed = sigs.select(
             F.col(id_col), F.expr(f"xxhash64({vals})").alias("__sig_key")
         )
-    fam = hot_sigs.groupBy("__sig_key").agg(
+    fam = keyed.groupBy("__sig_key").agg(
         F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("family_size")
     )
-    collapsed = F.col("family_size") >= 2
-    return (
-        hot_sigs.join(fam, "__sig_key")
-        .select(
-            F.col(id_col),
-            F.when(collapsed, F.lit("collapsed")).otherwise("deferred").alias("kind"),
-            F.when(collapsed, F.col("keep_id")).alias("keep_id"),
-            F.when(collapsed, F.col("family_size")).alias("family_size"),
-        )
-    )
+    return keyed.join(fam, "__sig_key").select(id_col, "keep_id", "family_size")
 
 
 def minhash_lsh_candidates(

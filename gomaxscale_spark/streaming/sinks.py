@@ -200,6 +200,16 @@ class IncrementalLSHDedupSink:
     micro-batch costs one pruned columnar scan per lake input, with no
     O(lake) exchange. Hot boilerplate band keys inherit the capped-LSH
     review-queue option of the underlying operators.
+
+    Maintenance (run between triggers, like any OPTIMIZE):
+    ``compact()`` folds the epoch-per-batch directories into one base
+    generation (the small-files control — measured halving per-batch
+    wall at 100 epochs, SCALING.md r7); ``drain_review()`` consumes
+    the review queue by collapsing each hot family on full-signature
+    equality and removing the non-representatives from the lake — the
+    linear escalation that cools hot keys back under the cap so they
+    ride the auto path again (end-to-end test:
+    test_incremental_lsh_dedup_sink_drain_review).
     """
 
     def __init__(
@@ -454,16 +464,103 @@ class IncrementalLSHDedupSink:
             return
         base = max(committed)
         for sub in ("kept", "bands"):
-            live = f"{self.path}/{sub}"
-            new, old = live + "__new", live + "__old"
-            shutil.rmtree(new, ignore_errors=True)
-            (
-                spark.read.parquet(live)
-                .drop("epoch")
-                .coalesce(target_files)
-                .write.mode("overwrite")
-                .parquet(f"{new}/epoch={base}")
+            self._publish_sub(
+                sub, spark.read.parquet(f"{self.path}/{sub}"), base, target_files
             )
-            os.rename(live, old)
-            os.rename(new, live)
-            shutil.rmtree(old, ignore_errors=True)
+
+    def _publish_sub(self, sub: str, df: DataFrame, base_epoch: int, target_files: int) -> None:
+        """Rewrite one lake subdir as a single ``epoch=<base_epoch>``
+        dataset at ``target_files`` files and swap it live via the
+        crash-recoverable two-rename protocol (shared by ``compact``
+        and ``drain_review``)."""
+        live = f"{self.path}/{sub}"
+        new, old = live + "__new", live + "__old"
+        shutil.rmtree(new, ignore_errors=True)
+        (
+            df.drop("epoch")
+            .coalesce(target_files)
+            .write.mode("overwrite")
+            .parquet(f"{new}/epoch={base_epoch}")
+        )
+        os.rename(live, old)
+        os.rename(new, live)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def drain_review(self, spark, target_files: int = 8) -> int:
+        """Maintenance pass that CONSUMES the review queue: collapse
+        every hot lake band key's members by full-signature equality
+        (operators/dedup.py collapse_signature_families — the linear
+        escalation, no pair expansion) and remove the collapsed
+        non-representatives from the lake. Returns how many docs were
+        removed.
+
+        Shape: hot keys are the distinct (band_id, band_hash) rows of
+        ``review/`` (bounded by duplicate-family count — SCALING.md r6
+        measured it flat at ~76k across a 10× corpus); member ids come
+        from a broadcast probe of the band index; signatures are
+        recomputed for those kept docs only (semi-join pruned before
+        the shingle map — the lake's text is never scanned in full).
+        kept/ and bands/ are republished through the same two-rename
+        swap as ``compact()`` (so this also compacts), then review/ is
+        deleted — consumed. A key that is STILL hot after the collapse
+        reappears in the next micro-batch's review rows, so deferred
+        work is never lost; a crash before the review/ delete makes
+        re-draining a no-op (families already collapsed). Run between
+        triggers, like ``compact``.
+
+        Semantics: strictly narrower than the threshold verify — only
+        64/64-min-hash-equal docs collapse (the repetition/boilerplate
+        core of a hot family), min-id representative kept. Docs the
+        uncapped pipeline would keep are never removed.
+        """
+        from ..operators import dedup as D
+
+        self._finish_compaction_swap()
+        review = self._read_or_none(spark, "review")
+        kept = self._read_or_none(spark, "kept")
+        bands = self._read_or_none(spark, "bands")
+        if review is None or kept is None or bands is None:
+            return 0
+        id_c, txt = self.id_col, self.text_col
+        hot_keys = review.select("band_id", "band_hash").distinct()
+        hot_ids = (
+            bands.select(id_c, "band_id", "band_hash")
+            .join(F.broadcast(hot_keys), ["band_id", "band_hash"])
+            .select(id_c)
+            .distinct()
+        )
+        hot_docs = kept.select(id_c, txt).join(F.broadcast(hot_ids), id_c, "semi")
+        sigs = D.portable_minhash_signatures(
+            hot_docs, id_c, txt, self.num_hashes, self.shingle_n
+        )
+        fams = D.collapse_signature_families(sigs, id_c, self.num_hashes, portable=True)
+        from ..operators.materialize import materialize_once, release
+
+        # materialize BEFORE the swaps: the drop list's lineage reads the
+        # old kept/ files, which the first publish deletes — a lazy
+        # re-evaluation for the bands publish would chase removed files
+        drop = materialize_once(
+            fams.filter(
+                (F.col("family_size") >= 2) & (F.col(id_c) != F.col("keep_id"))
+            ).select(id_c)
+        )
+        n_drop = drop.count()
+        if n_drop:
+            committed = sorted(
+                int(d.split("=")[1])
+                for d in os.listdir(f"{self.path}/kept")
+                if d.startswith("epoch=")
+                and os.path.exists(f"{self.path}/_epoch_{d.split('=')[1]}")
+            )
+            base = max(committed)
+            self._publish_sub(
+                "kept", kept.join(F.broadcast(drop), id_c, "left_anti"),
+                base, target_files,
+            )
+            self._publish_sub(
+                "bands", bands.join(F.broadcast(drop), id_c, "left_anti"),
+                base, target_files,
+            )
+        release(drop)
+        shutil.rmtree(f"{self.path}/review", ignore_errors=True)
+        return n_drop

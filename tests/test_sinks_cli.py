@@ -442,6 +442,67 @@ def test_incremental_lsh_dedup_sink_compaction_swap_recovery(spark, tmp_path):
     assert sorted(r.doc_id for r in sink.read_kept(spark).collect()) == before
 
 
+def test_incremental_lsh_dedup_sink_drain_review(spark, tmp_path):
+    """The deferred-work channel is DRAINABLE end-to-end. With cap=1
+    blocking all candidate generation, two repetition-class near-dups
+    ('alpha beta' ×2 vs ×3 — IDENTICAL 2-shingle sets, different
+    digests) both enter the lake and make their band keys hot;
+    drain_review collapses the full-signature family (min-id kept),
+    republishes kept/bands, consumes review/ — and, the closure, the
+    cooled keys ride the AUTO cross-batch path again: the next
+    repetition arrival is dropped without any review row."""
+    import os
+
+    from gomaxscale_spark.streaming.sinks import IncrementalLSHDedupSink
+
+    fillers = [
+        (i, f"totally unrelated document number {i} carrying its own words {i * 7}")
+        for i in range(10, 16)
+    ]
+    path = str(tmp_path / "lake_drain")
+    sink = IncrementalLSHDedupSink(path, threshold=0.8, max_bucket_size=1)
+    b0 = spark.createDataFrame(
+        [(0, "alpha beta alpha beta"), (1, "alpha beta alpha beta alpha beta")]
+        + fillers[:3],
+        "doc_id long, text string",
+    )
+    sink.apply_batch(b0, 0)
+    kept_ids = {r.doc_id for r in sink.read_kept(spark).collect()}
+    assert {0, 1} <= kept_ids, "cap=1 must defer the within-batch near-dup pair"
+
+    # the next batch's lake-side count pass surfaces the hot keys
+    sink.apply_batch(
+        spark.createDataFrame(fillers[3:], "doc_id long, text string"), 1
+    )
+    assert spark.read.parquet(f"{path}/review").count() > 0
+
+    assert sink.drain_review(spark) == 1  # doc 1 collapses into doc 0's family
+    kept_ids = {r.doc_id for r in sink.read_kept(spark).collect()}
+    assert 0 in kept_ids and 1 not in kept_ids
+    assert not os.path.isdir(f"{path}/review"), "review queue must be consumed"
+    band_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{path}/bands").select("doc_id").distinct().collect()
+    }
+    assert band_ids == kept_ids, "band index must match the drained lake"
+
+    # closure: the key is cool again (1 lake member ≤ cap), so the auto
+    # cross-batch path drops the next repetition without deferring it
+    sink.apply_batch(
+        spark.createDataFrame(
+            [(2, "alpha beta alpha beta alpha beta alpha beta")],
+            "doc_id long, text string",
+        ),
+        2,
+    )
+    after = {r.doc_id for r in sink.read_kept(spark).collect()}
+    assert 2 not in after
+    assert after == kept_ids
+
+    # idempotence: a second drain with an empty queue is a no-op
+    assert sink.drain_review(spark) == 0
+
+
 def test_incremental_lsh_dedup_sink_capped_review_queue(spark, tmp_path):
     """max_bucket_size=1 on a degenerate one-family corpus: every lake
     band key is hot, so the cross-batch auto join is skipped for all of
