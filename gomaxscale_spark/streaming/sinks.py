@@ -1,4 +1,4 @@
-"""Sinks: routed parquet writes and a CDC-applying snapshot sink.
+"""Sinks: routed parquet writes and the incremental CDC/dedup sinks.
 
 The reference's only sink is the user callback / stdout demo
 (gomaxscale.go:173-191, cmd/gomaxscale/main.go); an analytics engine
@@ -8,7 +8,12 @@ needs the write path too:
   storage layout, so downstream readers prune by change kind.
 - ``CDCSnapshotSink``: a foreachBatch sink that folds each micro-batch
   of change events into a materialized snapshot table (C2 incrementally
-  — the streaming twin of operators/snapshot.py).
+  — the streaming twin of operators/snapshot.py materialize_snapshot).
+- ``CDCHistorySink``: the SCD2 twin — validity-interval history
+  maintained incrementally from a bucket-partitioned event log.
+- ``IncrementalLSHDedupSink``: the streaming dedup LAKE (exact +
+  MinHash-LSH near-dup against everything ever kept), with epoch
+  compaction and a drainable review queue.
 
 Scale: the snapshot sink's read-merge-rewrite is the lakehouse-less
 emulation of MERGE INTO; at 100 TB you'd point the same foreachBatch at
@@ -132,6 +137,110 @@ class CDCSnapshotSink:
 
     def read_snapshot(self, spark) -> DataFrame:
         return spark.read.parquet(self.path).drop("__bucket")
+
+
+class CDCHistorySink:
+    """foreachBatch handler maintaining an SCD2 HISTORY table under
+    ``path`` — the streaming twin of ``materialize_history`` exactly as
+    ``CDCSnapshotSink`` is of ``materialize_snapshot`` (C2's other
+    standard fold, incrementally).
+
+    Why this one needs a LOG where the snapshot sink doesn't:
+    latest-wins is associative — fold(current ∪ batch) with the same
+    window is correct. Validity intervals are NOT: a new event must
+    CLOSE a previously-open version, and a correct rebuild needs each
+    key's full accepted-event set. So the sink keeps two datasets:
+
+      ``log/epoch=N/__bucket=B/`` — accepted change events
+          (update_before images dropped), appended per epoch,
+          partitioned by key-hash bucket;
+      ``history/__bucket=B/``     — the materialized intervals,
+          rebuilt per micro-batch ONLY for the buckets the batch's
+          keys hash into: a partition-pruned read of those buckets'
+          log events → ``materialize_history`` → per-bucket staged
+          swap. Per-batch cost is O(touched buckets' log), never
+          O(table); the bucket count is the knob that bounds it.
+
+    Failure protocol (same pieces as the dedup lake): the ``_epoch_N``
+    marker commits an epoch; a retry deletes ``log/epoch=N`` first
+    (duplicated events would fabricate zero-length versions — unlike
+    latest-wins, this fold is NOT duplicate-tolerant), then re-appends
+    and re-materializes. A crash mid-history-swap leaves some buckets
+    stale, which the retry's rebuild repairs — history/ is always a
+    pure function of the committed log. Markers and swaps are
+    driver-local-filesystem (the lakehouse-less emulation; production
+    is a MERGE into a transactional table). log/ epochs accumulate one
+    dir per batch — the same small-files shape the dedup lake's
+    ``compact()`` handles; compact the log by rewriting committed
+    epochs into one, markers kept.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        key_cols: list[str],
+        order_cols: list[str],
+        event_type_col: str = "event_type",
+        n_buckets: int = 16,
+    ) -> None:
+        self.path = path
+        self.key_cols = key_cols
+        self.order_cols = order_cols
+        self.event_type_col = event_type_col
+        self.n_buckets = n_buckets
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        self.apply_batch(batch_df, epoch_id)
+
+    def _bucket(self) -> F.Column:
+        return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_buckets))
+
+    def apply_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        from ..operators.snapshot import UPDATE_BEFORE, materialize_history
+
+        marker = f"{self.path}/_epoch_{epoch_id}"
+        if os.path.exists(marker):
+            return  # committed epoch — replay is a no-op
+        shutil.rmtree(f"{self.path}/log/epoch={epoch_id}", ignore_errors=True)
+        spark = batch_df.sparkSession
+
+        accepted = batch_df.filter(
+            F.col(self.event_type_col) != UPDATE_BEFORE
+        ).withColumn("__bucket", self._bucket())
+        touched = sorted(r[0] for r in accepted.select("__bucket").distinct().collect())
+        if not touched:
+            os.makedirs(self.path, exist_ok=True)
+            open(marker, "w").close()
+            return
+        accepted.write.mode("overwrite").partitionBy("__bucket").parquet(
+            f"{self.path}/log/epoch={epoch_id}"
+        )
+
+        # rebuild ONLY the touched buckets' history from the log
+        log = spark.read.parquet(f"{self.path}/log").filter(
+            F.col("__bucket").isin(touched)  # partition-pruned scan
+        )
+        hist = materialize_history(
+            log.drop("__bucket", "epoch"),
+            self.key_cols,
+            self.order_cols,
+            self.event_type_col,
+        ).withColumn("__bucket", self._bucket())
+        staged = self.path + "/history._staged"
+        hist.write.mode("overwrite").partitionBy("__bucket").parquet(staged)
+        hist_root = f"{self.path}/history"
+        os.makedirs(hist_root, exist_ok=True)
+        for b in touched:
+            src = os.path.join(staged, f"__bucket={b}")
+            dst = os.path.join(hist_root, f"__bucket={b}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                shutil.move(src, dst)
+        shutil.rmtree(staged, ignore_errors=True)
+        open(marker, "w").close()
+
+    def read_history(self, spark) -> DataFrame:
+        return spark.read.parquet(f"{self.path}/history").drop("__bucket")
 
 
 class IncrementalLSHDedupSink:

@@ -297,6 +297,16 @@ def test_headline_shuffle_ceilings(spark, sf_dir):
     assert not over, f"shuffle regressions (got, ceiling): {over}"
 
 
+def test_scd2_history_single_shuffle(spark, sf_dir):
+    """The SCD2 fold is ONE hash exchange on the key plus the per-key
+    lead window — no second shuffle, no driver work."""
+    import re
+
+    p = plan_str(spark, sf_dir, "cdc_scd2_history")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p[:1500]
+    assert "Window" in p and "lead(" in p
+
+
 def test_dedup_lake_probe_joins_never_shuffle_the_lake(spark, sf_dir, tmp_path):
     """The streaming dedup lake's scale contract (SCALING.md r7): both
     per-batch joins against lake state are BROADCAST-probe joins — the

@@ -147,6 +147,136 @@ def test_cdc_snapshot_sink_bucket_scoped_rewrite(spark, tmp_path):
     assert not any(i in state for i in victims)
 
 
+def test_cdc_history_sink_incremental(spark, tmp_path):
+    """The streaming SCD2 sink: a later micro-batch must CLOSE a
+    previously-open version (the thing an append-only history gets
+    wrong), deletes close without opening, replay is a no-op, the
+    result equals the batch fold over all events, and a 1-key batch
+    rewrites only its key's bucket."""
+    import os
+
+    from gomaxscale_spark.operators.snapshot import materialize_history
+    from gomaxscale_spark.streaming.sinks import CDCHistorySink
+
+    schema = "id int, event_type string, v double, seq long"
+    path = str(tmp_path / "hist")
+    sink = CDCHistorySink(path, key_cols=["id"], order_cols=["seq"])
+
+    b1 = spark.createDataFrame(
+        [(1, "insert", 10.0, 100), (2, "insert", 20.0, 110)]
+        + [(i, "insert", float(i), 120 + i) for i in range(4, 20)],
+        schema,
+    )
+    sink.apply_batch(b1, 0)
+    assert all(
+        r.is_current and r.valid_to is None
+        for r in sink.read_history(spark).collect()
+    )
+
+    b2 = spark.createDataFrame(
+        [
+            (1, "update_before", 10.0, 200),
+            (1, "update_after", 11.0, 200),
+            (2, "delete", 20.0, 210),
+            (3, "insert", 30.0, 220),
+        ],
+        schema,
+    )
+    sink.apply_batch(b2, 1)
+    hist = {
+        (r.id, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in sink.read_history(spark).collect()
+    }
+    assert (1, 10.0, 100, 200, False) in hist, "open version must be CLOSED"
+    assert (1, 11.0, 200, None, True) in hist
+    assert (2, 20.0, 110, 210, False) in hist  # delete closed it
+    assert not any(r[0] == 2 and r[4] for r in hist)
+    assert (3, 30.0, 220, None, True) in hist
+
+    # replay of a committed epoch is a no-op
+    sink.apply_batch(b2, 1)
+    hist2 = {
+        (r.id, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in sink.read_history(spark).collect()
+    }
+    assert hist2 == hist
+
+    # equals the batch fold over the full changelog
+    batch_hist = {
+        (r.id, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in materialize_history(
+            b1.unionByName(b2), ["id"], ["seq"]
+        ).collect()
+    }
+    assert hist == batch_hist
+
+    # bucket-scoped rewrite: a 1-key batch leaves other buckets alone
+    def listing():
+        out = {}
+        for d in os.listdir(f"{path}/history"):
+            if d.startswith("__bucket="):
+                files = {}
+                for f in sorted(os.listdir(os.path.join(path, "history", d))):
+                    st = os.stat(os.path.join(path, "history", d, f))
+                    files[f] = (st.st_ino, st.st_mtime_ns, st.st_size)
+                out[d] = files
+        return out
+
+    bmap = {
+        r.id: r.b
+        for r in spark.createDataFrame([(i,) for i in range(20)], "id int")
+        .select("id", F.pmod(F.xxhash64("id"), F.lit(16)).alias("b"))
+        .collect()
+    }
+    before = listing()
+    sink.apply_batch(
+        spark.createDataFrame([(4, "update_after", 44.0, 300)], schema), 2
+    )
+    after = listing()
+    target = f"__bucket={bmap[4]}"
+    assert after[target] != before[target]
+    for d in before:
+        if d != target:
+            assert after[d] == before[d], f"untouched bucket {d} was rewritten"
+
+
+def test_cdc_history_sink_as_stream_target(spark, tmp_path):
+    """CDCHistorySink through the REAL engine: readStream over a
+    chunked changelog → foreachBatch → availableNow; final history
+    equals the batch fold regardless of chunking."""
+    import time
+
+    from gomaxscale_spark.operators.snapshot import materialize_history
+    from gomaxscale_spark.streaming.sinks import CDCHistorySink
+
+    changes = spark.createDataFrame(
+        [(i % 5, "insert", float(i), i) for i in range(40)]
+        + [(1, "delete", 0.0, 100)],
+        "id int, event_type string, v double, seq long",
+    )
+    src = str(tmp_path / "hist_changes")
+    changes.repartition(4).write.mode("overwrite").parquet(src)
+    sink = CDCHistorySink(str(tmp_path / "hist_stream"), key_cols=["id"], order_cols=["seq"])
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    time.sleep(0.2)
+    got = {
+        (r.id, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in sink.read_history(spark).collect()
+    }
+    want = {
+        (r.id, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in materialize_history(changes, ["id"], ["seq"]).collect()
+    }
+    # 40 insert images = 40 version rows; the delete only closes one
+    assert got == want and len(got) == 40
+
+
 DML = {
     "domain": 0,
     "server_id": 1,
