@@ -195,12 +195,23 @@ class CDCHistorySink:
     def _bucket(self) -> F.Column:
         return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_buckets))
 
+    def _recover_log_swap(self) -> None:
+        """Finish a compact_log interrupted between its two renames —
+        that crash window leaves only ``log__new``; stray staging dirs
+        from earlier crash points are redundant and removed."""
+        log_root = f"{self.path}/log"
+        if os.path.isdir(log_root + "__new") and not os.path.isdir(log_root):
+            os.rename(log_root + "__new", log_root)
+        for leftover in (log_root + "__old", log_root + "__new"):
+            shutil.rmtree(leftover, ignore_errors=True)
+
     def apply_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
         from ..operators.snapshot import UPDATE_BEFORE, materialize_history
 
         marker = f"{self.path}/_epoch_{epoch_id}"
         if os.path.exists(marker):
             return  # committed epoch — replay is a no-op
+        self._recover_log_swap()
         shutil.rmtree(f"{self.path}/log/epoch={epoch_id}", ignore_errors=True)
         spark = batch_df.sparkSession
 
@@ -241,6 +252,45 @@ class CDCHistorySink:
 
     def read_history(self, spark) -> DataFrame:
         return spark.read.parquet(f"{self.path}/history").drop("__bucket")
+
+    def compact_log(self, spark) -> None:
+        """Fold the log's committed epoch directories into one base
+        epoch (still bucket-partitioned) — the same small-files control
+        as the dedup lake's ``compact()``: a year of 1-minute batches
+        is ~500k ``log/epoch=N`` dirs whose listing/footer overhead
+        every touched-bucket rebuild pays. Markerless (partial) epoch
+        dirs are deleted; all ``_epoch_N`` markers survive so replays
+        of compacted epochs stay no-ops; the swap is the same
+        crash-recoverable two-rename (a crash leaves either the old or
+        the new log, both complete — history rebuilds are a pure
+        function of whichever is live). Run between triggers."""
+        log_root = f"{self.path}/log"
+        self._recover_log_swap()
+        if not os.path.isdir(log_root):
+            return
+        epochs = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(log_root)
+            if d.startswith("epoch=")
+        )
+        for e in epochs:
+            if not os.path.exists(f"{self.path}/_epoch_{e}"):
+                shutil.rmtree(f"{log_root}/epoch={e}", ignore_errors=True)
+        committed = [e for e in epochs if os.path.exists(f"{self.path}/_epoch_{e}")]
+        if len(committed) <= 1:
+            return
+        base = max(committed)
+        new, old = log_root + "__new", log_root + "__old"
+        (
+            spark.read.parquet(log_root)
+            .drop("epoch")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(f"{new}/epoch={base}")
+        )
+        os.rename(log_root, old)
+        os.rename(new, log_root)
+        shutil.rmtree(old, ignore_errors=True)
 
 
 class IncrementalLSHDedupSink:

@@ -240,6 +240,73 @@ def test_cdc_history_sink_incremental(spark, tmp_path):
             assert after[d] == before[d], f"untouched bucket {d} was rewritten"
 
 
+def test_cdc_history_sink_compact_log(spark, tmp_path):
+    """Log compaction: 3 committed epochs fold into one base epoch dir
+    (bucket partitioning kept), history is identical before/after,
+    old-epoch replays stay no-ops, a subsequent batch rebuilds
+    correctly from the compacted log, and a crash between the two
+    renames self-heals."""
+    import os
+    import shutil as _sh
+
+    from gomaxscale_spark.streaming.sinks import CDCHistorySink
+
+    schema = "id int, event_type string, v double, seq long"
+    path = str(tmp_path / "hist_compact")
+    sink = CDCHistorySink(path, key_cols=["id"], order_cols=["seq"])
+    for e in range(3):
+        sink.apply_batch(
+            spark.createDataFrame(
+                [(i, "insert", float(100 * e + i), 100 * e + i) for i in range(8)],
+                schema,
+            ),
+            e,
+        )
+    before = sorted(
+        (r.id, r.v, r.valid_from, r.valid_to) for r in sink.read_history(spark).collect()
+    )
+    assert len([d for d in os.listdir(f"{path}/log") if d.startswith("epoch=")]) == 3
+
+    sink.compact_log(spark)
+    assert [d for d in os.listdir(f"{path}/log") if d.startswith("epoch=")] == ["epoch=2"]
+    # replay of a compacted epoch is still a no-op
+    sink.apply_batch(
+        spark.createDataFrame([(0, "insert", -1.0, 999)], schema), 1
+    )
+    after = sorted(
+        (r.id, r.v, r.valid_from, r.valid_to) for r in sink.read_history(spark).collect()
+    )
+    assert after == before
+
+    # a new batch rebuilds correctly from the compacted log: key 0's
+    # open version (v=200.0 at seq=200) must close at the new event
+    sink.apply_batch(
+        spark.createDataFrame([(0, "update_after", 7.0, 500)], schema), 3
+    )
+    rows = {
+        (r.v, r.valid_from, r.valid_to)
+        for r in sink.read_history(spark).collect()
+        if r.id == 0
+    }
+    assert (200.0, 200, 500) in rows and (7.0, 500, None) in rows
+
+    # crash window between the renames: only log__new on disk
+    _sh.copytree(f"{path}/log", f"{path}/log__new")
+    _sh.move(f"{path}/log", f"{path}/log__old")
+    sink.apply_batch(
+        spark.createDataFrame([(1, "update_after", 8.0, 600)], schema), 4
+    )
+    assert os.path.isdir(f"{path}/log")
+    assert not os.path.isdir(f"{path}/log__new")
+    assert not os.path.isdir(f"{path}/log__old")
+    rows1 = {
+        (r.v, r.valid_from, r.valid_to)
+        for r in sink.read_history(spark).collect()
+        if r.id == 1
+    }
+    assert (8.0, 600, None) in rows1
+
+
 def test_cdc_history_sink_as_stream_target(spark, tmp_path):
     """CDCHistorySink through the REAL engine: readStream over a
     chunked changelog → foreachBatch → availableNow; final history
