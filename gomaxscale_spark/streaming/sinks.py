@@ -171,8 +171,19 @@ class CDCHistorySink:
     driver-local-filesystem (the lakehouse-less emulation; production
     is a MERGE into a transactional table). log/ epochs accumulate one
     dir per batch — the same small-files shape the dedup lake's
-    ``compact()`` handles; compact the log by rewriting committed
-    epochs into one, markers kept.
+    ``compact()`` handles — ``compact_log()`` folds committed epochs
+    into one, markers kept.
+
+    Design note — why the log can't be elided: one might refold
+    history/ itself (each version row as a pseudo-event at its
+    valid_from). That loses delete positions (a tombstone's order
+    tuple survives only as a valid_to), so intermediate deletes would
+    mis-close intervals under late events; keeping the accepted-event
+    log — which is exactly update_before-filtered events, the minimal
+    sufficient state for this fold — is both correct and the same
+    asymptotic size. The one further storage optimization (store ONLY
+    the log and derive interval columns at read) trades read cost for
+    write cost; not taken here.
     """
 
     def __init__(
