@@ -321,6 +321,7 @@ def _lsh_buckets(
     shingle_n: int,
     max_bucket_size: int | None = None,
     portable: bool = False,
+    band_rows: DataFrame | None = None,
 ) -> DataFrame:
     """(band_id, band_hash, ids) bucket table — bounded BEFORE any
     membership array exists.
@@ -340,9 +341,10 @@ def _lsh_buckets(
     SPARK_GRAFT_MATERIALIZE — persist_disk on a real cluster, see
     operators/materialize.py).
     """
-    band_rows = materialize_once(
-        _lsh_band_rows(df, id_col, text_col, num_hashes, bands, shingle_n, portable)
-    )
+    if band_rows is None:
+        band_rows = materialize_once(
+            _lsh_band_rows(df, id_col, text_col, num_hashes, bands, shingle_n, portable)
+        )
     counts = _lsh_bucket_counts(band_rows)
     if max_bucket_size is not None:
         counts = counts.filter(F.col("n_members") <= max_bucket_size)
@@ -488,6 +490,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
     portable: bool = False,
+    band_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -517,8 +520,13 @@ def minhash_lsh_candidates(
     # keys once; buckets are tiny by LSH construction, so the per-bucket
     # quadratic expansion is bounded (hot-boilerplate buckets get capped
     # into the lsh_hot_buckets review queue at corpus scale).
+    # ``band_rows``: callers that already materialized this batch's
+    # (id, band_id, band_hash) rows (the streaming sink computes them
+    # once and shares them across three stages) pass them in to skip
+    # a re-run of the whole signature pipeline.
     buckets = _lsh_buckets(
-        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket_size, portable
+        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket_size,
+        portable, band_rows,
     )
     combos = F.flatten(
         F.transform(
