@@ -34,6 +34,7 @@ import shutil
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators.snapshot import materialize_snapshot
+from .epoch import EpochCommit
 
 
 def write_routed(df: DataFrame, path: str, route_col: str = "event_type", mode: str = "overwrite") -> None:
@@ -72,6 +73,7 @@ class CDCSnapshotSink:
         self.order_cols = order_cols
         self.event_type_col = event_type_col
         self.n_buckets = n_buckets
+        self._commit = EpochCommit(path)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         self.apply_batch(batch_df)
@@ -109,14 +111,24 @@ class CDCSnapshotSink:
         )
         if not touched:
             return  # empty micro-batch
-        try:
+        # "No snapshot yet" is decided by PATH EXISTENCE, never by
+        # catching read errors: a blanket except here would turn a
+        # transient listing/IO/schema failure into a batch-only fold
+        # that then OVERWRITES the touched buckets — permanent row
+        # loss. The sink is driver-local-path-only by documented
+        # caveat, so os.path.isdir is the authoritative check; any
+        # error from an existing snapshot's read now propagates and
+        # foreachBatch retries the epoch.
+        if os.path.isdir(self.path) and any(
+            e.startswith("__bucket=") for e in os.listdir(self.path)
+        ):
             current = spark.read.parquet(self.path)
             # partition filter → pruned scan: untouched buckets unread
             merged_input = current.filter(
                 F.col("__bucket").isin(touched)
             ).drop("__bucket").unionByName(batch_df)
-        except Exception:
-            merged_input = batch_df
+        else:
+            merged_input = batch_df  # genuine first batch
         new_state = materialize_snapshot(
             merged_input, self.key_cols, self.order_cols, self.event_type_col
         )
@@ -124,16 +136,7 @@ class CDCSnapshotSink:
         new_state.withColumn("__bucket", self._bucket()).write.mode(
             "overwrite"
         ).partitionBy("__bucket").parquet(staged)
-        os.makedirs(self.path, exist_ok=True)
-        for b in touched:
-            src = os.path.join(staged, f"__bucket={b}")
-            dst = os.path.join(self.path, f"__bucket={b}")
-            shutil.rmtree(dst, ignore_errors=True)
-            if os.path.isdir(src):
-                shutil.move(src, dst)
-            # a touched bucket absent from the staged output means every
-            # key in it was deleted — removing dst IS the publish
-        shutil.rmtree(staged, ignore_errors=True)
+        self._commit.swap_bucket_dirs(staged, self.path, touched)
 
     def read_snapshot(self, spark) -> DataFrame:
         return spark.read.parquet(self.path).drop("__bucket")
@@ -199,6 +202,7 @@ class CDCHistorySink:
         self.order_cols = order_cols
         self.event_type_col = event_type_col
         self.n_buckets = n_buckets
+        self._commit = EpochCommit(path)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         self.apply_batch(batch_df, epoch_id)
@@ -206,24 +210,19 @@ class CDCHistorySink:
     def _bucket(self) -> F.Column:
         return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_buckets))
 
-    def _recover_log_swap(self) -> None:
-        """Finish a compact_log interrupted between its two renames —
-        that crash window leaves only ``log__new``; stray staging dirs
-        from earlier crash points are redundant and removed."""
-        log_root = f"{self.path}/log"
-        if os.path.isdir(log_root + "__new") and not os.path.isdir(log_root):
-            os.rename(log_root + "__new", log_root)
-        for leftover in (log_root + "__old", log_root + "__new"):
-            shutil.rmtree(leftover, ignore_errors=True)
-
     def apply_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
         from ..operators.snapshot import UPDATE_BEFORE, materialize_history
 
-        marker = f"{self.path}/_epoch_{epoch_id}"
-        if os.path.exists(marker):
+        if self._commit.is_committed(epoch_id):
             return  # committed epoch — replay is a no-op
-        self._recover_log_swap()
-        shutil.rmtree(f"{self.path}/log/epoch={epoch_id}", ignore_errors=True)
+        with self._commit.trigger_guard():
+            self._apply_batch_locked(batch_df, epoch_id, UPDATE_BEFORE, materialize_history)
+
+    def _apply_batch_locked(
+        self, batch_df: DataFrame, epoch_id: int, UPDATE_BEFORE, materialize_history
+    ) -> None:
+        self._commit.finish_swap(("log",))
+        self._commit.clean_partial(("log",), epoch_id)
         spark = batch_df.sparkSession
 
         accepted = batch_df.filter(
@@ -232,35 +231,50 @@ class CDCHistorySink:
         # ≤ n_buckets small ints — driver-safe collect
         touched = sorted(r[0] for r in accepted.select("__bucket").distinct().collect())
         if not touched:
-            os.makedirs(self.path, exist_ok=True)
-            open(marker, "w").close()
+            self._commit.commit(epoch_id)
             return
         accepted.write.mode("overwrite").partitionBy("__bucket").parquet(
             f"{self.path}/log/epoch={epoch_id}"
         )
 
-        # rebuild ONLY the touched buckets' history from the log
+        # rebuild ONLY the touched KEYS' history from the log: the
+        # partition filter prunes untouched buckets' files out of the
+        # scan, and the broadcast key semi-join bounds the expensive
+        # part (the per-key window sort inside materialize_history) by
+        # the batch's keys' event count — NOT by the whole touched
+        # bucket's log, which grows with stream lifetime. Untouched
+        # keys in a touched bucket keep their existing history rows
+        # verbatim (unioned into the staged rewrite below); the bucket
+        # REWRITE I/O itself is inherent on plain parquet (production
+        # is a keyed MERGE into a transactional table).
+        batch_keys = accepted.select(*self.key_cols).distinct()
         log = spark.read.parquet(f"{self.path}/log").filter(
             F.col("__bucket").isin(touched)  # partition-pruned scan
         )
+        touched_log = log.join(F.broadcast(batch_keys), self.key_cols, "semi")
         hist = materialize_history(
-            log.drop("__bucket", "epoch"),
+            touched_log.drop("__bucket", "epoch"),
             self.key_cols,
             self.order_cols,
             self.event_type_col,
-        ).withColumn("__bucket", self._bucket())
-        staged = self.path + "/history._staged"
-        hist.write.mode("overwrite").partitionBy("__bucket").parquet(staged)
+        )
         hist_root = f"{self.path}/history"
-        os.makedirs(hist_root, exist_ok=True)
-        for b in touched:
-            src = os.path.join(staged, f"__bucket={b}")
-            dst = os.path.join(hist_root, f"__bucket={b}")
-            shutil.rmtree(dst, ignore_errors=True)
-            if os.path.isdir(src):
-                shutil.move(src, dst)
-        shutil.rmtree(staged, ignore_errors=True)
-        open(marker, "w").close()
+        if os.path.isdir(hist_root) and any(
+            e.startswith("__bucket=") for e in os.listdir(hist_root)
+        ):
+            untouched_keys_hist = (
+                spark.read.parquet(hist_root)
+                .filter(F.col("__bucket").isin(touched))  # pruned scan
+                .join(F.broadcast(batch_keys), self.key_cols, "anti")
+                .drop("__bucket")
+            )
+            hist = hist.unionByName(untouched_keys_hist)
+        staged = self.path + "/history._staged"
+        hist.withColumn("__bucket", self._bucket()).write.mode(
+            "overwrite"
+        ).partitionBy("__bucket").parquet(staged)
+        self._commit.swap_bucket_dirs(staged, hist_root, touched)
+        self._commit.commit(epoch_id)
 
     def read_history(self, spark) -> DataFrame:
         return spark.read.parquet(f"{self.path}/history").drop("__bucket")
@@ -275,34 +289,28 @@ class CDCHistorySink:
         of compacted epochs stay no-ops; the swap is the same
         crash-recoverable two-rename (a crash leaves either the old or
         the new log, both complete — history rebuilds are a pure
-        function of whichever is live). Run between triggers."""
-        log_root = f"{self.path}/log"
-        self._recover_log_swap()
-        if not os.path.isdir(log_root):
-            return
-        epochs = sorted(
-            int(d.split("=")[1])
-            for d in os.listdir(log_root)
-            if d.startswith("epoch=")
-        )
-        for e in epochs:
-            if not os.path.exists(f"{self.path}/_epoch_{e}"):
-                shutil.rmtree(f"{log_root}/epoch={e}", ignore_errors=True)
-        committed = [e for e in epochs if os.path.exists(f"{self.path}/_epoch_{e}")]
-        if len(committed) <= 1:
-            return
-        base = max(committed)
-        new, old = log_root + "__new", log_root + "__old"
-        (
-            spark.read.parquet(log_root)
-            .drop("epoch")
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(f"{new}/epoch={base}")
-        )
-        os.rename(log_root, old)
-        os.rename(new, log_root)
-        shutil.rmtree(old, ignore_errors=True)
+        function of whichever is live). Racing an in-flight
+        apply_batch raises (enforced by the shared exclusion guard)."""
+        with self._commit.maintenance_guard():
+            log_root = f"{self.path}/log"
+            self._commit.finish_swap(("log",))
+            if not os.path.isdir(log_root):
+                return
+            committed = self._commit.drop_partial_epochs(("log",))
+            if len(committed) <= 1:
+                return
+            base = max(committed)
+
+            def write_staged(staging: str) -> None:
+                (
+                    spark.read.parquet(log_root)
+                    .drop("epoch")
+                    .write.mode("overwrite")
+                    .partitionBy("__bucket")
+                    .parquet(f"{staging}/epoch={base}")
+                )
+
+            self._commit.swap_publish("log", write_staged)
 
 
 class IncrementalLSHDedupSink:
@@ -417,15 +425,27 @@ class IncrementalLSHDedupSink:
         #: raises after bands/ (before the marker). Never set in
         #: production use.
         self._fail_after: str | None = None
+        self._commit = EpochCommit(path)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         self.apply_batch(batch_df, epoch_id)
 
     def _read_or_none(self, spark, sub: str) -> DataFrame | None:
-        try:
-            return spark.read.parquet(f"{self.path}/{sub}")
-        except Exception:
+        """Read one lake subdir, or None iff it genuinely DOESN'T EXIST
+        yet. Existence is decided by the filesystem (the lake is
+        driver-local-path-only by documented caveat), never by catching
+        read errors: a blanket except would turn a transient
+        listing/IO/schema failure into "no kept docs / no band index",
+        silently skipping a dedup layer for the epoch and admitting
+        duplicates permanently (the marker then commits the damage).
+        A real read error on an existing dir now propagates and
+        foreachBatch retries the epoch."""
+        root = f"{self.path}/{sub}"
+        if not os.path.isdir(root) or not any(
+            e.startswith("epoch=") for e in os.listdir(root)
+        ):
             return None
+        return spark.read.parquet(root)
 
     def exact_layer_vs_lake(self, batch: DataFrame, kept: DataFrame) -> DataFrame:
         """Exact-digest layer, lake-probe direction: drop batch docs
@@ -466,18 +486,20 @@ class IncrementalLSHDedupSink:
         )
 
     def apply_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        if self._commit.is_committed(epoch_id):
+            return  # retried epoch — already committed
+        with self._commit.trigger_guard():
+            self._apply_batch_locked(batch_df, epoch_id)
+
+    def _apply_batch_locked(self, batch_df: DataFrame, epoch_id: int) -> None:
         from ..operators import dedup as D
         from ..operators.materialize import materialize_once, release
 
-        marker = f"{self.path}/_epoch_{epoch_id}"
-        if os.path.exists(marker):
-            return  # retried epoch — already committed
-        self._finish_compaction_swap()  # repair an interrupted compact()
+        self._commit.finish_swap(("kept", "bands"))  # repair a crashed compact()
         # recovery: epoch dirs without their marker are a partial prior
         # attempt of THIS epoch (epochs are sequential) — drop them so
         # every read below sees only the committed prefix
-        for sub in ("kept", "bands", "review"):
-            shutil.rmtree(f"{self.path}/{sub}/epoch={epoch_id}", ignore_errors=True)
+        self._commit.clean_partial(("kept", "bands", "review"), epoch_id)
         spark = batch_df.sparkSession
         id_c, txt = self.id_col, self.text_col
 
@@ -507,6 +529,12 @@ class IncrementalLSHDedupSink:
                 portable=True,
             )
         )
+        # every materialize_once frame this batch creates is freed in
+        # the commit finally — without this, the non-empty paths pin up
+        # to two extra localCheckpoint RDDs PER MICRO-BATCH for the
+        # session's lifetime (the exact accumulation release() exists
+        # to bound)
+        to_release: list[DataFrame] = [band_rows_all]
 
         def rows_for(docs: DataFrame) -> DataFrame:
             ids = docs.select(id_c).distinct()
@@ -542,9 +570,8 @@ class IncrementalLSHDedupSink:
             # fixed cost) when no lake band key collided — the common
             # case for a clean steady-state stream
             cross = materialize_once(self.cross_batch_candidates(lake_bands, batch_bands))
-            if cross.isEmpty():
-                release(cross)
-            else:
+            to_release.append(cross)
+            if not cross.isEmpty():
                 docs_for_verify = kept.select(id_c, txt).unionByName(
                     batch.select(id_c, txt)
                 )
@@ -567,8 +594,8 @@ class IncrementalLSHDedupSink:
                 band_rows=rows_for(batch),
             )
         )
+        to_release.append(cands)
         if cands.isEmpty():
-            release(cands)
             survivors = batch
         else:
             pairs = D.verify_candidates_jaccard(
@@ -582,6 +609,9 @@ class IncrementalLSHDedupSink:
 
         # 4. commit: epoch-scoped kept + band-index dirs, then the marker
         survivors = materialize_once(survivors)
+        to_release.append(survivors)
+        # survivors is eagerly materialized above, so cross/cands/
+        # band_rows_all have no remaining consumers — all safe to free
         try:
             survivors.write.mode("overwrite").parquet(
                 f"{self.path}/kept/epoch={epoch_id}"
@@ -594,10 +624,9 @@ class IncrementalLSHDedupSink:
             if self._fail_after == "bands":
                 raise RuntimeError("injected crash between bands write and marker")
         finally:
-            release(survivors)
-            release(band_rows_all)
-        os.makedirs(self.path, exist_ok=True)
-        open(marker, "w").close()
+            for frame in to_release:
+                release(frame)
+        self._commit.commit(epoch_id)
 
     def read_kept(self, spark) -> DataFrame:
         return spark.read.parquet(f"{self.path}/kept").drop("__digest", "epoch")
@@ -605,27 +634,6 @@ class IncrementalLSHDedupSink:
     # ------------------------------------------------------------------
     # maintenance: epoch compaction (the small-files control)
     # ------------------------------------------------------------------
-
-    def _finish_compaction_swap(self) -> None:
-        """Recover a compaction interrupted mid-swap. The swap is two
-        renames per subdir (live → __old, __new → live); every crash
-        point leaves a state these three rules repair:
-
-        - live missing + __new present → the crash hit between the two
-          renames: finish it (rename __new → live);
-        - __old present → the crash hit before its cleanup: remove it;
-        - __new present beside a live dir → the crash hit before the
-          first rename: the staged copy is redundant, remove it.
-        """
-        for sub in ("kept", "bands"):
-            live = f"{self.path}/{sub}"
-            new, old = live + "__new", live + "__old"
-            if os.path.isdir(new) and not os.path.isdir(live):
-                os.rename(new, live)
-            if os.path.isdir(old):
-                shutil.rmtree(old, ignore_errors=True)
-            if os.path.isdir(new):
-                shutil.rmtree(new, ignore_errors=True)
 
     def compact(self, spark, target_files: int = 8) -> None:
         """Fold every committed epoch directory into ONE base epoch —
@@ -643,53 +651,40 @@ class IncrementalLSHDedupSink:
         attempt); all ``_epoch_N`` markers are KEPT so replays of
         compacted epochs stay no-ops; the per-subdir swap is two
         renames with a crash-recovery preamble
-        (``_finish_compaction_swap``, also run before every
+        (``EpochCommit.finish_swap``, also run before every
         apply_batch). kept/ and bands/ swap independently — a crash
         between them leaves one compacted and one not, which is
         consistent (the epoch value is bookkeeping, not a join key).
-        Run it between triggers, as with any OPTIMIZE: it must not
-        race an in-flight apply_batch. review/ is an append-only
-        deferred-work log and is left as-is.
+        Run it between triggers, as with any OPTIMIZE: racing an
+        in-flight apply_batch raises (enforced by the shared exclusion
+        guard). review/ is an append-only deferred-work log and is
+        left as-is.
         """
-        self._finish_compaction_swap()
-        kept_root = f"{self.path}/kept"
-        if not os.path.isdir(kept_root):
-            return
-        epochs = sorted(
-            int(d.split("=")[1])
-            for d in os.listdir(kept_root)
-            if d.startswith("epoch=")
-        )
-        for e in epochs:
-            if not os.path.exists(f"{self.path}/_epoch_{e}"):
-                for sub in ("kept", "bands", "review"):
-                    shutil.rmtree(f"{self.path}/{sub}/epoch={e}", ignore_errors=True)
-        committed = [e for e in epochs if os.path.exists(f"{self.path}/_epoch_{e}")]
-        if len(committed) <= 1:
-            return
-        base = max(committed)
-        for sub in ("kept", "bands"):
-            self._publish_sub(
-                sub, spark.read.parquet(f"{self.path}/{sub}"), base, target_files
-            )
+        with self._commit.maintenance_guard():
+            self._commit.finish_swap(("kept", "bands"))
+            committed = self._commit.drop_partial_epochs(("kept", "bands", "review"))
+            if len(committed) <= 1 or not os.path.isdir(f"{self.path}/kept"):
+                return
+            base = max(committed)
+            for sub in ("kept", "bands"):
+                self._publish_sub(
+                    sub, spark.read.parquet(f"{self.path}/{sub}"), base, target_files
+                )
 
     def _publish_sub(self, sub: str, df: DataFrame, base_epoch: int, target_files: int) -> None:
         """Rewrite one lake subdir as a single ``epoch=<base_epoch>``
         dataset at ``target_files`` files and swap it live via the
         crash-recoverable two-rename protocol (shared by ``compact``
         and ``drain_review``)."""
-        live = f"{self.path}/{sub}"
-        new, old = live + "__new", live + "__old"
-        shutil.rmtree(new, ignore_errors=True)
-        (
-            df.drop("epoch")
-            .coalesce(target_files)
-            .write.mode("overwrite")
-            .parquet(f"{new}/epoch={base_epoch}")
+        self._commit.swap_publish(
+            sub,
+            lambda staging: (
+                df.drop("epoch")
+                .coalesce(target_files)
+                .write.mode("overwrite")
+                .parquet(f"{staging}/epoch={base_epoch}")
+            ),
         )
-        os.rename(live, old)
-        os.rename(new, live)
-        shutil.rmtree(old, ignore_errors=True)
 
     def drain_review(self, spark, target_files: int = 8) -> int:
         """Maintenance pass that CONSUMES the review queue: collapse
@@ -717,14 +712,34 @@ class IncrementalLSHDedupSink:
         64/64-min-hash-equal docs collapse (the repetition/boilerplate
         core of a hot family), min-id representative kept. Docs the
         uncapped pipeline would keep are never removed.
+
+        Crash recovery, both directions: the preamble deletes every
+        markerless (partial) epoch dir BEFORE reading lake state — a
+        crashed-but-not-yet-retried epoch's uncommitted survivors must
+        not be folded into the committed base (the stream's retry would
+        then re-append them: duplicates). And a prior drain that
+        crashed between its kept and bands publishes leaves band rows
+        whose docs are gone from kept/ — those orphans are detected
+        (bands ids ∖ kept ids) and pruned out of the bands republish
+        even when no new family collapses, so stale index rows cannot
+        survive a re-drain. (compact() rewrites bands verbatim, which
+        is safe because that crash window always leaves review/ intact
+        — a nonempty review/ means a drain is owed, and the drain
+        heals.)
         """
         from ..operators import dedup as D
+        from ..operators.materialize import materialize_once, release
 
-        self._finish_compaction_swap()
+        with self._commit.maintenance_guard():
+            return self._drain_review_locked(spark, target_files, D, materialize_once, release)
+
+    def _drain_review_locked(self, spark, target_files, D, materialize_once, release) -> int:
+        self._commit.finish_swap(("kept", "bands"))
+        committed = self._commit.drop_partial_epochs(("kept", "bands", "review"))
         review = self._read_or_none(spark, "review")
         kept = self._read_or_none(spark, "kept")
         bands = self._read_or_none(spark, "bands")
-        if review is None or kept is None or bands is None:
+        if review is None or kept is None or bands is None or not committed:
             return 0
         id_c, txt = self.id_col, self.text_col
         hot_keys = review.select("band_id", "band_hash").distinct()
@@ -739,33 +754,38 @@ class IncrementalLSHDedupSink:
             hot_docs, id_c, txt, self.num_hashes, self.shingle_n
         )
         fams = D.collapse_signature_families(sigs, id_c, self.num_hashes, portable=True)
-        from ..operators.materialize import materialize_once, release
 
-        # materialize BEFORE the swaps: the drop list's lineage reads the
-        # old kept/ files, which the first publish deletes — a lazy
-        # re-evaluation for the bands publish would chase removed files
+        # materialize BEFORE the swaps: the drop/orphan lists' lineage
+        # reads the old kept/ and bands/ files, which the publishes
+        # delete — a lazy re-evaluation would chase removed files
         drop = materialize_once(
             fams.filter(
                 (F.col("family_size") >= 2) & (F.col(id_c) != F.col("keep_id"))
             ).select(id_c)
         )
+        # band rows whose doc is gone from kept/: the residue of a drain
+        # that crashed between its two publishes (small — crash-only)
+        orphan_ids = materialize_once(
+            bands.select(id_c).distinct().join(
+                kept.select(id_c).distinct(), id_c, "left_anti"
+            )
+        )
         n_drop = drop.count()
-        if n_drop:
-            committed = sorted(
-                int(d.split("=")[1])
-                for d in os.listdir(f"{self.path}/kept")
-                if d.startswith("epoch=")
-                and os.path.exists(f"{self.path}/_epoch_{d.split('=')[1]}")
-            )
+        if n_drop or not orphan_ids.isEmpty():
             base = max(committed)
+            if n_drop:
+                self._publish_sub(
+                    "kept", kept.join(F.broadcast(drop), id_c, "left_anti"),
+                    base, target_files,
+                )
             self._publish_sub(
-                "kept", kept.join(F.broadcast(drop), id_c, "left_anti"),
-                base, target_files,
-            )
-            self._publish_sub(
-                "bands", bands.join(F.broadcast(drop), id_c, "left_anti"),
+                "bands",
+                bands.join(F.broadcast(drop), id_c, "left_anti").join(
+                    F.broadcast(orphan_ids), id_c, "left_anti"
+                ),
                 base, target_files,
             )
         release(drop)
+        release(orphan_ids)
         shutil.rmtree(f"{self.path}/review", ignore_errors=True)
         return n_drop

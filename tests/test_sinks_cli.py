@@ -739,3 +739,311 @@ def test_incremental_lsh_dedup_sink_capped_review_queue(spark, tmp_path):
     sink2.apply_batch(docs.filter(F.col("doc_id") < 6), 0)
     sink2.apply_batch(docs.filter(F.col("doc_id") >= 6), 1)
     assert sink2.read_kept(spark).count() < len(kept_ids)
+
+
+def _bucket_listing(path):
+    import os
+
+    out = {}
+    for d in os.listdir(path):
+        if d.startswith("__bucket="):
+            files = {}
+            for f in sorted(os.listdir(os.path.join(path, d))):
+                st = os.stat(os.path.join(path, d, f))
+                files[f] = (st.st_ino, st.st_mtime_ns, st.st_size)
+            out[d] = files
+    return out
+
+
+def test_cdc_snapshot_sink_read_error_aborts_batch(spark, tmp_path, monkeypatch):
+    """The silent-data-loss hole the r7 review found: a TRANSIENT read
+    failure on an existing snapshot must ABORT the batch (so
+    foreachBatch retries the epoch), never be mistaken for 'no snapshot
+    yet' — that mistake folds the batch alone and overwrites the
+    touched buckets, permanently losing their other keys."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    path = str(tmp_path / "snap_read_err")
+    schema = "id int, event_type string, v double, seq long"
+    sink = CDCSnapshotSink(path, key_cols=["id"], order_cols=["seq"])
+    sink.apply_batch(
+        spark.createDataFrame(
+            [(i, "insert", float(i), i) for i in range(10)], schema
+        )
+    )
+    before = _bucket_listing(path)
+
+    real = DataFrameReader.parquet
+
+    def flaky(self, *paths, **kw):
+        if any(str(p).startswith(path) for p in paths):
+            raise RuntimeError("transient listing failure")
+        return real(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", flaky)
+    with pytest.raises(RuntimeError, match="transient listing failure"):
+        sink.apply_batch(
+            spark.createDataFrame([(3, "update_after", 99.0, 100)], schema)
+        )
+    monkeypatch.undo()
+
+    # no bucket touched: same files, inodes, mtimes — and full state
+    assert _bucket_listing(path) == before
+    state = {r.id: r.v for r in sink.read_snapshot(spark).collect()}
+    assert state == {i: float(i) for i in range(10)}
+    # the retry of the same batch then applies cleanly
+    sink.apply_batch(
+        spark.createDataFrame([(3, "update_after", 99.0, 100)], schema)
+    )
+    state = {r.id: r.v for r in sink.read_snapshot(spark).collect()}
+    assert state[3] == 99.0 and len(state) == 10
+
+
+def test_incremental_lsh_dedup_sink_read_error_aborts_epoch(
+    spark, tmp_path, monkeypatch
+):
+    """Same hole, lake side: a transient failure reading kept/ or
+    bands/ must abort the epoch (marker absent, no epoch dirs), never
+    be read as 'empty lake' — that would skip the dedup layers and
+    admit duplicates permanently once the marker commits."""
+    import os
+
+    from pyspark.sql.readwriter import DataFrameReader
+    from gomaxscale_spark.streaming.sinks import IncrementalLSHDedupSink
+
+    path = str(tmp_path / "lake_read_err")
+    sink = IncrementalLSHDedupSink(path, threshold=0.8)
+    b1 = spark.createDataFrame(
+        [(i, f"wholly distinct document number {i} with words {i * 13}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    # b2 re-sends doc 0's text under a new id — an exact dup the lake
+    # layer must drop, which it can only do if it actually READS kept/
+    b2 = spark.createDataFrame(
+        [(100, "wholly distinct document number 0 with words 0"),
+         (101, "a genuinely new document with its own content")],
+        "doc_id long, text string",
+    )
+    sink.apply_batch(b1, 0)
+
+    real = DataFrameReader.parquet
+
+    def flaky(self, *paths, **kw):
+        if any(str(p).startswith(path) for p in paths):
+            raise RuntimeError("transient lake read failure")
+        return real(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", flaky)
+    with pytest.raises(RuntimeError, match="transient lake read"):
+        sink.apply_batch(b2, 1)
+    monkeypatch.undo()
+
+    assert not os.path.exists(f"{path}/_epoch_1")
+    assert not os.path.isdir(f"{path}/kept/epoch=1")
+    # retry succeeds and the exact layer did its job
+    sink.apply_batch(b2, 1)
+    kept = sink.read_kept(spark)
+    ids = {r.doc_id for r in kept.collect()}
+    assert 101 in ids and 100 not in ids, "duplicate must be dropped on retry"
+    assert kept.select(F.md5("text")).distinct().count() == kept.count()
+
+
+def test_drain_review_ignores_partial_epoch_dirs(spark, tmp_path):
+    """ADVICE r7: drain_review must delete markerless (crashed) epoch
+    dirs BEFORE folding lake state into the committed base — otherwise
+    a crashed epoch's uncommitted survivors get published into
+    epoch=<base>, and the stream's retry of that epoch re-appends them:
+    duplicates in kept/."""
+    import os
+
+    from gomaxscale_spark.streaming.sinks import IncrementalLSHDedupSink
+
+    fillers = [
+        (i, f"totally unrelated document number {i} carrying its own words {i * 7}")
+        for i in range(10, 16)
+    ]
+    path = str(tmp_path / "lake_drain_partial")
+    sink = IncrementalLSHDedupSink(path, threshold=0.8, max_bucket_size=1)
+    sink.apply_batch(
+        spark.createDataFrame(
+            [(0, "alpha beta alpha beta"), (1, "alpha beta alpha beta alpha beta")]
+            + fillers[:3],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    sink.apply_batch(
+        spark.createDataFrame(fillers[3:5], "doc_id long, text string"), 1
+    )
+    assert spark.read.parquet(f"{path}/review").count() > 0
+
+    # epoch 2 crashes after its kept/ write — partial dirs, no marker
+    extra = spark.createDataFrame(fillers[5:], "doc_id long, text string")
+    sink._fail_after = "kept"
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sink.apply_batch(extra, 2)
+    sink._fail_after = None
+    assert os.path.isdir(f"{path}/kept/epoch=2")
+
+    assert sink.drain_review(spark) == 1
+    # the crashed epoch's docs were NOT folded into the committed base
+    kept_ids = {r.doc_id for r in sink.read_kept(spark).collect()}
+    assert 15 not in kept_ids
+    assert not os.path.isdir(f"{path}/kept/epoch=2")
+
+    # the stream's retry then admits them exactly once
+    sink.apply_batch(extra, 2)
+    kept = sink.read_kept(spark)
+    assert {r.doc_id for r in kept.collect()} == kept_ids | {15}
+    assert kept.select(F.md5("text")).distinct().count() == kept.count()
+
+
+def test_drain_review_empty_committed_guard(spark, tmp_path):
+    """ADVICE r7: a lake holding ONLY markerless (crashed) epoch dirs
+    must make drain_review a clean no-op, not a ValueError on
+    max(committed)."""
+    from gomaxscale_spark.streaming.sinks import IncrementalLSHDedupSink
+
+    path = str(tmp_path / "lake_drain_empty")
+    sink = IncrementalLSHDedupSink(path, threshold=0.8, max_bucket_size=1)
+    sink._fail_after = "bands"
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sink.apply_batch(
+            spark.createDataFrame(
+                [(0, "alpha beta alpha beta"), (1, "alpha beta alpha beta alpha beta")],
+                "doc_id long, text string",
+            ),
+            0,
+        )
+    sink._fail_after = None
+    assert sink.drain_review(spark) == 0
+
+
+def test_drain_review_crash_between_publishes_heals(spark, tmp_path, monkeypatch):
+    """ADVICE r7: a drain that crashes between its kept and bands
+    publishes leaves band rows for docs no longer in kept/. The
+    re-drain must detect those orphans and prune them out of the bands
+    republish even though no new family collapses (n_drop=0) — stale
+    index rows must not survive forever."""
+    import os
+
+    from gomaxscale_spark.streaming.sinks import IncrementalLSHDedupSink
+
+    fillers = [
+        (i, f"totally unrelated document number {i} carrying its own words {i * 7}")
+        for i in range(10, 16)
+    ]
+    path = str(tmp_path / "lake_drain_orphan")
+    sink = IncrementalLSHDedupSink(path, threshold=0.8, max_bucket_size=1)
+    sink.apply_batch(
+        spark.createDataFrame(
+            [(0, "alpha beta alpha beta"), (1, "alpha beta alpha beta alpha beta")]
+            + fillers[:3],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    sink.apply_batch(
+        spark.createDataFrame(fillers[3:], "doc_id long, text string"), 1
+    )
+    assert spark.read.parquet(f"{path}/review").count() > 0
+
+    orig = IncrementalLSHDedupSink._publish_sub
+
+    def crash_on_bands(self, sub, df, base_epoch, target_files):
+        if sub == "bands":
+            raise RuntimeError("injected crash before bands publish")
+        return orig(self, sub, df, base_epoch, target_files)
+
+    monkeypatch.setattr(IncrementalLSHDedupSink, "_publish_sub", crash_on_bands)
+    with pytest.raises(RuntimeError, match="injected crash before bands"):
+        sink.drain_review(spark)
+    monkeypatch.undo()
+
+    # the crash window: doc 1 gone from kept/, still in bands/, review intact
+    kept_ids = {r.doc_id for r in sink.read_kept(spark).collect()}
+    band_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{path}/bands").select("doc_id").distinct().collect()
+    }
+    assert 1 not in kept_ids and 1 in band_ids
+    assert os.path.isdir(f"{path}/review")
+
+    n2 = sink.drain_review(spark)  # heals: no new drop, orphans pruned
+    assert n2 == 0
+    band_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{path}/bands").select("doc_id").distinct().collect()
+    }
+    kept_ids = {r.doc_id for r in sink.read_kept(spark).collect()}
+    assert band_ids == kept_ids, "orphan band rows must be pruned on re-drain"
+    assert not os.path.isdir(f"{path}/review")
+
+
+def test_maintenance_raises_during_inflight_batch(spark, tmp_path, monkeypatch):
+    """Mandate r7: the maintenance-vs-trigger exclusion is ENFORCED,
+    not a docstring convention — compact()/drain_review() called while
+    an apply_batch is mid-flight must raise loudly instead of reading
+    state the batch is mid-rewrite of. The guard releases afterward so
+    between-trigger maintenance still runs."""
+    from gomaxscale_spark.streaming.sinks import IncrementalLSHDedupSink
+
+    path = str(tmp_path / "lake_lock")
+    sink = IncrementalLSHDedupSink(path, threshold=0.8)
+    docs = spark.createDataFrame(
+        [(i, f"wholly distinct document number {i} with words {i * 11}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    sink.apply_batch(docs.filter(F.col("doc_id") < 3), 0)
+
+    raced = {}
+    orig = IncrementalLSHDedupSink._read_or_none
+
+    def race_mid_batch(self, spark_, sub):
+        if sub == "kept" and "done" not in raced:
+            raced["done"] = True
+            with pytest.raises(RuntimeError, match="would race"):
+                self.compact(spark_)
+            with pytest.raises(RuntimeError, match="would race"):
+                self.drain_review(spark_)
+        return orig(self, spark_, sub)
+
+    monkeypatch.setattr(IncrementalLSHDedupSink, "_read_or_none", race_mid_batch)
+    sink.apply_batch(docs.filter(F.col("doc_id") >= 3), 1)  # unharmed
+    monkeypatch.undo()
+    assert raced.get("done"), "the race must actually have been exercised"
+
+    # lock released with the trigger: maintenance now runs cleanly
+    sink.compact(spark, target_files=1)
+    assert sink.read_kept(spark).count() == 6
+
+    # and the other direction: a trigger during maintenance raises too
+    with sink._commit.maintenance_guard():
+        with pytest.raises(RuntimeError, match="would race"):
+            sink.apply_batch(docs, 2)
+    sink.apply_batch(docs, 2)  # no-op content-wise, but must not raise
+
+
+def test_history_sink_exclusion_enforced(spark, tmp_path):
+    """Same exclusion on CDCHistorySink: compact_log during an
+    in-flight batch raises; a batch during compact_log raises."""
+    from gomaxscale_spark.streaming.sinks import CDCHistorySink
+
+    path = str(tmp_path / "hist_lock")
+    schema = "id int, event_type string, v double, seq long"
+    sink = CDCHistorySink(path, key_cols=["id"], order_cols=["seq"])
+    sink.apply_batch(
+        spark.createDataFrame([(1, "insert", 1.0, 1)], schema), 0
+    )
+    with sink._commit.trigger_guard():
+        with pytest.raises(RuntimeError, match="would race"):
+            sink.compact_log(spark)
+    with sink._commit.maintenance_guard():
+        with pytest.raises(RuntimeError, match="would race"):
+            sink.apply_batch(
+                spark.createDataFrame([(2, "insert", 2.0, 2)], schema), 1
+            )
+    # both released: normal operation resumes
+    sink.apply_batch(spark.createDataFrame([(2, "insert", 2.0, 2)], schema), 1)
+    sink.compact_log(spark)
+    assert sink.read_history(spark).count() == 2
