@@ -454,6 +454,153 @@ def ivf_topk(
     )
 
 
+def adaptive_sqrt_pow2_case_sql(
+    count_expr: str, min_bits: int = 2, max_bits: int = 16
+) -> str:
+    """Centroid/stride dial as ONE portable integer CASE: the smallest
+    2^w (w ∈ [min_bits, max_bits]) with (2^w)² ≥ n — i.e. ~√n rounded
+    up to a power of two. The balanced IVF sizing: with n_centroids ≈
+    n/2^w ≈ √n, ranking the centroids costs ~√n dot products and each
+    inverted list holds ~√n vectors, so per-probe work is O(√n) on
+    both legs instead of O(n/const) on one of them. Integer
+    comparisons only, so Spark and DuckDB agree at every boundary."""
+    arms = []
+    for w in range(max_bits, min_bits, -1):
+        arms.append(f"WHEN {count_expr} > {1 << (2 * (w - 1))} THEN {1 << w}")
+    return "CASE " + " ".join(arms) + f" ELSE {1 << min_bits} END"
+
+
+def lsh_bucket_topk_adaptive(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    max_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    target_bucket: int = 128,
+    min_bits: int = 4,
+) -> DataFrame:
+    """``lsh_bucket_topk`` with an ADAPTIVE probe width — the serving
+    twin of the fix that unblocked the dedup side at 30× (SCALING.md
+    r5): a fixed ``n_planes`` gives 2^fixed buckets forever, so the
+    probed bucket holds N/2^fixed vectors and per-query scan cost
+    grows linearly with the corpus. Here every row carries the full
+    ``max_planes``-bit signature and the bucket key is
+    ``sig % 2^w`` with 2^w derived IN-PLAN from the corpus count
+    (1-row broadcast; integer CASE — adaptive_pow2_case_sql), so the
+    probed bucket stays ~``target_bucket`` vectors at ANY corpus
+    size. Masking to the low w bits = using the first w hyperplanes —
+    still a valid sign-LSH family. The query's signature is the same
+    driver-side fold over the same plane literals, masked by the same
+    in-plan width, so Spark and the DuckDB oracle replay
+    count → width → mask → scan identically.
+
+    Scale: signatures are ingest-time computable (one map over the
+    corpus); with the table clustered by ``sig % 2^w`` the probe is a
+    partition-pruned read of ~target_bucket rows. Re-bucketing after
+    corpus growth is a metadata-cheap rewrite of the low-bits key,
+    not a recompute of the signatures."""
+    planes = hyperplanes(len(query_vec), max_planes, seed)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        s = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        qsig |= (1 if s > 0 else 0) << i
+    q = lit_vec(query_vec)
+    nn = embeddings.agg(F.count(F.lit(1)).alias("__n"))
+    bucketed = (
+        embeddings.withColumn("__sig", lsh_signature(F.col(vec_col), planes))
+        .crossJoin(F.broadcast(nn))
+        .withColumn(
+            "__p2",
+            F.expr(
+                adaptive_pow2_case_sql(
+                    "__n", min_bits=min_bits, target_bucket=target_bucket
+                )
+            ),
+        )
+    )
+    return (
+        bucketed.filter(F.col("__sig") % F.col("__p2") == F.lit(qsig) % F.col("__p2"))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk_adaptive(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_bits: int = 2,
+    max_bits: int = 16,
+) -> DataFrame:
+    """``ivf_topk`` with an ADAPTIVE centroid count — the other fixed-
+    width serving op named by the r7 scale audit (fixed
+    ``n_centroids=16`` means each inverted list holds N/16 vectors, so
+    per-probe scan cost grows linearly; the one measured x10 point had
+    the assignment scan dominating wall). Centroids are the rows with
+    ``id % stride == 0`` where ``stride`` = smallest 2^w with
+    (2^w)² ≥ N, derived IN-PLAN from the corpus count — i.e.
+    n_centroids ≈ √N, the balanced IVF sizing (ranking centroids ~√N
+    dots; each probed list ~√N vectors). A plain modulus sample needs
+    no global sort or row_number (the fixed twin's rank-sample is a
+    single-partition window at scale) and no driver round-trip; the
+    centroid id IS the vector id, so tie-breaks replay portably.
+    Production still k-meanses the centroids at ingest
+    (kmeans_centroid_vectors / ivf_kmeans_topk); the modulus sample is
+    the deterministic stand-in with identical plumbing.
+
+    The argmax assignment is a partial-aggregable groupBy-max over a
+    (score, -centroid_id) struct — one exchange of N pre-combined
+    rows — instead of the fixed twin's row_number window, which
+    shuffles all N×n_centroids scored rows. Assignment remains the
+    ingest-time cost; the per-query path is centroid ranking + the
+    probed lists."""
+    q = lit_vec(query_vec)
+    nn = embeddings.agg(F.count(F.lit(1)).alias("__n"))
+    stride = F.expr(adaptive_sqrt_pow2_case_sql("__n", min_bits, max_bits))
+    centroids = (
+        embeddings.crossJoin(F.broadcast(nn))
+        .filter((F.col(id_col) % stride) == 0)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec"))
+    )
+    probe = (
+        centroids.select("centroid_id", cosine(F.col("centroid_vec"), q).alias("s"))
+        .orderBy(F.desc("s"), F.col("centroid_id"))
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    assigned = (
+        embeddings.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("__qscore"),
+        )
+        .join(F.broadcast(centroids))
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    cosine(F.col(vec_col), F.col("centroid_vec")).alias("s"),
+                    (-F.col("centroid_id")).alias("neg_cid"),
+                )
+            ).alias("m"),
+            F.max("__qscore").alias("score"),  # constant per id
+        )
+        .select(id_col, (-F.col("m.neg_cid")).alias("centroid_id"), "score")
+    )
+    return (
+        assigned.join(F.broadcast(probe), "centroid_id")
+        .select(F.col(id_col), F.col("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def kmeans_centroid_vectors(
     embeddings: DataFrame,
     n_centroids: int = 16,

@@ -77,6 +77,66 @@ def _lsh_bucketed_oracle(n_planes: int = 4, dim: int = 64, k: int = 10) -> str:
     """
 
 
+def _lsh_bucketed_adaptive_oracle(
+    max_planes: int = 16, dim: int = 64, k: int = 10,
+    min_bits: int = 4, target_bucket: int = 128,
+) -> str:
+    planes = S.hyperplanes(dim, max_planes, seed=42)
+    pow2 = S.adaptive_pow2_case_sql(
+        "nn.n", min_bits=min_bits, target_bucket=target_bucket
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    nn AS (SELECT count(*) AS n FROM embeddings),
+    p2 AS (SELECT {pow2} AS p2 FROM nn),
+    sig AS (SELECT e.vec_id, e.embedding,
+                   {_lsh_sig_sql("e.embedding", planes)} AS sig
+            FROM embeddings e),
+    qs AS (SELECT {_lsh_sig_sql("q.qv", planes)} AS qsig FROM q)
+    SELECT s.vec_id, round({_cos_sql("s.embedding", "q.qv")}, 6) AS score
+    FROM sig s, q, qs, p2
+    WHERE s.sig % p2.p2 = qs.qsig % p2.p2
+    ORDER BY score DESC, s.vec_id
+    LIMIT {k}
+    """
+
+
+def _ivf_adaptive_oracle(
+    n_probe: int = 4, k: int = 10, min_bits: int = 2, max_bits: int = 16
+) -> str:
+    stride = S.adaptive_sqrt_pow2_case_sql("nn.n", min_bits, max_bits)
+    return f"""
+    WITH nn AS (SELECT count(*) AS n FROM embeddings),
+    st AS (SELECT {stride} AS stride FROM nn),
+    c AS (SELECT e.vec_id AS centroid_id, e.embedding AS cvec
+          FROM embeddings e, st WHERE e.vec_id % st.stride = 0),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probe_scored AS (
+      SELECT c.centroid_id, {_cos_sql("c.cvec", "q.qv")} AS s FROM c, q
+    ),
+    probe AS (
+      SELECT centroid_id FROM probe_scored
+      ORDER BY s DESC, centroid_id LIMIT {n_probe}
+    ),
+    assign_scored AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             {_cos_sql("e.embedding", "c.cvec")} AS s
+      FROM embeddings e, c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, centroid_id) AS rn
+      FROM assign_scored
+    )
+    SELECT a.vec_id, round({_cos_sql("a.embedding", "q.qv")}, 6) AS score
+    FROM assign a, q
+    WHERE a.rn = 1 AND a.centroid_id IN (SELECT centroid_id FROM probe)
+    ORDER BY score DESC, a.vec_id
+    LIMIT {k}
+    """
+
+
 def _ivf_oracle(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
     return f"""
     WITH c AS (
@@ -813,6 +873,24 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_topk(e, _query_vector(spark, sf_dir), k=10, n_planes=4)
 
 
+@query(
+    "similarity_lsh_bucketed_scaled",
+    oracle=_lsh_bucketed_adaptive_oracle(max_planes=16, dim=64, k=10),
+    doc="B16 LSH-bucketed ANN with an ADAPTIVE probe width — the "
+    "serving twin of dedup_embedding_lsh_scaled's fix: the fixed form "
+    "probes one of 2^n_planes buckets forever, so per-query scan cost "
+    "is N/2^fixed and grows linearly with the corpus. Here rows carry "
+    "a 16-bit signature and the bucket key is sig % 2^w with 2^w "
+    "derived in-plan from count(*) (integer CASE, 1-row broadcast), "
+    "pinning the probed bucket at ~128 vectors at ANY corpus size. "
+    "The oracle replays count → width → mask → scan from the same "
+    "plane literals and CASE.",
+)
+def similarity_lsh_bucketed_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return S.lsh_bucket_topk_adaptive(e, _query_vector(spark, sf_dir), k=10)
+
+
 # -------------------------------------------------------------- B17 text
 
 @query(
@@ -1147,6 +1225,28 @@ def dedup_exact_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     return S.ivf_topk(e, _query_vector(spark, sf_dir), k=10, n_centroids=16, n_probe=4)
+
+
+@query(
+    "similarity_ivf_topk_scaled",
+    oracle=_ivf_adaptive_oracle(n_probe=4, k=10),
+    doc="B16 IVF-flat ANN with an ADAPTIVE centroid count — the other "
+    "fixed-width serving op the r7 scale audit named: n_centroids=16 "
+    "means each inverted list holds N/16 vectors, so per-probe scan "
+    "grows linearly (measured 2.5→11.6 s at x10 on the kmeans twin). "
+    "Centroids are the id % stride == 0 rows with stride = smallest "
+    "2^w where (2^w)² ≥ count(*) — i.e. ~√N centroids, the balanced "
+    "IVF sizing (ranking ~√N dots; probed lists ~√N vectors) — "
+    "derived in-plan, no global sort, no driver round-trip. The "
+    "argmax assignment is a partial-aggregable struct-max groupBy "
+    "(one exchange of N combined rows) instead of the fixed twin's "
+    "row_number window over all N×n_centroids scored rows. The "
+    "oracle replays count → stride → sample → assign → probe with "
+    "the same integer boundaries and tie-breaks.",
+)
+def similarity_ivf_topk_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return S.ivf_topk_adaptive(e, _query_vector(spark, sf_dir), k=10, n_probe=4)
 
 
 @query(
