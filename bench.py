@@ -75,6 +75,11 @@ EXTRA = [
     # buckets — the linear escape hatch for deferred boilerplate)
     "cdc_scd2_history",
     "dedup_minhash_lsh_hot_drain",
+    # r8: the adaptive-width ANN serving twins (in-plan probe-width /
+    # centroid-count dials — see SCALING.md r8 for the fixed-vs-
+    # adaptive replica curves)
+    "similarity_lsh_bucketed_scaled",
+    "similarity_ivf_topk_scaled",
 ]
 
 

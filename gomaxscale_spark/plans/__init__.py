@@ -97,8 +97,18 @@ _PRIORITY: list[str] = [
     # keeps three window reps; this slot buys the banded-LSH scale path
     # a driver CORRECTNESS row)
     "similarity_cosine_topk",
-    "similarity_lsh_bucketed",
-    "similarity_ivf_topk",
+    # r8 (VERDICT r7 item 2): both ANN SERVING slots swap to their
+    # adaptive-width twins — the fixed forms' per-probe scan is provably
+    # linear in the corpus (probed rows 149 → 4,611 across x1→x30 for
+    # the 4-plane bucket; n_probe/n_centroids = a quarter of the corpus
+    # for 16-centroid IVF), while the adaptive forms hold it at ~the
+    # 128-row target resp. ~4·√N by deriving the width in-plan from
+    # count(*) (SCALING.md r8 ingest/probe decomposition, incl. the
+    # honest one-shot table where fixed wins because the adaptive forms
+    # deliberately move cost to amortized ingest). Fixed twins stay in
+    # tier 2, full-catalog oracle-replayed.
+    "similarity_lsh_bucketed_scaled",
+    "similarity_ivf_topk_scaled",
     # r6 (VERDICT r5 item 1): the window slot carries the ADAPTIVE-width
     # banded sign-LSH — the fixed 8-bit form DNF'd (>15 min) at the 30×
     # replica while this one finished in 37 s (SCALING.md); at gate
@@ -133,6 +143,12 @@ _TIER2: list[str] = [
     # line if the gate window widens (VERDICT r4 item 4)
     "timeseries_topk_similar_scaled",
     "dedup_simhash_portable",
+    # r8: demoted from the window — the fixed-width ANN serving forms
+    # (probe scan linear in the corpus, SCALING.md r8); their slots now
+    # carry the adaptive-width twins. Kept oracle-green as the
+    # small-corpus baselines (and the one-shot-wall winners).
+    "similarity_lsh_bucketed",
+    "similarity_ivf_topk",
     # r5: the exact-recall candidate generator as a standalone
     # PPJoin-style entry, and the skew-proof salted snapshot fold
     "dedup_prefix_filter_join",
