@@ -362,6 +362,50 @@ def lsh_near_duplicates_adaptive(
     )
 
 
+def band_signature_rows(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes_per_band: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band, sig) rows: each vector's FULL per-band sign
+    signatures (``planes_per_band`` bits, unmasked). Stored unmasked so
+    an index built at corpus size N can be re-probed at any later size
+    N′ — the adaptive bucket key is ``sig % 2^w`` with w derived from
+    the CURRENT count at probe time, so the index never needs
+    re-bucketing as the corpus grows (only the cheap mask changes).
+    Same plane family/order as ``lsh_near_duplicates_adaptive``."""
+    all_planes = hyperplanes(dim, n_bands * planes_per_band, seed)
+    sigs = [
+        F.expr(
+            lsh_signature_sql(
+                vec_col, all_planes[b * planes_per_band : (b + 1) * planes_per_band]
+            )
+        ).alias(f"s{b}")
+        for b in range(n_bands)
+    ]
+    return (
+        embeddings.select(F.col(id_col), *sigs)
+        .select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"), F.col(f"s{b}").alias("sig")
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bs"),
+        )
+        .select(id_col, "bs.band", "bs.sig")
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     query_vec: Sequence[float],

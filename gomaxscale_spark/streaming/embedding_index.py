@@ -1,0 +1,259 @@
+"""IncrementalEmbeddingIndexSink: the streaming embedding-near-dup
+LAKE — the SemDeDup story as a continuous process.
+
+Round 7 closed the CDC→analytics bridge for TEXT dedup (the
+``IncrementalLSHDedupSink`` lake); embeddings were covered only in
+batch (``dedup_embedding_keep_representatives``). This sink completes
+the pair: "semantically dedupe today's vectors against everything ever
+kept", per micro-batch, under the exact same epoch commit protocol
+(``EpochCommit`` — markers, partial-dir cleanup, crash-recoverable
+publishes).
+
+State layout (parquet, epoch-partitioned):
+  ``kept/epoch=N/``  — vector rows that survived epoch N (all columns)
+  ``bands/epoch=N/`` — (vec_id, band, sig) rows of epoch N's kept
+        vectors: each vector's FULL per-band sign-LSH signatures,
+        stored UNMASKED. The adaptive bucket key is ``sig % 2^w`` with
+        the width derived from the CURRENT corpus count at probe time
+        (operators/similarity.py adaptive_pow2_case_sql), so an index
+        built when the lake held 10k vectors probes correctly when it
+        holds 10M — the mask tightens as the corpus grows, with no
+        index rebuild (re-masking is a projection, not a recompute).
+
+Per micro-batch:
+  1. cross-batch semantic near-dup: the batch's band signatures
+     (small) BROADCAST against the lake band index, equi-joined on
+     (band, sig % 2^w) with w from the in-plan count — candidate
+     (lake_id, batch_id) pairs → exact-cosine verify (lake vectors
+     pulled only for candidate-adjacent ids via a pruned semi-join) →
+     matched batch vectors drop (greedy: the earlier-kept vector stays
+     the representative);
+  2. within-batch near-dup: ``lsh_near_duplicates_adaptive`` (the
+     exact batch-operator pipeline, so a one-batch stream equals
+     ``dedup_embedding_keep_representatives`` bit-for-bit) → star-CC →
+     keep the min-id representative per cluster;
+  3. commit epoch N's survivors + their band rows, then the marker.
+
+Failure semantics are inherited wholesale from ``EpochCommit``: the
+marker is the commit point; markerless epoch dirs are a crashed
+attempt's garbage, deleted before any lake read; a transient read
+failure on EXISTING lake state aborts the epoch (never "empty lake" —
+the silent-corruption class round 7 closed in the text sinks).
+Maintenance (``compact``) must not race an in-flight batch — enforced
+by the shared sentinel guards.
+
+Scale: the lake side is never shuffled — candidate generation
+broadcasts the batch's band rows against a columnar scan of bands/,
+and verify reads lake vectors only for candidate-adjacent ids.
+Per-batch cost follows the batch and candidate count, not lake size;
+expected per-(band,bucket) fan-out stays ~target_bucket at any lake
+size because the mask width tracks the count. Production points the
+same fold at a transactional lake table (Delta/Iceberg).
+
+Greedy-vs-CC caveat, stated plainly (same as the text lake):
+cross-batch the kept set is an independent set of the verified match
+graph but can differ from all-at-once CC on chain cases split across
+batches — the standard online/offline dedup divergence.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from .epoch import EpochCommit
+
+
+class IncrementalEmbeddingIndexSink:
+    def __init__(
+        self,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        threshold: float = 0.3,
+        dim: int = 64,
+        planes_per_band: int = 16,
+        n_bands: int = 4,
+        target_bucket: int = 64,
+    ) -> None:
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.threshold = threshold
+        self.dim = dim
+        self.planes_per_band = planes_per_band
+        self.n_bands = n_bands
+        self.target_bucket = target_bucket
+        #: fault-injection hook for the commit-protocol tests ONLY
+        #: ("kept" → raise between the kept and bands writes; "bands" →
+        #: between bands and the marker). Never set in production.
+        self._fail_after: str | None = None
+        self._commit = EpochCommit(path)
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        self.apply_batch(batch_df, epoch_id)
+
+    def _read_or_none(self, spark, sub: str) -> DataFrame | None:
+        """None iff the subdir genuinely doesn't exist yet; a read
+        error on existing state propagates (epoch aborts and retries —
+        treating it as 'empty lake' would re-admit duplicates
+        permanently)."""
+        root = f"{self.path}/{sub}"
+        if not os.path.isdir(root) or not any(
+            e.startswith("epoch=") for e in os.listdir(root)
+        ):
+            return None
+        return spark.read.parquet(root)
+
+    def apply_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        if self._commit.is_committed(epoch_id):
+            return  # retried epoch — already committed
+        with self._commit.trigger_guard():
+            self._apply_batch_locked(batch_df, epoch_id)
+
+    def _apply_batch_locked(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from ..operators import dedup as D
+        from ..operators import similarity as S
+        from ..operators.materialize import materialize_once, release
+
+        self._commit.finish_swap(("kept", "bands"))
+        self._commit.clean_partial(("kept", "bands"), epoch_id)
+        spark = batch_df.sparkSession
+        id_c, vec = self.id_col, self.vec_col
+        batch = batch_df
+
+        # the batch's full band signatures, computed ONCE — the
+        # cross-batch probe and the final index write both consume row
+        # subsets of this frame
+        batch_bands = materialize_once(
+            S.band_signature_rows(
+                batch, self.dim, id_c, vec, self.planes_per_band, self.n_bands
+            )
+        )
+        to_release: list[DataFrame] = [batch_bands]
+
+        kept = self._read_or_none(spark, "kept")
+        lake_bands = self._read_or_none(spark, "bands")
+        try:
+            # 1. cross-batch: adaptive-width bucket join, lake-probe
+            # direction (lake scanned, never shuffled)
+            if kept is not None and lake_bands is not None:
+                nn = (
+                    kept.select(id_c)
+                    .unionByName(batch.select(id_c))
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                )
+                p2 = F.expr(
+                    S.adaptive_pow2_case_sql("__n", target_bucket=self.target_bucket)
+                )
+                lb = (
+                    lake_bands.select(
+                        F.col(id_c).alias("id_a"), "band", F.col("sig").alias("s")
+                    )
+                    .crossJoin(F.broadcast(nn))
+                    .withColumn("bucket", F.col("s") % p2)
+                )
+                bb = (
+                    batch_bands.select(
+                        F.col(id_c).alias("id_b"), "band", F.col("sig").alias("s")
+                    )
+                    .crossJoin(F.broadcast(nn))
+                    .withColumn("bucket", F.col("s") % p2)
+                )
+                cross = materialize_once(
+                    lb.join(F.broadcast(bb), ["band", "bucket"])
+                    .select("id_a", "id_b")
+                    .distinct()
+                )
+                to_release.append(cross)
+                if not cross.isEmpty():
+                    cand_lake = cross.select(F.col("id_a").alias(id_c)).distinct()
+                    va = (
+                        kept.select(id_c, vec)
+                        .join(F.broadcast(cand_lake), id_c, "semi")
+                        .select(F.col(id_c).alias("id_a"), F.col(vec).alias("vec_a"))
+                    )
+                    vb = batch.select(
+                        F.col(id_c).alias("id_b"), F.col(vec).alias("vec_b")
+                    )
+                    matched = (
+                        cross.join(va, "id_a")
+                        .join(F.broadcast(vb), "id_b")
+                        .filter(
+                            S.cosine(F.col("vec_a"), F.col("vec_b")) >= self.threshold
+                        )
+                        .select(F.col("id_b").alias(id_c))
+                        .distinct()
+                    )
+                    batch = batch.join(F.broadcast(matched), id_c, "left_anti")
+
+            # 2. within-batch: the exact batch-operator pipeline (so a
+            # one-batch stream ≡ dedup_embedding_keep_representatives)
+            pairs = materialize_once(
+                S.lsh_near_duplicates_adaptive(
+                    batch,
+                    self.threshold,
+                    self.dim,
+                    planes_per_band=self.planes_per_band,
+                    n_bands=self.n_bands,
+                    id_col=id_c,
+                    vec_col=vec,
+                    target_bucket=self.target_bucket,
+                )
+            )
+            to_release.append(pairs)
+            if pairs.isEmpty():
+                survivors = batch
+            else:
+                clusters = D.connected_components_star(pairs)
+                drop = clusters.filter(
+                    F.col("cluster_id") != F.col("id")
+                ).select("id")
+                survivors = batch.join(
+                    F.broadcast(drop), F.col(id_c) == F.col("id"), "left_anti"
+                )
+
+            # 3. commit: kept + band index, then the marker
+            survivors = materialize_once(survivors)
+            to_release.append(survivors)
+            survivors.write.mode("overwrite").parquet(
+                f"{self.path}/kept/epoch={epoch_id}"
+            )
+            if self._fail_after == "kept":
+                raise RuntimeError("injected crash between kept and bands writes")
+            batch_bands.join(
+                F.broadcast(survivors.select(id_c).distinct()), id_c, "semi"
+            ).write.mode("overwrite").parquet(f"{self.path}/bands/epoch={epoch_id}")
+            if self._fail_after == "bands":
+                raise RuntimeError("injected crash between bands write and marker")
+        finally:
+            for frame in to_release:
+                release(frame)
+        self._commit.commit(epoch_id)
+
+    def read_kept(self, spark) -> DataFrame:
+        return spark.read.parquet(f"{self.path}/kept").drop("epoch")
+
+    def compact(self, spark, target_files: int = 8) -> None:
+        """Fold the committed epoch-per-batch dirs into one base epoch
+        (the same small-files control as the text lake's compact();
+        all protocol pieces shared via EpochCommit). Racing an
+        in-flight apply_batch raises."""
+        with self._commit.maintenance_guard():
+            self._commit.finish_swap(("kept", "bands"))
+            committed = self._commit.drop_partial_epochs(("kept", "bands"))
+            if len(committed) <= 1 or not os.path.isdir(f"{self.path}/kept"):
+                return
+            base = max(committed)
+            for sub in ("kept", "bands"):
+                df = spark.read.parquet(f"{self.path}/{sub}")
+                self._commit.swap_publish(
+                    sub,
+                    lambda staging, df=df: (
+                        df.drop("epoch")
+                        .coalesce(target_files)
+                        .write.mode("overwrite")
+                        .parquet(f"{staging}/epoch={base}")
+                    ),
+                )

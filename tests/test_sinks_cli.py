@@ -1047,3 +1047,154 @@ def test_history_sink_exclusion_enforced(spark, tmp_path):
     sink.apply_batch(spark.createDataFrame([(2, "insert", 2.0, 2)], schema), 1)
     sink.compact_log(spark)
     assert sink.read_history(spark).count() == 2
+
+
+def test_incremental_embedding_index_sink_one_batch_equals_batch_twin(
+    spark, sf_dir, tmp_path
+):
+    """Mandate r7 #5: a ONE-batch stream through the embedding-index
+    sink must keep exactly the vectors dedup_embedding_keep_
+    representatives keeps (the sink's within-batch path IS the batch
+    operator pipeline)."""
+    from gomaxscale_spark.plans import all_queries
+    from gomaxscale_spark.streaming.embedding_index import IncrementalEmbeddingIndexSink
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sink = IncrementalEmbeddingIndexSink(str(tmp_path / "eidx_one"), threshold=0.3)
+    sink.apply_batch(emb, 0)
+    kept_ids = sorted(r.vec_id for r in sink.read_kept(spark).select("vec_id").collect())
+
+    batch_twin = all_queries()["dedup_embedding_keep_representatives"].fn(
+        spark, sf_dir
+    )
+    twin_ids = sorted(r.vec_id for r in batch_twin.select("vec_id").collect())
+    assert kept_ids == twin_ids, "one-batch stream must equal the batch operator"
+    # and the band index covers exactly the kept vectors
+    band_ids = {
+        r.vec_id
+        for r in spark.read.parquet(str(tmp_path / "eidx_one" / "bands"))
+        .select("vec_id")
+        .distinct()
+        .collect()
+    }
+    assert band_ids == set(kept_ids)
+
+
+def test_incremental_embedding_index_sink_cross_batch_drop(spark, sf_dir, tmp_path):
+    """Cross-batch semantic dedup: a later batch re-sending a kept
+    vector's embedding (new id, cosine 1.0) must be dropped against
+    the lake; a genuinely novel vector must be admitted. Replay of a
+    committed epoch is a no-op."""
+    from pyspark.sql import Row
+    from gomaxscale_spark.streaming.embedding_index import IncrementalEmbeddingIndexSink
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sink = IncrementalEmbeddingIndexSink(str(tmp_path / "eidx_x"), threshold=0.3)
+    sink.apply_batch(emb, 0)
+    kept0 = {r.vec_id for r in sink.read_kept(spark).select("vec_id").collect()}
+    some_kept = min(kept0)
+    vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == some_kept).select("embedding").head()[0]
+    ]
+    novel = [1000.0 if i == 0 else 0.01 * ((-1) ** i) for i in range(len(vec))]
+    b2 = spark.createDataFrame(
+        [
+            Row(vec_id=10_000_000, embedding=vec, label=0),
+            Row(vec_id=10_000_001, embedding=novel, label=0),
+        ],
+        emb.schema,
+    )
+    sink.apply_batch(b2, 1)
+    kept1 = {r.vec_id for r in sink.read_kept(spark).select("vec_id").collect()}
+    assert 10_000_000 not in kept1, "re-sent embedding must drop vs the lake"
+    assert 10_000_001 in kept1, "novel vector must be admitted"
+    n = len(kept1)
+    sink.apply_batch(b2, 1)  # committed replay
+    assert len({r.vec_id for r in sink.read_kept(spark).select("vec_id").collect()}) == n
+
+
+def test_incremental_embedding_index_sink_as_stream_target(spark, sf_dir, tmp_path):
+    """Engine-driven: readStream over the chunked vectors →
+    writeStream.foreachBatch(sink) → availableNow. The final kept set
+    is an independent set of the verified match graph (no kept pair
+    scores ≥ threshold through the same candidate generator), and
+    compact() folds the epoch dirs without changing it."""
+    import os
+    import time
+
+    from gomaxscale_spark.operators import similarity as S
+    from gomaxscale_spark.streaming.embedding_index import IncrementalEmbeddingIndexSink
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = str(tmp_path / "vec_stream")
+    emb.repartition(3).write.mode("overwrite").parquet(src)
+    sink = IncrementalEmbeddingIndexSink(str(tmp_path / "eidx_stream"), threshold=0.3)
+    stream = (
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    time.sleep(0.2)
+    kept = sink.read_kept(spark)
+    n = kept.count()
+    assert 0 < n <= emb.count()
+    pairs = S.lsh_near_duplicates_adaptive(kept, threshold=0.3, dim=64)
+    assert pairs.count() == 0, "kept set must be an independent set"
+
+    before = sorted(r.vec_id for r in kept.select("vec_id").collect())
+    sink.compact(spark, target_files=2)
+    kept_dirs = [
+        d
+        for d in os.listdir(str(tmp_path / "eidx_stream" / "kept"))
+        if d.startswith("epoch=")
+    ]
+    assert len(kept_dirs) == 1
+    assert sorted(r.vec_id for r in sink.read_kept(spark).collect()) == before
+
+
+@pytest.mark.parametrize("fail_stage", ["kept", "bands"])
+def test_incremental_embedding_index_sink_crash_between_writes(
+    spark, sf_dir, tmp_path, fail_stage
+):
+    """Crash between the kept and bands writes (or after bands, before
+    the marker): the retry clears the partial epoch dirs and the final
+    lake equals the crash-free run, band index covering every kept
+    vector."""
+    import os
+
+    from gomaxscale_spark.streaming.embedding_index import IncrementalEmbeddingIndexSink
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    cut = ids[len(ids) // 2]
+    b1 = emb.filter(F.col("vec_id") <= cut)
+    b2 = emb.filter(F.col("vec_id") > cut)
+
+    path = str(tmp_path / f"eidx_crash_{fail_stage}")
+    sink = IncrementalEmbeddingIndexSink(path, threshold=0.3)
+    sink.apply_batch(b1, 0)
+    sink._fail_after = fail_stage
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sink.apply_batch(b2, 1)
+    assert os.path.isdir(f"{path}/kept/epoch=1")
+    assert os.path.isdir(f"{path}/bands/epoch=1") == (fail_stage == "bands")
+    assert not os.path.exists(f"{path}/_epoch_1")
+
+    sink._fail_after = None
+    sink.apply_batch(b2, 1)
+    assert os.path.exists(f"{path}/_epoch_1")
+    kept_ids = {r.vec_id for r in sink.read_kept(spark).select("vec_id").collect()}
+    band_ids = {
+        r.vec_id
+        for r in spark.read.parquet(f"{path}/bands").select("vec_id").distinct().collect()
+    }
+    assert kept_ids == band_ids
+
+    clean = IncrementalEmbeddingIndexSink(
+        str(tmp_path / f"eidx_clean_{fail_stage}"), threshold=0.3
+    )
+    clean.apply_batch(b1, 0)
+    clean.apply_batch(b2, 1)
+    clean_ids = {r.vec_id for r in clean.read_kept(spark).select("vec_id").collect()}
+    assert kept_ids == clean_ids, "crash+retry must equal the crash-free run"
