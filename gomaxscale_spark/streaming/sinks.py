@@ -196,12 +196,29 @@ class CDCHistorySink:
         order_cols: list[str],
         event_type_col: str = "event_type",
         n_buckets: int = 16,
+        rebuild_scope: str = "keys",
     ) -> None:
         self.path = path
         self.key_cols = key_cols
         self.order_cols = order_cols
         self.event_type_col = event_type_col
         self.n_buckets = n_buckets
+        #: what a touched bucket's rebuild re-windows (both modes are
+        #: result-identical; measured head-to-head in SCALING.md r8):
+        #: - "keys" (default): semi-join the pruned log on the batch's
+        #:   key set, re-window only those keys' events, carry untouched
+        #:   keys' existing history rows verbatim into the staged
+        #:   rewrite. Bounds the window-sort by the TOUCHED KEYS'
+        #:   event count — the term that grows with stream lifetime in
+        #:   the whole-bucket mode — at the price of two extra plan
+        #:   arms (the key semi-join and the history anti-join read).
+        #: - "bucket": re-window the touched buckets' entire log (the
+        #:   r7 shape). Fewer plan arms; window-sort grows with the
+        #:   bucket's accumulated log. Preferable only when batches
+        #:   touch most keys of every bucket anyway.
+        if rebuild_scope not in ("keys", "bucket"):
+            raise ValueError(f"rebuild_scope must be 'keys' or 'bucket', got {rebuild_scope!r}")
+        self.rebuild_scope = rebuild_scope
         self._commit = EpochCommit(path)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -251,24 +268,32 @@ class CDCHistorySink:
         log = spark.read.parquet(f"{self.path}/log").filter(
             F.col("__bucket").isin(touched)  # partition-pruned scan
         )
-        touched_log = log.join(F.broadcast(batch_keys), self.key_cols, "semi")
-        hist = materialize_history(
-            touched_log.drop("__bucket", "epoch"),
-            self.key_cols,
-            self.order_cols,
-            self.event_type_col,
-        )
         hist_root = f"{self.path}/history"
-        if os.path.isdir(hist_root) and any(
-            e.startswith("__bucket=") for e in os.listdir(hist_root)
-        ):
-            untouched_keys_hist = (
-                spark.read.parquet(hist_root)
-                .filter(F.col("__bucket").isin(touched))  # pruned scan
-                .join(F.broadcast(batch_keys), self.key_cols, "anti")
-                .drop("__bucket")
+        if self.rebuild_scope == "keys":
+            touched_log = log.join(F.broadcast(batch_keys), self.key_cols, "semi")
+            hist = materialize_history(
+                touched_log.drop("__bucket", "epoch"),
+                self.key_cols,
+                self.order_cols,
+                self.event_type_col,
             )
-            hist = hist.unionByName(untouched_keys_hist)
+            if os.path.isdir(hist_root) and any(
+                e.startswith("__bucket=") for e in os.listdir(hist_root)
+            ):
+                untouched_keys_hist = (
+                    spark.read.parquet(hist_root)
+                    .filter(F.col("__bucket").isin(touched))  # pruned scan
+                    .join(F.broadcast(batch_keys), self.key_cols, "anti")
+                    .drop("__bucket")
+                )
+                hist = hist.unionByName(untouched_keys_hist)
+        else:  # "bucket": re-window the touched buckets' whole log
+            hist = materialize_history(
+                log.drop("__bucket", "epoch"),
+                self.key_cols,
+                self.order_cols,
+                self.event_type_col,
+            )
         staged = self.path + "/history._staged"
         hist.withColumn("__bucket", self._bucket()).write.mode(
             "overwrite"

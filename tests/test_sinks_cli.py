@@ -147,20 +147,25 @@ def test_cdc_snapshot_sink_bucket_scoped_rewrite(spark, tmp_path):
     assert not any(i in state for i in victims)
 
 
-def test_cdc_history_sink_incremental(spark, tmp_path):
+@pytest.mark.parametrize("rebuild_scope", ["keys", "bucket"])
+def test_cdc_history_sink_incremental(spark, tmp_path, rebuild_scope):
     """The streaming SCD2 sink: a later micro-batch must CLOSE a
     previously-open version (the thing an append-only history gets
     wrong), deletes close without opening, replay is a no-op, the
     result equals the batch fold over all events, and a 1-key batch
-    rewrites only its key's bucket."""
+    rewrites only its key's bucket. Both rebuild scopes (touched-keys
+    refold + untouched-rows carry vs whole-bucket refold) must be
+    result-identical."""
     import os
 
     from gomaxscale_spark.operators.snapshot import materialize_history
     from gomaxscale_spark.streaming.sinks import CDCHistorySink
 
     schema = "id int, event_type string, v double, seq long"
-    path = str(tmp_path / "hist")
-    sink = CDCHistorySink(path, key_cols=["id"], order_cols=["seq"])
+    path = str(tmp_path / f"hist_{rebuild_scope}")
+    sink = CDCHistorySink(
+        path, key_cols=["id"], order_cols=["seq"], rebuild_scope=rebuild_scope
+    )
 
     b1 = spark.createDataFrame(
         [(1, "insert", 10.0, 100), (2, "insert", 20.0, 110)]
@@ -229,15 +234,29 @@ def test_cdc_history_sink_incremental(spark, tmp_path):
         .collect()
     }
     before = listing()
-    sink.apply_batch(
-        spark.createDataFrame([(4, "update_after", 44.0, 300)], schema), 2
-    )
+    b3 = spark.createDataFrame([(4, "update_after", 44.0, 300)], schema)
+    sink.apply_batch(b3, 2)
     after = listing()
     target = f"__bucket={bmap[4]}"
     assert after[target] != before[target]
     for d in before:
         if d != target:
             assert after[d] == before[d], f"untouched bucket {d} was rewritten"
+
+    # content check after the 1-key rewrite: untouched keys in the
+    # touched bucket must keep their rows (the "keys" scope carries
+    # them verbatim; "bucket" refolds them) — both equal the batch fold
+    final = {
+        (r.id, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in sink.read_history(spark).collect()
+    }
+    expected = {
+        (r.id, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in materialize_history(
+            b1.unionByName(b2).unionByName(b3), ["id"], ["seq"]
+        ).collect()
+    }
+    assert final == expected
 
 
 def test_cdc_history_sink_compact_log(spark, tmp_path):

@@ -44,8 +44,9 @@ def deciles(walls: list[float]) -> list[float]:
     ]
 
 
-def run(sf_dir: str, k_uniform: int, k_narrow: int) -> None:
-    spark = get_session("history_batch_study")
+def run(sf_dir: str, k_uniform: int, k_narrow: int,
+        rebuild_scope: str = "keys", spark=None) -> None:
+    spark = spark or get_session("history_batch_study")
     ev = (
         load_table(spark, sf_dir, "events")
         .select(
@@ -64,10 +65,10 @@ def run(sf_dir: str, k_uniform: int, k_narrow: int) -> None:
     n = ev.count()
 
     # UNIFORM: k equal chronological slices; every batch touches every bucket
-    path = "/tmp/hist_study_uniform"
+    path = f"/tmp/hist_study_uniform_{rebuild_scope}"
     shutil.rmtree(path, ignore_errors=True)
     sink = CDCHistorySink(path, key_cols=["id"], order_cols=["ts_us", "event_id"],
-                          event_type_col="op")
+                          event_type_col="op", rebuild_scope=rebuild_scope)
     fracs = ",".join(str((i + 1) / k_uniform) for i in range(k_uniform))
     bounds = [int(x) for x in ev.select(F.expr(f"percentile(ts_us, array({fracs}))")).head()[0]]
     walls = []
@@ -82,7 +83,7 @@ def run(sf_dir: str, k_uniform: int, k_narrow: int) -> None:
         walls.append(time.perf_counter() - t0)
     dec = deciles(walls)
     print(json.dumps({
-        "series": "uniform", "k": k_uniform, "events": n,
+        "series": "uniform", "scope": rebuild_scope, "k": k_uniform, "events": n,
         "per_batch_mean_s": round(sum(walls) / len(walls), 3),
         "decile_means_s": dec,
         "ramp_last_over_first": round(dec[-1] / dec[0], 2),
@@ -101,7 +102,7 @@ def run(sf_dir: str, k_uniform: int, k_narrow: int) -> None:
         walls2.append(time.perf_counter() - t0)
     dec2 = deciles(walls2)
     print(json.dumps({
-        "series": "narrow_1key", "k": k_narrow,
+        "series": "narrow_1key", "scope": rebuild_scope, "k": k_narrow,
         "per_batch_mean_s": round(sum(walls2) / len(walls2), 3),
         "decile_means_s": dec2,
     }), flush=True)
@@ -109,5 +110,15 @@ def run(sf_dir: str, k_uniform: int, k_narrow: int) -> None:
 
 if __name__ == "__main__":
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/events_x10"
-    run(sf_dir, int(sys.argv[2]) if len(sys.argv) > 2 else 20,
-        int(sys.argv[3]) if len(sys.argv) > 3 else 10)
+    k_u = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    k_n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    scopes = (sys.argv[4].split(",") if len(sys.argv) > 4 else ["keys", "bucket"])
+    spark = get_session("history_batch_study")
+    for scope in scopes:
+        run(sf_dir, k_u, k_n, rebuild_scope=scope, spark=spark)
+    if len(scopes) == 2:
+        a = spark.read.parquet(f"/tmp/hist_study_uniform_{scopes[0]}/history")
+        b = spark.read.parquet(f"/tmp/hist_study_uniform_{scopes[1]}/history")
+        same = (a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty())
+        print(json.dumps({"series": "mode_equality", "identical": bool(same),
+                          "rows": a.count()}), flush=True)
