@@ -106,6 +106,37 @@ class IncrementalEmbeddingIndexSink:
             return None
         return spark.read.parquet(root)
 
+    def cross_batch_candidates(
+        self, lake_bands: DataFrame, batch_bands: DataFrame, nn: DataFrame
+    ) -> DataFrame:
+        """Candidate (lake_id, batch_id) pairs via the adaptive-width
+        bucket join, lake-probe direction: both sides mask their stored
+        full signatures with the CURRENT width (``sig % 2^w``, w from
+        the 1-row in-plan count ``nn``), then the batch's band rows
+        BROADCAST against the lake index — the lake is scanned, never
+        shuffled (plan-pinned in tests/test_plan_shapes.py)."""
+        from ..operators import similarity as S
+
+        id_c = self.id_col
+        p2 = F.expr(
+            S.adaptive_pow2_case_sql("__n", target_bucket=self.target_bucket)
+        )
+        lb = (
+            lake_bands.select(F.col(id_c).alias("id_a"), "band", F.col("sig").alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .withColumn("bucket", F.col("s") % p2)
+        )
+        bb = (
+            batch_bands.select(F.col(id_c).alias("id_b"), "band", F.col("sig").alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .withColumn("bucket", F.col("s") % p2)
+        )
+        return (
+            lb.join(F.broadcast(bb), ["band", "bucket"])
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
     def apply_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
         if self._commit.is_committed(epoch_id):
             return  # retried epoch — already committed
@@ -144,27 +175,8 @@ class IncrementalEmbeddingIndexSink:
                     .unionByName(batch.select(id_c))
                     .agg(F.count(F.lit(1)).alias("__n"))
                 )
-                p2 = F.expr(
-                    S.adaptive_pow2_case_sql("__n", target_bucket=self.target_bucket)
-                )
-                lb = (
-                    lake_bands.select(
-                        F.col(id_c).alias("id_a"), "band", F.col("sig").alias("s")
-                    )
-                    .crossJoin(F.broadcast(nn))
-                    .withColumn("bucket", F.col("s") % p2)
-                )
-                bb = (
-                    batch_bands.select(
-                        F.col(id_c).alias("id_b"), "band", F.col("sig").alias("s")
-                    )
-                    .crossJoin(F.broadcast(nn))
-                    .withColumn("bucket", F.col("s") % p2)
-                )
                 cross = materialize_once(
-                    lb.join(F.broadcast(bb), ["band", "bucket"])
-                    .select("id_a", "id_b")
-                    .distinct()
+                    self.cross_batch_candidates(lake_bands, batch_bands, nn)
                 )
                 to_release.append(cross)
                 if not cross.isEmpty():

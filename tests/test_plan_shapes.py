@@ -366,3 +366,63 @@ def test_multimodal_stages_zero_shuffle(spark, sf_dir):
         p = plan_str(spark, sf_dir, name)
         assert "Exchange" not in p, f"{name} shuffles:\n{p[:1500]}"
         assert "MapInPandas" in p or "ArrowEvalPython" in p, name
+
+
+def test_embedding_index_lake_probe_never_shuffles_lake(spark, sf_dir, tmp_path):
+    """The embedding lake's scale contract (mirror of the text lake's
+    pin): cross-batch candidate generation broadcasts the BATCH's band
+    rows against the lake index — the lake is scanned, never
+    exchanged. The only hash exchange allowed is the (batch-sized)
+    candidate-pair distinct; an exchange keyed on band/bucket would
+    mean the join fell back to sort-merge and shuffled the lake."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from gomaxscale_spark.catalog import load_table
+    from gomaxscale_spark.operators import similarity as S
+    from gomaxscale_spark.streaming.embedding_index import IncrementalEmbeddingIndexSink
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sink = IncrementalEmbeddingIndexSink(str(tmp_path / "eidx_plan"), threshold=0.3)
+    sink.apply_batch(emb.limit(40), 0)
+    kept = spark.read.parquet(f"{sink.path}/kept")
+    lake_bands = spark.read.parquet(f"{sink.path}/bands").select("vec_id", "band", "sig")
+    batch = emb.limit(60)
+    batch_bands = S.band_signature_rows(batch, 64)
+    nn = kept.select("vec_id").unionByName(batch.select("vec_id")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    p = (
+        sink.cross_batch_candidates(lake_bands, batch_bands, nn)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in p, p[:1500]
+    ex_keys = re.findall(r"Exchange hashpartitioning\(([^,)]+)", p)
+    assert len(ex_keys) <= 1, "cross-batch join grew extra shuffles:\n" + p[:2000]
+    for key in ex_keys:
+        assert "band" not in key and "bucket" not in key, (
+            f"hash exchange keyed on the bucket join key ({key}):\n" + p[:2000]
+        )
+
+
+def test_ann_adaptive_serving_plan_shapes(spark, sf_dir):
+    """The adaptive ANN serving twins' plan contracts:
+    - lsh_bucket_topk_adaptive: a scan + filter + TakeOrdered — ZERO
+      hash exchanges (the 1-row count broadcasts; the signature mask is
+      a projection);
+    - ivf_topk_adaptive: NO Window operator (the fixed twin row_numbers
+      all N×n_centroids scored rows) and at most one hash exchange (the
+      partial-aggregable struct-max groupBy on the id)."""
+    import re
+
+    p = plan_str(spark, sf_dir, "similarity_lsh_bucketed_scaled")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 0, p[:2000]
+    assert "TakeOrderedAndProject" in p
+
+    p2 = plan_str(spark, sf_dir, "similarity_ivf_topk_scaled")
+    assert "Window" not in p2, "adaptive IVF must not row_number the scored rows:\n" + p2[:2000]
+    assert len(re.findall(r"Exchange hashpartitioning", p2)) <= 1, p2[:2000]
+    assert "TakeOrderedAndProject" in p2
