@@ -247,6 +247,77 @@ class IncrementalEmbeddingIndexSink:
     def read_kept(self, spark) -> DataFrame:
         return spark.read.parquet(f"{self.path}/kept").drop("epoch")
 
+    def topk(self, spark, query_vec, k: int = 10) -> DataFrame:
+        """Serving probe: approximate top-k over the LAKE using the
+        maintained band index — the continuously-updated ANN index the
+        sink's name promises, queryable between triggers.
+
+        The query's per-band signatures are the same driver-side fold
+        over the same plane literals the index rows carry; both sides
+        mask with the CURRENT width (in-plan count), so the probe
+        automatically tightens as the lake grows. Candidates = kept
+        vectors sharing ANY band bucket with the query (~n_bands ×
+        target_bucket rows at any lake size); exact cosine re-ranks
+        them. The lake is scanned, never shuffled — the only exchange
+        is the (small) candidate-id distinct. A kept vector identical
+        to the query shares every band bucket by construction, so
+        self-lookup always returns it first (tested).
+        """
+        from ..operators import similarity as S
+
+        id_c, vec = self.id_col, self.vec_col
+        all_planes = S.hyperplanes(
+            self.dim, self.n_bands * self.planes_per_band, seed=42
+        )
+        qsigs = []
+        for b in range(self.n_bands):
+            sig = 0
+            planes = all_planes[
+                b * self.planes_per_band : (b + 1) * self.planes_per_band
+            ]
+            for i, plane in enumerate(planes):
+                s = sum(float(a) * float(p) for a, p in zip(query_vec, plane))
+                sig |= (1 if s > 0 else 0) << i
+            qsigs.append(sig)
+
+        kept = self.read_kept(spark)
+        bands = spark.read.parquet(f"{self.path}/bands").select(id_c, "band", "sig")
+        nn = kept.select(id_c).agg(F.count(F.lit(1)).alias("__n"))
+        p2 = F.expr(
+            S.adaptive_pow2_case_sql("__n", target_bucket=self.target_bucket)
+        )
+        qtbl = F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), F.lit(qsigs[b]).alias("qsig"))
+                for b in range(self.n_bands)
+            ]
+        )
+        qdf = (
+            spark.range(1)
+            .select(F.explode(qtbl).alias("q"))
+            .select("q.band", "q.qsig")
+            .crossJoin(F.broadcast(nn))
+            .withColumn("bucket", F.col("qsig") % p2)
+            .select("band", "bucket")
+        )
+        cand_ids = (
+            bands.crossJoin(F.broadcast(nn))
+            .withColumn("bucket", F.col("sig") % p2)
+            .join(F.broadcast(qdf), ["band", "bucket"])
+            .select(id_c)
+            .distinct()
+        )
+        qv = S.lit_vec([float(x) for x in query_vec])
+        return (
+            kept.join(F.broadcast(cand_ids), id_c, "semi")
+            .select(
+                F.col(id_c),
+                F.round(S.cosine(F.col(vec), qv), 6).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.col(id_c))
+            .limit(k)
+        )
+
     def compact(self, spark, target_files: int = 8) -> None:
         """Fold the committed epoch-per-batch dirs into one base epoch
         (the same small-files control as the text lake's compact();

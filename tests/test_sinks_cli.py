@@ -1217,3 +1217,33 @@ def test_incremental_embedding_index_sink_crash_between_writes(
     clean.apply_batch(b2, 1)
     clean_ids = {r.vec_id for r in clean.read_kept(spark).select("vec_id").collect()}
     assert kept_ids == clean_ids, "crash+retry must equal the crash-free run"
+
+
+def test_incremental_embedding_index_sink_topk_probe(spark, sf_dir, tmp_path):
+    """The lake doubles as a continuously-maintained ANN index: topk()
+    probes the band index with the query's masked signatures. A query
+    equal to a kept vector's embedding shares every band bucket, so
+    self-lookup returns it first with score 1.0; all results come from
+    the kept set with correctly-recomputed descending cosines."""
+    from gomaxscale_spark.operators import similarity as S
+    from gomaxscale_spark.streaming.embedding_index import IncrementalEmbeddingIndexSink
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sink = IncrementalEmbeddingIndexSink(str(tmp_path / "eidx_probe"), threshold=0.3)
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    cut = ids[len(ids) // 2]
+    sink.apply_batch(emb.filter(F.col("vec_id") <= cut), 0)
+    sink.apply_batch(emb.filter(F.col("vec_id") > cut), 1)
+
+    kept_ids = {r.vec_id for r in sink.read_kept(spark).select("vec_id").collect()}
+    probe_id = max(kept_ids)
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == probe_id).select("embedding").head()[0]
+    ]
+    res = sink.topk(spark, q, k=5).collect()
+    assert res, "probe must return candidates"
+    assert res[0].vec_id == probe_id and res[0].score == 1.0, "self-lookup must rank first"
+    assert all(r.vec_id in kept_ids for r in res)
+    scores = [r.score for r in res]
+    assert scores == sorted(scores, reverse=True)
