@@ -19,6 +19,10 @@ State layout (parquet, epoch-partitioned):
         built when the lake held 10k vectors probes correctly when it
         holds 10M — the mask tightens as the corpus grows, with no
         index rebuild (re-masking is a projection, not a recompute).
+  ``review/epoch=N/`` — over-cap lake keys deferred in epoch N
+        (capped mode only): (band, bucket, p2, n_members) rows keyed
+        by epoch, carrying the mask width they were counted at;
+        consumed by ``drain_review()``.
 
 Per micro-batch:
   1. cross-batch semantic near-dup: the batch's band signatures
@@ -59,6 +63,7 @@ batches — the standard online/offline dedup divergence.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -76,6 +81,7 @@ class IncrementalEmbeddingIndexSink:
         planes_per_band: int = 16,
         n_bands: int = 4,
         target_bucket: int = 64,
+        max_bucket_size: int | None = None,
     ) -> None:
         self.path = path
         self.id_col = id_col
@@ -85,6 +91,16 @@ class IncrementalEmbeddingIndexSink:
         self.planes_per_band = planes_per_band
         self.n_bands = n_bands
         self.target_bucket = target_bucket
+        #: 100 TB control loop (the text lake's cap, transplanted): the
+        #: adaptive mask keeps EXPECTED bucket occupancy ~target_bucket,
+        #: but a pathological sign region (near-zero vectors, constant
+        #: embeddings from a broken upstream encoder) can concentrate
+        #: far more. With a cap set (sensible values are several ×
+        #: target_bucket), over-cap lake keys skip the auto cross-batch
+        #: join and surface as (band, bucket, p2, n_members) rows under
+        #: ``review/epoch=N`` — deferred, never silently dropped;
+        #: ``drain_review()`` collapses their full-signature families.
+        self.max_bucket_size = max_bucket_size
         #: fault-injection hook for the commit-protocol tests ONLY
         #: ("kept" → raise between the kept and bands writes; "bands" →
         #: between bands and the marker). Never set in production.
@@ -106,6 +122,24 @@ class IncrementalEmbeddingIndexSink:
             return None
         return spark.read.parquet(root)
 
+    def _masked(self, bands_df: DataFrame, nn: DataFrame, id_alias: str) -> DataFrame:
+        """Band rows with the CURRENT adaptive bucket key: the stored
+        full signature masked by ``2^w`` derived in-plan from the 1-row
+        count ``nn`` (columns: id_alias, band, s, __p2, bucket)."""
+        from ..operators import similarity as S
+
+        p2 = F.expr(
+            S.adaptive_pow2_case_sql("__n", target_bucket=self.target_bucket)
+        )
+        return (
+            bands_df.select(
+                F.col(self.id_col).alias(id_alias), "band", F.col("sig").alias("s")
+            )
+            .crossJoin(F.broadcast(nn))
+            .withColumn("__p2", p2)
+            .withColumn("bucket", F.col("s") % F.col("__p2"))
+        )
+
     def cross_batch_candidates(
         self, lake_bands: DataFrame, batch_bands: DataFrame, nn: DataFrame
     ) -> DataFrame:
@@ -115,24 +149,10 @@ class IncrementalEmbeddingIndexSink:
         the 1-row in-plan count ``nn``), then the batch's band rows
         BROADCAST against the lake index — the lake is scanned, never
         shuffled (plan-pinned in tests/test_plan_shapes.py)."""
-        from ..operators import similarity as S
-
-        id_c = self.id_col
-        p2 = F.expr(
-            S.adaptive_pow2_case_sql("__n", target_bucket=self.target_bucket)
-        )
-        lb = (
-            lake_bands.select(F.col(id_c).alias("id_a"), "band", F.col("sig").alias("s"))
-            .crossJoin(F.broadcast(nn))
-            .withColumn("bucket", F.col("s") % p2)
-        )
-        bb = (
-            batch_bands.select(F.col(id_c).alias("id_b"), "band", F.col("sig").alias("s"))
-            .crossJoin(F.broadcast(nn))
-            .withColumn("bucket", F.col("s") % p2)
-        )
+        lb = self._masked(lake_bands, nn, "id_a")
+        bb = self._masked(batch_bands, nn, "id_b")
         return (
-            lb.join(F.broadcast(bb), ["band", "bucket"])
+            lb.join(F.broadcast(bb.drop("__p2")), ["band", "bucket"])
             .select("id_a", "id_b")
             .distinct()
         )
@@ -149,7 +169,7 @@ class IncrementalEmbeddingIndexSink:
         from ..operators.materialize import materialize_once, release
 
         self._commit.finish_swap(("kept", "bands"))
-        self._commit.clean_partial(("kept", "bands"), epoch_id)
+        self._commit.clean_partial(("kept", "bands", "review"), epoch_id)
         spark = batch_df.sparkSession
         id_c, vec = self.id_col, self.vec_col
         batch = batch_df
@@ -175,9 +195,38 @@ class IncrementalEmbeddingIndexSink:
                     .unionByName(batch.select(id_c))
                     .agg(F.count(F.lit(1)).alias("__n"))
                 )
-                cross = materialize_once(
-                    self.cross_batch_candidates(lake_bands, batch_bands, nn)
-                )
+                if self.max_bucket_size is not None:
+                    # count-first cap on the LAKE side (sizes from a
+                    # skew-immune count agg): over-cap keys are routed
+                    # to review/ BEFORE any join fan-out exists, with
+                    # the mask width they were counted at (widths vary
+                    # across epochs as the lake grows — the drain
+                    # re-derives membership per stored width)
+                    lb = self._masked(lake_bands, nn, "id_a")
+                    key_counts = lb.groupBy("band", "bucket", "__p2").agg(
+                        F.count(F.lit(1)).alias("n_members")
+                    )
+                    key_counts.filter(
+                        F.col("n_members") > self.max_bucket_size
+                    ).withColumnRenamed("__p2", "p2").write.mode(
+                        "overwrite"
+                    ).parquet(f"{self.path}/review/epoch={epoch_id}")
+                    lb = lb.join(
+                        key_counts.filter(
+                            F.col("n_members") <= self.max_bucket_size
+                        ).select("band", "bucket"),
+                        ["band", "bucket"],
+                    )
+                    bb = self._masked(batch_bands, nn, "id_b")
+                    cross = materialize_once(
+                        lb.join(F.broadcast(bb.drop("__p2")), ["band", "bucket"])
+                        .select("id_a", "id_b")
+                        .distinct()
+                    )
+                else:
+                    cross = materialize_once(
+                        self.cross_batch_candidates(lake_bands, batch_bands, nn)
+                    )
                 to_release.append(cross)
                 if not cross.isEmpty():
                     cand_lake = cross.select(F.col("id_a").alias(id_c)).distinct()
@@ -318,25 +367,139 @@ class IncrementalEmbeddingIndexSink:
             .limit(k)
         )
 
+    def _publish_sub(
+        self, sub: str, df: DataFrame, base_epoch: int, target_files: int
+    ) -> None:
+        self._commit.swap_publish(
+            sub,
+            lambda staging: (
+                df.drop("epoch")
+                .coalesce(target_files)
+                .write.mode("overwrite")
+                .parquet(f"{staging}/epoch={base_epoch}")
+            ),
+        )
+
     def compact(self, spark, target_files: int = 8) -> None:
         """Fold the committed epoch-per-batch dirs into one base epoch
         (the same small-files control as the text lake's compact();
         all protocol pieces shared via EpochCommit). Racing an
-        in-flight apply_batch raises."""
+        in-flight apply_batch raises. review/ is an append-only
+        deferred-work log and is left as-is."""
         with self._commit.maintenance_guard():
             self._commit.finish_swap(("kept", "bands"))
-            committed = self._commit.drop_partial_epochs(("kept", "bands"))
+            committed = self._commit.drop_partial_epochs(("kept", "bands", "review"))
             if len(committed) <= 1 or not os.path.isdir(f"{self.path}/kept"):
                 return
             base = max(committed)
             for sub in ("kept", "bands"):
-                df = spark.read.parquet(f"{self.path}/{sub}")
-                self._commit.swap_publish(
-                    sub,
-                    lambda staging, df=df: (
-                        df.drop("epoch")
-                        .coalesce(target_files)
-                        .write.mode("overwrite")
-                        .parquet(f"{staging}/epoch={base}")
-                    ),
+                self._publish_sub(
+                    sub, spark.read.parquet(f"{self.path}/{sub}"), base, target_files
                 )
+
+    def drain_review(self, spark, target_files: int = 8) -> int:
+        """Maintenance pass that CONSUMES the review queue: collapse
+        every hot lake key's members on FULL-SIGNATURE equality and
+        remove the collapsed non-representatives from the lake.
+        Returns how many vectors were removed.
+
+        The embedding twin of the text lake's drain, with one
+        advantage: the index already stores each vector's full
+        ``n_bands × planes_per_band`` sign signature, so families come
+        from a plain groupBy over the band rows — no vector math, no
+        pair expansion, LINEAR in hot-member count. Semantics are
+        strictly narrower than the threshold verify in the same
+        probabilistic sense as the text drain: at 64 total sign bits,
+        a full-signature match at cosine 0.3 has probability
+        (1 − acos(0.3)/π)⁶⁴ ≈ 5·10⁻¹⁵ — only the
+        near-identical core of a hot region collapses (min-id
+        representative kept); sub-threshold bucket-mates survive, so a
+        pathological key can legitimately stay hot after a drain (its
+        next batch re-defers — deferred work is never lost).
+
+        Review rows carry the mask width they were counted at (the
+        adaptive width grows with the lake), so membership is
+        re-derived per stored width — one masked projection per
+        distinct width present (a handful of small ints collected
+        driver-side). Crash recovery mirrors the text drain: partial
+        epoch dirs are dropped first; a crash between the kept and
+        bands publishes leaves orphan band rows that the next drain
+        detects (bands ids ∖ kept ids) and prunes."""
+        from ..operators.materialize import materialize_once, release
+
+        with self._commit.maintenance_guard():
+            self._commit.finish_swap(("kept", "bands"))
+            committed = self._commit.drop_partial_epochs(("kept", "bands", "review"))
+            review = self._read_or_none(spark, "review")
+            kept = self._read_or_none(spark, "kept")
+            bands = self._read_or_none(spark, "bands")
+            if review is None or kept is None or bands is None or not committed:
+                return 0
+            id_c = self.id_col
+            hot = review.select("band", "bucket", "p2").distinct()
+            widths = sorted(r[0] for r in hot.select("p2").distinct().collect())
+            hot_ids = None
+            for p2v in widths:
+                m = (
+                    bands.withColumn("bucket", F.col("sig") % F.lit(int(p2v)))
+                    .join(
+                        F.broadcast(
+                            hot.filter(F.col("p2") == p2v).select("band", "bucket")
+                        ),
+                        ["band", "bucket"],
+                    )
+                    .select(id_c)
+                )
+                hot_ids = m if hot_ids is None else hot_ids.unionByName(m)
+            hot_ids = hot_ids.distinct()
+
+            # full-signature families straight from the stored index
+            sigs = (
+                bands.join(F.broadcast(hot_ids), id_c, "semi")
+                .groupBy(id_c)
+                .agg(
+                    F.sort_array(F.collect_list(F.struct("band", "sig"))).alias(
+                        "fullsig"
+                    )
+                )
+            )
+            fams = sigs.groupBy("fullsig").agg(
+                F.min(id_c).alias("keep_id"),
+                F.count(F.lit(1)).alias("family_size"),
+            )
+            # materialize BEFORE the swaps: lineage reads the files the
+            # publishes delete
+            drop = materialize_once(
+                sigs.join(fams, "fullsig")
+                .filter(
+                    (F.col("family_size") >= 2) & (F.col(id_c) != F.col("keep_id"))
+                )
+                .select(id_c)
+            )
+            orphan_ids = materialize_once(
+                bands.select(id_c).distinct().join(
+                    kept.select(id_c).distinct(), id_c, "left_anti"
+                )
+            )
+            n_drop = drop.count()
+            if n_drop or not orphan_ids.isEmpty():
+                base = max(committed)
+                if n_drop:
+                    self._publish_sub(
+                        "kept",
+                        kept.join(F.broadcast(drop), id_c, "left_anti"),
+                        base,
+                        target_files,
+                    )
+                self._publish_sub(
+                    "bands",
+                    bands.join(F.broadcast(drop), id_c, "left_anti").join(
+                        F.broadcast(orphan_ids), id_c, "left_anti"
+                    ),
+                    base,
+                    target_files,
+                )
+            release(drop)
+            release(orphan_ids)
+            shutil.rmtree(f"{self.path}/review", ignore_errors=True)
+            return n_drop

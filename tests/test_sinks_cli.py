@@ -1247,3 +1247,101 @@ def test_incremental_embedding_index_sink_topk_probe(spark, sf_dir, tmp_path):
     assert all(r.vec_id in kept_ids for r in res)
     scores = [r.score for r in res]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_incremental_embedding_index_sink_capped_drain(spark, tmp_path):
+    """The capped review-queue + drain, embedding side (transplanted
+    from the text lake): a hot lake bucket (two sub-threshold vectors
+    sharing a band bucket) defers — never silently drops — later
+    arrivals into kept/ plus review rows; drain_review collapses the
+    full-signature family (min-id representative), consumes review/,
+    keeps bands ≡ kept; a key that is STILL hot after the drain
+    re-defers the next arrival, so deferred work is never lost."""
+    import os
+
+    import numpy as np
+
+    from gomaxscale_spark.operators import similarity as S
+    from gomaxscale_spark.streaming.embedding_index import IncrementalEmbeddingIndexSink
+
+    dim, n_planes = 16, 16
+    planes = np.array(S.hyperplanes(dim, n_planes, seed=42))
+
+    def masked_sig(v, bits=8):
+        sig = 0
+        for i in range(bits):
+            if float(np.dot(v, planes[i])) > 0:
+                sig |= 1 << i
+        return sig
+
+    rng = np.random.default_rng(7)
+    A = rng.normal(size=dim)
+    A /= np.linalg.norm(A)
+    target = masked_sig(A)
+    C = None
+    for _ in range(60_000):
+        cand = rng.normal(size=dim)
+        cand /= np.linalg.norm(cand)
+        if masked_sig(cand) == target and abs(float(np.dot(A, cand))) < 0.25:
+            C = cand
+            break
+    assert C is not None, "fixture search failed — widen the draw budget"
+
+    fillers = []
+    while len(fillers) < 3:
+        f = rng.normal(size=dim)
+        f /= np.linalg.norm(f)
+        others = [A, C] + fillers
+        if all(abs(float(np.dot(f, o))) < 0.25 for o in others):
+            fillers.append(f)
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    path = str(tmp_path / "eidx_capped")
+    sink = IncrementalEmbeddingIndexSink(
+        path, threshold=0.3, dim=dim, planes_per_band=n_planes, n_bands=1,
+        max_bucket_size=1,
+    )
+    sink.apply_batch(
+        df_of([(0, A), (1, C), (10, fillers[0]), (11, fillers[1])]), 0
+    )
+    kept0 = {r.vec_id for r in sink.read_kept(spark).select("vec_id").collect()}
+    assert {0, 1} <= kept0, "sub-threshold bucket-mates must both be kept"
+
+    # the next batch's lake-side count pass surfaces the hot key
+    sink.apply_batch(df_of([(12, fillers[2])]), 1)
+    review = spark.read.parquet(f"{path}/review")
+    assert review.count() > 0
+    assert {"band", "bucket", "p2", "n_members"} <= set(review.columns)
+    assert review.agg(F.min("n_members")).head()[0] > 1
+
+    # an identical twin of A arrives: its key is hot -> DEFERRED-kept
+    sink.apply_batch(df_of([(100, A)]), 2)
+    kept = {r.vec_id for r in sink.read_kept(spark).select("vec_id").collect()}
+    assert 100 in kept, "over-cap key must defer, not silently drop"
+
+    # drain: A and its twin share the full signature -> collapse to id 0
+    assert sink.drain_review(spark) == 1
+    kept = {r.vec_id for r in sink.read_kept(spark).select("vec_id").collect()}
+    assert 0 in kept and 100 not in kept and 1 in kept
+    band_ids = {
+        r.vec_id
+        for r in spark.read.parquet(f"{path}/bands").select("vec_id").distinct().collect()
+    }
+    assert band_ids == kept
+    assert not os.path.isdir(f"{path}/review"), "review queue must be consumed"
+
+    # the key is legitimately STILL hot (A and C both remain) — the
+    # next twin re-defers and resurfaces in review: deferred, not lost
+    sink.apply_batch(df_of([(200, A)]), 3)
+    kept = {r.vec_id for r in sink.read_kept(spark).select("vec_id").collect()}
+    assert 200 in kept
+    assert spark.read.parquet(f"{path}/review").count() > 0
+    # and a second drain collapses the new twin too
+    assert sink.drain_review(spark) == 1
+    kept = {r.vec_id for r in sink.read_kept(spark).select("vec_id").collect()}
+    assert 200 not in kept
