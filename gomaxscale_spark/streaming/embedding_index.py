@@ -100,6 +100,10 @@ class IncrementalEmbeddingIndexSink:
         #: join and surface as (band, bucket, p2, n_members) rows under
         #: ``review/epoch=N`` — deferred, never silently dropped;
         #: ``drain_review()`` collapses their full-signature families.
+        #: Asymmetry, stated plainly: the WITHIN-batch pipeline stays
+        #: uncapped — its fan-out is bounded by the trigger's batch
+        #: size, which the stream owner controls, unlike the lake side
+        #: which grows without bound.
         self.max_bucket_size = max_bucket_size
         #: fault-injection hook for the commit-protocol tests ONLY
         #: ("kept" → raise between the kept and bands writes; "bands" →
@@ -438,6 +442,11 @@ class IncrementalEmbeddingIndexSink:
             id_c = self.id_col
             hot = review.select("band", "bucket", "p2").distinct()
             widths = sorted(r[0] for r in hot.select("p2").distinct().collect())
+            if not widths:
+                # every capped batch writes its (possibly empty) review
+                # epoch dir — an all-empty queue is a clean no-op
+                shutil.rmtree(f"{self.path}/review", ignore_errors=True)
+                return 0
             hot_ids = None
             for p2v in widths:
                 m = (

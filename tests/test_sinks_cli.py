@@ -1345,3 +1345,25 @@ def test_incremental_embedding_index_sink_capped_drain(spark, tmp_path):
     assert sink.drain_review(spark) == 1
     kept = {r.vec_id for r in sink.read_kept(spark).select("vec_id").collect()}
     assert 200 not in kept
+
+
+def test_incremental_embedding_index_sink_empty_review_drain(spark, sf_dir, tmp_path):
+    """A capped lake whose batches produced NO over-cap keys still
+    writes (empty) review epoch dirs; drain_review must consume them
+    as a clean no-op, not crash on the empty width set."""
+    import os
+
+    from gomaxscale_spark.streaming.embedding_index import IncrementalEmbeddingIndexSink
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "eidx_empty_review")
+    sink = IncrementalEmbeddingIndexSink(path, threshold=0.3, max_bucket_size=10_000)
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    cut = ids[len(ids) // 2]
+    sink.apply_batch(emb.filter(F.col("vec_id") <= cut), 0)
+    sink.apply_batch(emb.filter(F.col("vec_id") > cut), 1)
+    assert os.path.isdir(f"{path}/review"), "capped batches write review epochs"
+    n = sink.read_kept(spark).count()
+    assert sink.drain_review(spark) == 0
+    assert not os.path.isdir(f"{path}/review")
+    assert sink.read_kept(spark).count() == n
