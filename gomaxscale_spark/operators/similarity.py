@@ -552,6 +552,10 @@ def lsh_bucket_topk_adaptive(
         qsig |= (1 if s > 0 else 0) << i
     q = lit_vec(query_vec)
     nn = embeddings.agg(F.count(F.lit(1)).alias("__n"))
+    # measured, not applied: parallelize_narrow_input before this scan
+    # was ~30% SLOWER at the x30 replica (9.2 → 11.9 s) — the 16-dot
+    # signature map is too cheap to pay a 60k-vector-row shuffle for,
+    # unlike the IVF assignment fan-out below (SCALING.md r8)
     bucketed = (
         embeddings.withColumn("__sig", lsh_signature(F.col(vec_col), planes))
         .crossJoin(F.broadcast(nn))
@@ -604,6 +608,8 @@ def ivf_topk_adaptive(
     shuffles all N×n_centroids scored rows. Assignment remains the
     ingest-time cost; the per-query path is centroid ranking + the
     probed lists."""
+    from .bucketing import parallelize_narrow_input
+
     q = lit_vec(query_vec)
     nn = embeddings.agg(F.count(F.lit(1)).alias("__n"))
     stride = F.expr(adaptive_sqrt_pow2_case_sql("__n", min_bits, max_bits))
@@ -618,8 +624,13 @@ def ivf_topk_adaptive(
         .limit(n_probe)
         .select("centroid_id")
     )
+    # the N×n_centroids assignment fan-out after the broadcast join is
+    # the heavy stage; a single-row-group input would run it as ONE
+    # task (measured 219 s vs 12 s across 32 ways at the x30 replica —
+    # SCALING.md r8). The guard keeps this a no-op on partitioned
+    # lake inputs; the shuffle moves pre-expansion rows only.
     assigned = (
-        embeddings.select(
+        parallelize_narrow_input(embeddings).select(
             F.col(id_col),
             F.col(vec_col),
             F.round(cosine(F.col(vec_col), q), 6).alias("__qscore"),
