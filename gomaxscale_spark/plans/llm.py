@@ -2626,3 +2626,66 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "sampling_domain_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM ranked WHERE rnk <= 15
+    """,
+    doc="LLM-pipeline domain-quota sampling: cap each source at K docs, "
+    "keeping the longest first (quality-ranked quota, tie-broken by "
+    "doc_id) — the standard guard against one crawl domain dominating "
+    "the training mix. Scale: one hash exchange on source + a window; "
+    "a pathologically hot domain serializes its own partition only, "
+    "and AQE skew-split or a count-first pre-filter (top-K per key via "
+    "partial agg) is the known escalation. Oracle replays the "
+    "identical rank.",
+)
+def sampling_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    rnk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("n_chars"), F.col("doc_id"))
+    )
+    return (
+        d.select("doc_id", "source", "n_chars", rnk.alias("rnk"))
+        .filter(F.col("rnk") <= 15)
+        .drop("rnk")
+    )
+
+
+@query(
+    "dedup_family_histogram",
+    oracle="""
+    WITH fams AS (
+      SELECT md5(text) AS digest, count(*) AS family_size
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT family_size, count(*) AS n_families,
+           family_size * count(*) AS n_docs
+    FROM fams GROUP BY family_size
+    """,
+    doc="Dedup diagnostics: the histogram of exact-duplicate family "
+    "sizes (how much of the corpus is singletons vs boilerplate "
+    "families) — the number a pipeline owner reads before choosing "
+    "caps/thresholds. Scale: two partial-aggregable groupBys on "
+    "digest then size; shuffle keys are 32-byte digests and small "
+    "ints, text never moves.",
+)
+def dedup_family_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    fams = d.groupBy(F.md5(F.encode("text", "utf-8")).alias("digest")).agg(
+        F.count(F.lit(1)).alias("family_size")
+    )
+    return fams.groupBy("family_size").agg(
+        F.count(F.lit(1)).alias("n_families"),
+        (F.col("family_size") * F.count(F.lit(1))).alias("n_docs"),
+    )
