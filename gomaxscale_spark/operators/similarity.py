@@ -285,6 +285,7 @@ def lsh_near_duplicates_adaptive(
     vec_col: str = "embedding",
     seed: int = 42,
     target_bucket: int = 64,
+    wide_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """``lsh_near_duplicates`` with an ADAPTIVE signature width — the
     fix for the fixed-2⁸-bucket blocker the 30× replica study exposed
@@ -305,20 +306,32 @@ def lsh_near_duplicates_adaptive(
     plane literals and CASE, so the adaptive dial is itself
     oracle-checked (the embedding analogue of
     timeseries_topk_similar_scaled's in-plan K).
+
+    ``wide_sigs`` (optional): a precomputed ``(id_col, s0..s{n_bands-1})``
+    frame with the SAME plane family/order (``wide_band_signatures``) —
+    callers that already materialized the signatures (the streaming
+    embedding lake) pass it to skip re-running the sign-bit pipeline;
+    result-identical by construction.
     """
     all_planes = hyperplanes(dim, n_bands * planes_per_band, seed)
     with_norm = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), norm(F.col(vec_col)).alias("nrm")
     )
-    band_sigs = [
-        F.expr(
-            lsh_signature_sql("vec", all_planes[b * planes_per_band : (b + 1) * planes_per_band])
-        ).alias(f"s{b}")
-        for b in range(n_bands)
-    ]
     nn = embeddings.agg(F.count(F.lit(1)).alias("__n"))
+    if wide_sigs is not None:
+        sig_src = wide_sigs.select(
+            F.col(id_col).alias("vid"), *[f"s{b}" for b in range(n_bands)]
+        )
+    else:
+        band_sigs = [
+            F.expr(
+                lsh_signature_sql("vec", all_planes[b * planes_per_band : (b + 1) * planes_per_band])
+            ).alias(f"s{b}")
+            for b in range(n_bands)
+        ]
+        sig_src = with_norm.select("vid", *band_sigs)
     sigs = (
-        with_norm.select("vid", *band_sigs)
+        sig_src
         .crossJoin(F.broadcast(nn))
         .withColumn("__p2", F.expr(adaptive_pow2_case_sql("__n", target_bucket=target_bucket)))
     )
@@ -362,7 +375,7 @@ def lsh_near_duplicates_adaptive(
     )
 
 
-def band_signature_rows(
+def wide_band_signatures(
     embeddings: DataFrame,
     dim: int,
     id_col: str = "vec_id",
@@ -371,13 +384,12 @@ def band_signature_rows(
     n_bands: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, band, sig) rows: each vector's FULL per-band sign
-    signatures (``planes_per_band`` bits, unmasked). Stored unmasked so
-    an index built at corpus size N can be re-probed at any later size
-    N′ — the adaptive bucket key is ``sig % 2^w`` with w derived from
-    the CURRENT count at probe time, so the index never needs
-    re-bucketing as the corpus grows (only the cheap mask changes).
-    Same plane family/order as ``lsh_near_duplicates_adaptive``."""
+    """(id, s0..s{n_bands-1}): each vector's FULL per-band sign
+    signatures, one column per band — the single signature-pipeline
+    run both the exploded index rows (``band_signature_rows``) and the
+    within-batch pair generator (``lsh_near_duplicates_adaptive``'s
+    ``wide_sigs`` hook) derive from. Same plane family/order
+    everywhere."""
     all_planes = hyperplanes(dim, n_bands * planes_per_band, seed)
     sigs = [
         F.expr(
@@ -387,23 +399,43 @@ def band_signature_rows(
         ).alias(f"s{b}")
         for b in range(n_bands)
     ]
-    return (
-        embeddings.select(F.col(id_col), *sigs)
-        .select(
-            id_col,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"), F.col(f"s{b}").alias("sig")
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("bs"),
+    return embeddings.select(F.col(id_col), *sigs)
+
+
+def band_signature_rows(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes_per_band: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    wide_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """(id, band, sig) rows: each vector's FULL per-band sign
+    signatures (``planes_per_band`` bits, unmasked). Stored unmasked so
+    an index built at corpus size N can be re-probed at any later size
+    N′ — the adaptive bucket key is ``sig % 2^w`` with w derived from
+    the CURRENT count at probe time, so the index never needs
+    re-bucketing as the corpus grows (only the cheap mask changes).
+    Same plane family/order as ``lsh_near_duplicates_adaptive``; pass
+    a precomputed ``wide_sigs`` to explode without re-running the
+    sign-bit pipeline."""
+    if wide_sigs is None:
+        wide_sigs = wide_band_signatures(
+            embeddings, dim, id_col, vec_col, planes_per_band, n_bands, seed
         )
-        .select(id_col, "bs.band", "bs.sig")
-    )
+    return wide_sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"s{b}").alias("sig"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "bs.band", "bs.sig")
 
 
 def lsh_bucket_topk(

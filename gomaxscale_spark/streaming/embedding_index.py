@@ -178,15 +178,22 @@ class IncrementalEmbeddingIndexSink:
         id_c, vec = self.id_col, self.vec_col
         batch = batch_df
 
-        # the batch's full band signatures, computed ONCE — the
-        # cross-batch probe and the final index write both consume row
-        # subsets of this frame
-        batch_bands = materialize_once(
-            S.band_signature_rows(
+        # the batch's full band signatures, computed ONCE (wide form):
+        # the cross-batch probe and the final index write consume its
+        # exploded projection, and the within-batch pair generator
+        # takes it directly — one run of the sign-bit pipeline per
+        # batch instead of two (the same fix that cut the text lake's
+        # per-batch cost in r7)
+        wide_sigs = materialize_once(
+            S.wide_band_signatures(
                 batch, self.dim, id_c, vec, self.planes_per_band, self.n_bands
             )
         )
-        to_release: list[DataFrame] = [batch_bands]
+        batch_bands = S.band_signature_rows(
+            batch, self.dim, id_c, vec, self.planes_per_band, self.n_bands,
+            wide_sigs=wide_sigs,
+        )
+        to_release: list[DataFrame] = [wide_sigs]
 
         kept = self._read_or_none(spark, "kept")
         lake_bands = self._read_or_none(spark, "bands")
@@ -265,6 +272,10 @@ class IncrementalEmbeddingIndexSink:
                     id_col=id_c,
                     vec_col=vec,
                     target_bucket=self.target_bucket,
+                    # superset of the filtered batch's ids is fine: the
+                    # verify join is inner on the filtered vectors, so
+                    # pairs touching cross-batch-dropped ids vanish
+                    wide_sigs=wide_sigs,
                 )
             )
             to_release.append(pairs)
