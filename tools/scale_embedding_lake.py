@@ -34,7 +34,8 @@ from gomaxscale_spark.session import get_session
 from gomaxscale_spark.streaming.embedding_index import IncrementalEmbeddingIndexSink
 
 
-def run_study(sf_dir: str, ks: list[int], threshold: float) -> None:
+def run_study(sf_dir: str, ks: list[int], threshold: float,
+              max_bucket_size=None) -> None:
     spark = get_session("embedding_lake_study")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n = emb.count()
@@ -44,9 +45,11 @@ def run_study(sf_dir: str, ks: list[int], threshold: float) -> None:
     print(f"# corpus: {n} vectors from {sf_dir}", file=sys.stderr)
 
     for k in ks:
-        lake = f"/tmp/emb_lake_study_k{k}"
+        lake = f"/tmp/emb_lake_study_k{k}_{max_bucket_size}"
         shutil.rmtree(lake, ignore_errors=True)
-        sink = IncrementalEmbeddingIndexSink(lake, threshold=threshold)
+        sink = IncrementalEmbeddingIndexSink(
+            lake, threshold=threshold, max_bucket_size=max_bucket_size
+        )
         cuts = [ids[min(n - 1, (i * n) // k)] for i in range(1, k)] + [ids[-1]]
         lo = None
         walls: list[float] = []
@@ -74,6 +77,7 @@ def run_study(sf_dir: str, ks: list[int], threshold: float) -> None:
             json.dumps(
                 {
                     "k_batches": k,
+                    "cap": max_bucket_size,
                     "batch_vecs": n // k,
                     "total_wall_s": round(sum(walls), 2),
                     "per_batch_mean_s": round(sum(walls) / len(walls), 3),
@@ -94,4 +98,5 @@ if __name__ == "__main__":
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     ks = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "10,30").split(",")]
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 0.3
-    run_study(sf_dir, ks, thr)
+    cap = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    run_study(sf_dir, ks, thr, max_bucket_size=cap)
