@@ -426,3 +426,32 @@ def test_ann_adaptive_serving_plan_shapes(spark, sf_dir):
     assert "Window" not in p2, "adaptive IVF must not row_number the scored rows:\n" + p2[:2000]
     assert len(re.findall(r"Exchange hashpartitioning", p2)) <= 1, p2[:2000]
     assert "TakeOrderedAndProject" in p2
+
+
+def test_embedding_index_topk_probe_plan(spark, sf_dir, tmp_path):
+    """The lake serving probe's contract: the only hash exchange is the
+    (small) candidate-id distinct — kept/ and bands/ are scanned and
+    broadcast-probed, never shuffled, and the result is a TakeOrdered,
+    not a global sort."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from gomaxscale_spark.catalog import load_table
+    from gomaxscale_spark.streaming.embedding_index import IncrementalEmbeddingIndexSink
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sink = IncrementalEmbeddingIndexSink(str(tmp_path / "eidx_topk_plan"), threshold=0.3)
+    sink.apply_batch(emb.limit(60), 0)
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    p = sink.topk(spark, q, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p, p[:1500]
+    ex_keys = re.findall(r"Exchange hashpartitioning\(([^,)]+)", p)
+    assert len(ex_keys) <= 1, "probe grew extra shuffles:\n" + p[:2000]
+    for key in ex_keys:
+        assert "band" not in key and "bucket" not in key, (
+            f"hash exchange keyed on the bucket join key ({key}):\n" + p[:2000]
+        )
