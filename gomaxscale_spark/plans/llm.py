@@ -2689,3 +2689,71 @@ def dedup_family_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_families"),
         (F.col("family_size") * F.count(F.lit(1))).alias("n_docs"),
     )
+
+
+_SPLIT_CASE_SQL = """CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                ELSE 'test' END"""
+
+
+@query(
+    "sampling_leakage_safe_split",
+    oracle="WITH "
+    + _portable_lsh_pairs_ctes(threshold=0.8)
+    + f""", sp AS (
+      SELECT doc_id, {_SPLIT_CASE_SQL} AS split FROM documents
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), leaky AS (
+      SELECT DISTINCT e.u AS doc_id
+      FROM edges e
+      JOIN sp a ON a.doc_id = e.u AND a.split = 'train'
+      JOIN sp b ON b.doc_id = e.v AND b.split <> 'train'
+    )
+    SELECT sp.doc_id, sp.split,
+           CASE WHEN sp.split = 'train'
+                     AND sp.doc_id IN (SELECT doc_id FROM leaky)
+                THEN 'quarantined' ELSE sp.split END AS final_split
+    FROM sp
+    """,
+    doc="Leakage-safe train/eval split (decontamination-by-split): after "
+    "the deterministic hash split, any TRAIN doc that is a verified "
+    "near-dup (portable MinHash-LSH candidates → exact-Jaccard ≥ 0.8) "
+    "of a val/test doc is QUARANTINED out of train — the split-level "
+    "twin of benchmark decontamination, preventing eval answers from "
+    "leaking into training through duplicated pages. Scale: the pair "
+    "generation is the bounded LSH pipeline (never all-pairs); the "
+    "leak join keys are ids; the eval side of the membership join is "
+    "small by construction (eval fractions). The oracle replays split "
+    "→ candidates → verify → quarantine from the same hash literals.",
+)
+def sampling_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    sp = SA.hash_split(d, "doc_id").select("doc_id", "split")
+    cands = D.minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2, portable=True
+    )
+    pairs = D.verify_candidates_jaccard(d, cands, "doc_id", "text", 0.8, 2)
+    edges = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    nontrain = sp.filter(F.col("split") != "train").select(F.col("doc_id").alias("v"))
+    leaky = (
+        edges.join(nontrain, "v")
+        .select(F.col("u").alias("doc_id"))
+        .distinct()
+        .join(sp.filter(F.col("split") == "train"), "doc_id", "semi")
+        .withColumn("__leak", F.lit(True))
+    )
+    return sp.join(F.broadcast(leaky), "doc_id", "left").select(
+        "doc_id",
+        "split",
+        F.when(
+            (F.col("split") == "train") & F.col("__leak").isNotNull(),
+            F.lit("quarantined"),
+        )
+        .otherwise(F.col("split"))
+        .alias("final_split"),
+    )
