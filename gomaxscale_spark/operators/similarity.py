@@ -286,6 +286,7 @@ def lsh_near_duplicates_adaptive(
     seed: int = 42,
     target_bucket: int = 64,
     wide_sigs: DataFrame | None = None,
+    kernel: str = "hof",
 ) -> DataFrame:
     """``lsh_near_duplicates`` with an ADAPTIVE signature width — the
     fix for the fixed-2⁸-bucket blocker the 30× replica study exposed
@@ -311,7 +312,18 @@ def lsh_near_duplicates_adaptive(
     frame with the SAME plane family/order (``wide_band_signatures``) —
     callers that already materialized the signatures (the streaming
     embedding lake) pass it to skip re-running the sign-bit pipeline;
-    result-identical by construction.
+    result-identical by construction. The frame must carry columns
+    ``id_col, s0..s{n_bands-1}`` produced by ``wide_band_signatures``
+    with the SAME (dim, planes_per_band, n_bands, seed) — the plane
+    family is seed-derived, so a signature frame built under any other
+    parameters buckets differently and silently MISSES near-dups;
+    asserted structurally here (column presence), contract-documented
+    for the seed (not recoverable from the frame itself).
+
+    ``kernel="numpy"`` swaps the exact-cosine verify of the candidate
+    pairs from the interpreted HOF fold (~3 µs/64-dim pair) to the
+    Arrow-batched numpy kernel (vector_kernel.cosine_pairs) — same
+    raw-threshold predicate, same 6dp projection.
     """
     all_planes = hyperplanes(dim, n_bands * planes_per_band, seed)
     with_norm = embeddings.select(
@@ -319,6 +331,15 @@ def lsh_near_duplicates_adaptive(
     )
     nn = embeddings.agg(F.count(F.lit(1)).alias("__n"))
     if wide_sigs is not None:
+        expected = [id_col] + [f"s{b}" for b in range(n_bands)]
+        missing = [c for c in expected if c not in wide_sigs.columns]
+        if missing:
+            raise ValueError(
+                "lsh_near_duplicates_adaptive: wide_sigs is missing "
+                f"columns {missing} — pass a frame from "
+                f"wide_band_signatures(dim={dim}, planes_per_band="
+                f"{planes_per_band}, n_bands={n_bands}, seed={seed})"
+            )
         sig_src = wide_sigs.select(
             F.col(id_col).alias("vid"), *[f"s{b}" for b in range(n_bands)]
         )
@@ -363,13 +384,18 @@ def lsh_near_duplicates_adaptive(
     vb = with_norm.select(
         F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("norm_b")
     )
+    if kernel == "numpy":
+        from . import vector_kernel as VK
+
+        raw = VK.cosine_pairs(F.col("vec_a"), F.col("vec_b"))
+    elif kernel == "hof":
+        raw = dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b"))
+    else:
+        raise ValueError(f"lsh_near_duplicates_adaptive: unknown kernel {kernel!r}")
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn(
-            "__raw",
-            dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")),
-        )
+        .withColumn("__raw", raw)
         .filter(F.col("__raw") >= threshold)
         .select("id_a", "id_b", F.round("__raw", 6).alias("score"))
     )
@@ -617,6 +643,7 @@ def ivf_topk_adaptive(
     vec_col: str = "embedding",
     min_bits: int = 2,
     max_bits: int = 16,
+    kernel: str = "hof",
 ) -> DataFrame:
     """``ivf_topk`` with an ADAPTIVE centroid count — the other fixed-
     width serving op named by the r7 scale audit (fixed
@@ -639,8 +666,52 @@ def ivf_topk_adaptive(
     rows — instead of the fixed twin's row_number window, which
     shuffles all N×n_centroids scored rows. Assignment remains the
     ingest-time cost; the per-query path is centroid ranking + the
-    probed lists."""
+    probed lists.
+
+    ``kernel="numpy"`` (the r9 escalation of the measured dominant
+    scale cost — the interpreted HOF cosine at ~3 µs/pair priced the
+    N×√N assignment at 55 s for 200k×391 on 32 cores, SCALING.md r8)
+    replaces the broadcast-join fan-out + struct-max re-aggregation
+    with ONE Arrow-batched ``assign_nearest`` pandas_udf: the centroid
+    matrix is collected driver-side (O(√N·dim) — the standard IVF
+    coarse-quantizer artifact, ~8 MB at 10⁹ 64-dim vectors) and each
+    vector batch is scored by a single numpy matmul, so assignment
+    becomes a pure MAP — no N×√N row expansion, no assignment
+    exchange at all. Same argmax tie-break (lowest centroid id),
+    same 6dp-rounded query score; oracle parity measured at
+    sf0.001 + sf0.01 before the catalog entry switched kernels."""
     from .bucketing import parallelize_narrow_input
+
+    if kernel == "numpy":
+        from . import vector_kernel as VK
+
+        n = embeddings.count()
+        stride = VK.adaptive_sqrt_pow2(n, min_bits, max_bits)
+        cent_ids, M = VK.collect_matrix(
+            embeddings.filter((F.col(id_col) % stride) == 0), id_col, vec_col
+        )
+        import numpy as np
+
+        qv = np.asarray(list(query_vec), dtype=np.float64)
+        cs = (M @ qv) / (
+            np.sqrt(np.einsum("ij,ij->i", M, M)) * float(np.sqrt((qv * qv).sum()))
+        )
+        # top-n_probe centroids by (cosine desc, centroid_id asc) —
+        # the driver-side twin of the in-plan orderBy/limit
+        order = np.lexsort((np.asarray(cent_ids), -cs))
+        probe_ids = [int(cent_ids[i]) for i in order[:n_probe]]
+        assign = VK.assign_nearest(cent_ids, M, query_vec=query_vec)
+        assigned = parallelize_narrow_input(embeddings).select(
+            F.col(id_col), assign(F.col(vec_col)).alias("__a")
+        )
+        return (
+            assigned.filter(F.col("__a.centroid_id").isin(probe_ids))
+            .select(F.col(id_col), F.round(F.col("__a.qscore"), 6).alias("score"))
+            .orderBy(F.desc("score"), F.col(id_col))
+            .limit(k)
+        )
+    if kernel != "hof":
+        raise ValueError(f"ivf_topk_adaptive: unknown kernel {kernel!r}")
 
     q = lit_vec(query_vec)
     nn = embeddings.agg(F.count(F.lit(1)).alias("__n"))
@@ -694,6 +765,7 @@ def kmeans_centroid_vectors(
     n_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "hof",
 ) -> DataFrame:
     """``kmeans_refine``'s loop returning assembled (centroid_id,
     centroid_vec) rows — the coarse-quantizer table consumers broadcast.
@@ -703,7 +775,18 @@ def kmeans_centroid_vectors(
     the oracle's by summation order (last ulp), and downstream argmax
     assignments must not hinge on it. 1e-6 centroid precision is
     immaterial to clustering quality.
+
+    ``kernel="numpy"``: the per-iteration assignment (the N×k fan-out
+    join + row_number window — the 2.5→11.6 s-at-x10 stage the r7
+    audit measured) runs instead as ONE Arrow-batched
+    ``assign_nearest`` pandas_udf against the driver-collected k·dim
+    centroid matrix (MLlib's own Lloyd's layout: centroids driver-side
+    per iteration, assignment a pure map). The per-dimension mean
+    UPDATE stays in-plan (partial-aggregable posexplode groupBy).
+    Same tie-break (lowest centroid id), same 6dp mean rounding.
     """
+    if kernel not in ("hof", "numpy"):
+        raise ValueError(f"kmeans_centroid_vectors: unknown kernel {kernel!r}")
     centroids = (
         embeddings.orderBy(id_col)
         .limit(n_centroids)
@@ -713,18 +796,28 @@ def kmeans_centroid_vectors(
         )
     )
     for _ in range(n_iters):
-        assigned = (
-            embeddings.join(F.broadcast(centroids))
-            .withColumn("s", cosine(F.col(vec_col), F.col("centroid_vec")))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    W.partitionBy(id_col).orderBy(F.desc("s"), F.col("centroid_id"))
-                ),
+        if kernel == "numpy":
+            from . import vector_kernel as VK
+
+            cent_ids, M = VK.collect_matrix(centroids, "centroid_id", "centroid_vec")
+            assign = VK.assign_nearest(cent_ids, M)
+            assigned = embeddings.select(
+                assign(F.col(vec_col))["centroid_id"].alias("centroid_id"),
+                F.col(vec_col),
             )
-            .filter(F.col("rn") == 1)
-            .select("centroid_id", vec_col)
-        )
+        else:
+            assigned = (
+                embeddings.join(F.broadcast(centroids))
+                .withColumn("s", cosine(F.col(vec_col), F.col("centroid_vec")))
+                .withColumn(
+                    "rn",
+                    F.row_number().over(
+                        W.partitionBy(id_col).orderBy(F.desc("s"), F.col("centroid_id"))
+                    ),
+                )
+                .filter(F.col("rn") == 1)
+                .select("centroid_id", vec_col)
+            )
         means = (
             assigned.select(
                 "centroid_id", F.posexplode(F.col(vec_col)).alias("dim_idx", "val")
@@ -754,6 +847,7 @@ def kmeans_refine(
     n_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "hof",
 ) -> DataFrame:
     """Lloyd's k-means refinement of the IVF coarse quantizer:
     deterministic seed (first `n_centroids` vectors by id), then
@@ -776,7 +870,7 @@ def kmeans_refine(
     Deterministic at fixed n_iters → oracle-expressible by unrolling.
     """
     return kmeans_centroid_vectors(
-        embeddings, n_centroids, n_iters, id_col, vec_col
+        embeddings, n_centroids, n_iters, id_col, vec_col, kernel=kernel
     ).select("centroid_id", F.posexplode("centroid_vec").alias("dim_idx", "centroid"))
 
 

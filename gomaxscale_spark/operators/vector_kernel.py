@@ -1,0 +1,188 @@
+"""Arrow-batched numpy kernels for dense-vector cosine math.
+
+The portable per-row kernel (`operators/similarity.py` ``cosine``:
+``aggregate(zip_with(...))``) is an *interpreted* higher-order
+expression — measured ~3 µs per 64-dim pair (SCALING.md r8). That is
+fine when each row is scored against ONE literal query vector, but it
+dominates wall time wherever the plan fans a row out against many
+candidates: the IVF/k-means assignment (N rows × √N centroids = 55 s
+at 200k×391 on 32 cores) and the embedding lakes' exact-cosine verify
+joins. These kernels move that inner loop to numpy: one Arrow
+transfer of the vector batch, then a single BLAS matmul / einsum per
+batch — the measured ~µs/pair cost drops to the memory-bandwidth
+floor, and the N×k assignment needs **no row expansion at all** (the
+candidate matrix rides task-local, closed over the UDF, so the plan
+is a pure map instead of a broadcast-join fan-out + re-aggregation).
+
+Numerical contract: numpy's SIMD/pairwise summation differs from the
+sequential HOF fold (and from DuckDB's fold) only in the last ulps
+(~1e-15 on unit-scale cosines). Every consumer either rounds to 6
+decimals before anything the oracle compares, or thresholds the raw
+score exactly where the HOF path did the same — so the cross-engine
+risk profile is unchanged, and catalog entries switch kernels only
+behind measured oracle parity at sf0.001 + sf0.01
+(tests/test_vector_kernel.py + the full-catalog replay).
+
+Null/shape contract: callers feed non-null, equal-dimension vectors
+(every call site scores join outputs or scans of the embeddings
+table). A ragged batch fails loudly in ``np.stack``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+
+
+def _stack(s: pd.Series) -> np.ndarray:
+    """(n, d) float64 matrix from an Arrow list<float> column batch.
+
+    Arrow hands each array element as a numpy float32 view; one stack +
+    astype is the whole transfer cost (float32→float64 is exact, same
+    as the HOF path's per-element ``cast("double")``).
+    """
+    return np.stack(s.to_numpy()).astype(np.float64, copy=False)
+
+
+def cosine_pairs(a: Column, b: Column) -> Column:
+    """Pairwise cosine(a, b) — the vectorized twin of
+    ``similarity.cosine`` for verify stages that score CANDIDATE PAIRS
+    (two vector columns side by side after a join).
+
+    Exactly the HOF formula per row: Σaᵢbᵢ / (‖a‖·‖b‖), float64
+    accumulation; a zero-norm side yields NaN on both kernels.
+    """
+
+    @pandas_udf("double")
+    def _cos(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        A = _stack(xs)
+        B = _stack(ys)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+            np.einsum("ij,ij->i", B, B)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(num / den)
+
+    return _cos(a, b)
+
+
+def cosine_vs_query(query_vec: Sequence[float]):
+    """A one-argument kernel scoring each vector against ONE query
+    vector closed over the UDF — the vectorized twin of
+    ``cosine(col, lit_vec(q))`` for re-rank stages. Returns a callable
+    usable as ``cosine_vs_query(q)(F.col("embedding"))``."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    @pandas_udf("double")
+    def _cosq(xs: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        A = _stack(xs)
+        num = A @ q
+        den = np.sqrt(np.einsum("ij,ij->i", A, A)) * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(num / den)
+
+    return _cosq
+
+
+def assign_nearest(
+    centroid_ids: Sequence[int],
+    centroid_matrix: np.ndarray,
+    query_vec: Sequence[float] | None = None,
+):
+    """Argmax-cosine assignment kernel: vec → struct(centroid_id
+    [, qscore]) in ONE Arrow pass — the replacement for the N×k
+    broadcast-join fan-out (N·k expanded rows + a re-aggregation
+    exchange) in IVF/k-means assignment. The centroid matrix is
+    task-local (serialized once with the UDF, O(√N·dim) — the standard
+    driver-side coarse-quantizer artifact, ~8 MB at 10⁹ vectors).
+
+    Tie-break parity with the HOF path's ``max(struct(s, -cid))``:
+    ``centroid_ids`` MUST be ascending — ``np.argmax`` returns the
+    first maximal column, i.e. the lowest centroid id.
+
+    When ``query_vec`` is given the same batch also carries the
+    query score (the IVF serving path needs both), saving a second
+    Arrow transfer of the vectors.
+    """
+    ids = np.asarray(list(centroid_ids), dtype=np.int64)
+    if len(ids) == 0:
+        raise ValueError("assign_nearest: empty centroid set")
+    if not np.all(np.diff(ids) > 0):
+        raise ValueError(
+            "assign_nearest: centroid_ids must be strictly ascending "
+            "(argmax tie-break = lowest id relies on column order)"
+        )
+    M = np.asarray(centroid_matrix, dtype=np.float64)
+    if M.ndim != 2 or M.shape[0] != len(ids):
+        raise ValueError(
+            f"assign_nearest: matrix shape {M.shape} != ({len(ids)}, dim)"
+        )
+    Mn = np.sqrt(np.einsum("ij,ij->i", M, M))
+
+    if query_vec is None:
+
+        @pandas_udf("struct<centroid_id: bigint>")
+        def _assign(xs: pd.Series) -> pd.DataFrame:
+            if len(xs) == 0:
+                return pd.DataFrame({"centroid_id": np.empty(0, dtype=np.int64)})
+            A = _stack(xs)
+            An = np.sqrt(np.einsum("ij,ij->i", A, A))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (A @ M.T) / (An[:, None] * Mn[None, :])
+            return pd.DataFrame({"centroid_id": ids[np.argmax(S, axis=1)]})
+
+        return _assign
+
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    @pandas_udf("struct<centroid_id: bigint, qscore: double>")
+    def _assign_q(xs: pd.Series) -> pd.DataFrame:
+        if len(xs) == 0:
+            return pd.DataFrame(
+                {
+                    "centroid_id": np.empty(0, dtype=np.int64),
+                    "qscore": np.empty(0, dtype=np.float64),
+                }
+            )
+        A = _stack(xs)
+        An = np.sqrt(np.einsum("ij,ij->i", A, A))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = (A @ M.T) / (An[:, None] * Mn[None, :])
+            qs = (A @ q) / (An * qn)
+        return pd.DataFrame({"centroid_id": ids[np.argmax(S, axis=1)], "qscore": qs})
+
+    return _assign_q
+
+
+def adaptive_sqrt_pow2(n: int, min_bits: int = 2, max_bits: int = 16) -> int:
+    """Driver-side twin of ``similarity.adaptive_sqrt_pow2_case_sql``:
+    the smallest 2^w (w ∈ [min_bits, max_bits]) with (2^w)² ≥ n — same
+    integer boundaries, so a collected count reproduces the in-plan
+    CASE exactly."""
+    for w in range(max_bits, min_bits, -1):
+        if n > 1 << (2 * (w - 1)):
+            return 1 << w
+    return 1 << min_bits
+
+
+def collect_matrix(df, id_col: str, vec_col: str) -> tuple[list[int], np.ndarray]:
+    """Collect (ids ascending, matrix) for a SMALL vector frame — the
+    coarse quantizer (O(√N·dim)), never the corpus."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).collect()
+    if not rows:
+        raise ValueError("collect_matrix: empty centroid frame")
+    ids = [int(r[0]) for r in rows]
+    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    return ids, M

@@ -82,6 +82,7 @@ class IncrementalEmbeddingIndexSink:
         n_bands: int = 4,
         target_bucket: int = 64,
         max_bucket_size: int | None = None,
+        kernel: str = "numpy",
     ) -> None:
         self.path = path
         self.id_col = id_col
@@ -91,6 +92,14 @@ class IncrementalEmbeddingIndexSink:
         self.planes_per_band = planes_per_band
         self.n_bands = n_bands
         self.target_bucket = target_bucket
+        #: exact-cosine kernel for the verify join and the topk re-rank:
+        #: "numpy" (default — Arrow-batched matmul, vector_kernel.py; the
+        #: interpreted HOF fold measured ~3 µs/64-dim pair and priced
+        #: every verify stage, SCALING.md r8) or "hof" (the portable
+        #: in-plan expression). Same raw-threshold predicate either way.
+        if kernel not in ("numpy", "hof"):
+            raise ValueError(f"IncrementalEmbeddingIndexSink: unknown kernel {kernel!r}")
+        self.kernel = kernel
         #: 100 TB control loop (the text lake's cap, transplanted): the
         #: adaptive mask keeps EXPECTED bucket occupancy ~target_bucket,
         #: but a pathological sign region (near-zero vectors, constant
@@ -249,12 +258,16 @@ class IncrementalEmbeddingIndexSink:
                     vb = batch.select(
                         F.col(id_c).alias("id_b"), F.col(vec).alias("vec_b")
                     )
+                    if self.kernel == "numpy":
+                        from ..operators import vector_kernel as VK
+
+                        verify = VK.cosine_pairs(F.col("vec_a"), F.col("vec_b"))
+                    else:
+                        verify = S.cosine(F.col("vec_a"), F.col("vec_b"))
                     matched = (
                         cross.join(va, "id_a")
                         .join(F.broadcast(vb), "id_b")
-                        .filter(
-                            S.cosine(F.col("vec_a"), F.col("vec_b")) >= self.threshold
-                        )
+                        .filter(verify >= self.threshold)
                         .select(F.col("id_b").alias(id_c))
                         .distinct()
                     )
@@ -272,6 +285,7 @@ class IncrementalEmbeddingIndexSink:
                     id_col=id_c,
                     vec_col=vec,
                     target_bucket=self.target_bucket,
+                    kernel=self.kernel,
                     # superset of the filtered batch's ids is fine: the
                     # verify join is inner on the filtered vectors, so
                     # pairs touching cross-batch-dropped ids vanish
@@ -308,8 +322,29 @@ class IncrementalEmbeddingIndexSink:
                 release(frame)
         self._commit.commit(epoch_id)
 
+    def _empty_kept(self, spark) -> DataFrame:
+        """Empty frame with the two columns the sink contractually
+        manages (callers' extra batch columns appear once data does)."""
+        return spark.createDataFrame(
+            [], f"{self.id_col} bigint, {self.vec_col} array<float>"
+        )
+
     def read_kept(self, spark) -> DataFrame:
-        return spark.read.parquet(f"{self.path}/kept").drop("epoch")
+        """Serving read of the kept corpus: COMMITTED epochs only.
+
+        Reads the explicit committed-epoch dir list (read-only twin of
+        ``drop_partial_epochs`` — ``EpochCommit.committed_epoch_dirs``),
+        so a crashed-but-not-yet-retried epoch's markerless partial
+        rows are invisible, a swap interrupted between its two renames
+        is followed to the staged copy, and an empty lake yields an
+        empty frame instead of AnalysisException (r8 VERDICT item 4 /
+        ADVICE). The trigger path keeps using ``_read_or_none`` — it
+        runs under the guard AFTER the cleanup preamble, where
+        markerless dirs are already gone and a read error must abort."""
+        dirs = self._commit.committed_epoch_dirs("kept")
+        if not dirs:
+            return self._empty_kept(spark)
+        return spark.read.parquet(*dirs)
 
     def topk(self, spark, query_vec, k: int = 10) -> DataFrame:
         """Serving probe: approximate top-k over the LAKE using the
@@ -345,7 +380,13 @@ class IncrementalEmbeddingIndexSink:
             qsigs.append(sig)
 
         kept = self.read_kept(spark)
-        bands = spark.read.parquet(f"{self.path}/bands").select(id_c, "band", "sig")
+        band_dirs = self._commit.committed_epoch_dirs("bands")
+        if not band_dirs:
+            # no committed index yet (empty lake, or a first epoch's
+            # crashed attempt awaiting retry): empty result, not an
+            # AnalysisException on the missing bands/ dir
+            return spark.createDataFrame([], f"{id_c} bigint, score double")
+        bands = spark.read.parquet(*band_dirs).select(id_c, "band", "sig")
         nn = kept.select(id_c).agg(F.count(F.lit(1)).alias("__n"))
         p2 = F.expr(
             S.adaptive_pow2_case_sql("__n", target_bucket=self.target_bucket)
@@ -371,13 +412,15 @@ class IncrementalEmbeddingIndexSink:
             .select(id_c)
             .distinct()
         )
-        qv = S.lit_vec([float(x) for x in query_vec])
+        if self.kernel == "numpy":
+            from ..operators import vector_kernel as VK
+
+            score = VK.cosine_vs_query([float(x) for x in query_vec])(F.col(vec))
+        else:
+            score = S.cosine(F.col(vec), S.lit_vec([float(x) for x in query_vec]))
         return (
             kept.join(F.broadcast(cand_ids), id_c, "semi")
-            .select(
-                F.col(id_c),
-                F.round(S.cosine(F.col(vec), qv), 6).alias("score"),
-            )
+            .select(F.col(id_c), F.round(score, 6).alias("score"))
             .orderBy(F.desc("score"), F.col(id_c))
             .limit(k)
         )

@@ -27,8 +27,10 @@ protocol subsumes all of this):
 
 Caveats carried over verbatim from the sinks: markers, renames, and
 locks are driver-local filesystem operations — correct for local paths
-only (this sandbox's documented emulation scope); readers racing a
-crashed-but-not-yet-retried epoch can observe partial directories.
+only (this sandbox's documented emulation scope). Ad-hoc readers that
+list ``epoch=`` dirs themselves can observe a crashed epoch's partial
+output; serving surfaces must read via ``committed_epoch_dirs`` (the
+embedding sink's ``topk``/``read_kept`` do — r9).
 
 Maintenance exclusion (enforced, not conventional): maintenance passes
 (``compact``/``compact_log``/``drain_review``) must not race an
@@ -84,6 +86,26 @@ class EpochCommit:
         for sub in subs:
             shutil.rmtree(f"{self.root}/{sub}/epoch={epoch}", ignore_errors=True)
 
+    def committed_epoch_dirs(self, sub: str) -> list[str]:
+        """READ-ONLY enumeration of ``sub``'s committed epoch dirs, for
+        serving-path readers (the sink's ``topk``/``read_kept``) that
+        must not mutate state: a crashed-but-not-yet-retried epoch's
+        markerless dir is SKIPPED (not deleted — deletion is the retry
+        preamble's job under the trigger guard), and a swap interrupted
+        between its two renames is followed to ``sub__new`` (the staged
+        copy holds the same committed data the missing live dir did).
+        Returns [] when the dataset doesn't exist yet."""
+        live = f"{self.root}/{sub}"
+        if not os.path.isdir(live) and os.path.isdir(live + "__new"):
+            live = live + "__new"
+        if not os.path.isdir(live):
+            return []
+        return [
+            f"{live}/{d}"
+            for d in sorted(os.listdir(live))
+            if d.startswith("epoch=") and self.is_committed(int(d.split("=")[1]))
+        ]
+
     def drop_partial_epochs(self, subs: tuple[str, ...]) -> list[int]:
         """Maintenance preamble: delete EVERY markerless epoch dir
         across ``subs`` (folding a crashed epoch's uncommitted output
@@ -134,12 +156,17 @@ class EpochCommit:
         """Write a replacement dataset for ``sub`` via
         ``write_staged(staging_path)`` then swap it live with the
         crash-recoverable two renames (``finish_swap`` repairs every
-        interruption point)."""
+        interruption point). A missing live dir (first-time publish)
+        degrades to the single staged→live rename — current sink
+        callers all guard on existing state first, but the shared
+        protocol class must not hand a FileNotFoundError to the next
+        caller that doesn't."""
         live = f"{self.root}/{sub}"
         new, old = live + "__new", live + "__old"
         shutil.rmtree(new, ignore_errors=True)
         write_staged(new)
-        os.rename(live, old)
+        if os.path.isdir(live):
+            os.rename(live, old)
         os.rename(new, live)
         shutil.rmtree(old, ignore_errors=True)
 

@@ -1,0 +1,188 @@
+"""The Arrow-batched numpy cosine kernels (operators/vector_kernel.py)
+vs the interpreted HOF fold: result parity on the real tables, the
+input-contract guards, and the serving-read safety the kernels ride
+with (committed-epoch filtering in the embedding lake's topk/read_kept,
+first-time swap_publish).
+
+Parity here is EXACT collected-row equality after the operators' own
+6dp rounding — the same bar the DuckDB oracle gate applies — measured
+before any catalog entry switched kernels (VERDICT r8 item 1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from gomaxscale_spark.catalog import load_table
+from gomaxscale_spark.operators import similarity as S
+from gomaxscale_spark.operators import vector_kernel as VK
+
+
+def _query_vec(emb):
+    return [float(x) for x in emb.orderBy("vec_id").limit(1).head().embedding]
+
+
+def test_cosine_pairs_matches_hof_fold(spark, sf_dir):
+    """Pairwise kernel ≡ HOF cosine at 6dp on real within-label pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a")
+    )
+    b = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b")
+    )
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b")).limit(500)
+    got = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(S.cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("hof"),
+        F.round(VK.cosine_pairs(F.col("vec_a"), F.col("vec_b")), 6).alias("np"),
+    ).collect()
+    assert got, "fixture must produce pairs"
+    assert all(r.hof == r.np for r in got)
+
+
+def test_cosine_vs_query_matches_hof(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(emb)
+    got = emb.select(
+        F.round(S.cosine(F.col("embedding"), S.lit_vec(q)), 6).alias("hof"),
+        F.round(VK.cosine_vs_query(q)(F.col("embedding")), 6).alias("np"),
+    ).collect()
+    assert all(r.hof == r.np for r in got)
+
+
+def test_ivf_topk_adaptive_kernel_parity(spark, sf_dir):
+    """The swapped assignment (broadcast-join fan-out + struct-max →
+    one assign_nearest map) returns the identical top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(emb)
+    hof = S.ivf_topk_adaptive(emb, q, k=10, n_probe=4, kernel="hof").collect()
+    np_ = S.ivf_topk_adaptive(emb, q, k=10, n_probe=4, kernel="numpy").collect()
+    assert [tuple(r) for r in hof] == [tuple(r) for r in np_]
+
+
+def test_kmeans_centroid_vectors_kernel_parity(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    hof = S.kmeans_centroid_vectors(emb, n_centroids=16, n_iters=1).collect()
+    np_ = S.kmeans_centroid_vectors(
+        emb, n_centroids=16, n_iters=1, kernel="numpy"
+    ).collect()
+    assert sorted((r.centroid_id, tuple(r.centroid_vec)) for r in hof) == sorted(
+        (r.centroid_id, tuple(r.centroid_vec)) for r in np_
+    )
+
+
+def test_lsh_near_duplicates_adaptive_kernel_parity(spark, sf_dir):
+    """Same candidate set by construction (bucketing is kernel-free);
+    the verify threshold keeps the same pairs at 6dp."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    hof = S.lsh_near_duplicates_adaptive(emb, 0.3, 64).collect()
+    np_ = S.lsh_near_duplicates_adaptive(emb, 0.3, 64, kernel="numpy").collect()
+    assert sorted(map(tuple, hof)) == sorted(map(tuple, np_))
+    assert hof, "fixture must contain near-dup pairs"
+
+
+def test_assign_nearest_input_contract():
+    with pytest.raises(ValueError, match="ascending"):
+        VK.assign_nearest([3, 1, 2], np.eye(3))
+    with pytest.raises(ValueError, match="empty centroid set"):
+        VK.assign_nearest([], np.empty((0, 4)))
+    with pytest.raises(ValueError, match="shape"):
+        VK.assign_nearest([1, 2], np.eye(3))
+
+
+def test_unknown_kernel_rejected(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="unknown kernel"):
+        S.ivf_topk_adaptive(emb, [0.0] * 64, k=5, kernel="blas")
+    with pytest.raises(ValueError, match="unknown kernel"):
+        S.kmeans_centroid_vectors(emb, kernel="blas")
+
+
+def test_wide_sigs_column_contract(spark, sf_dir):
+    """ADVICE r8: a wide_sigs frame missing the s0..s{n_bands-1}
+    columns must fail loudly, not silently mis-bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bad = emb.select("vec_id", F.lit(0).alias("s0"))  # missing s1..s3
+    with pytest.raises(ValueError, match="wide_sigs is missing"):
+        S.lsh_near_duplicates_adaptive(emb, 0.3, 64, wide_sigs=bad)
+
+
+def test_embedding_sink_serving_reads_skip_partial_epochs(spark, sf_dir, tmp_path):
+    """VERDICT r8 item 4: a fault-injected partial epoch is invisible
+    to topk()/read_kept before the retry; after the retry it appears."""
+    from gomaxscale_spark.streaming.embedding_index import (
+        IncrementalEmbeddingIndexSink,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    cut = ids[len(ids) // 2]
+    b1 = emb.filter(F.col("vec_id") <= cut)
+    b2 = emb.filter(F.col("vec_id") > cut)
+
+    sink = IncrementalEmbeddingIndexSink(str(tmp_path / "eidx_srv"), threshold=0.3)
+    sink.apply_batch(b1, 0)
+    epoch0_ids = {r.vec_id for r in sink.read_kept(spark).select("vec_id").collect()}
+
+    sink._fail_after = "bands"  # kept/epoch=1 AND bands/epoch=1 exist, no marker
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sink.apply_batch(b2, 1)
+    sink._fail_after = None
+
+    assert {
+        r.vec_id for r in sink.read_kept(spark).select("vec_id").collect()
+    } == epoch0_ids, "markerless epoch rows must be invisible to read_kept"
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == max(ids)).head().embedding
+    ]
+    probed = {r.vec_id for r in sink.topk(spark, q, k=50).collect()}
+    assert probed <= epoch0_ids, "topk must not serve a crashed batch's rows"
+
+    sink.apply_batch(b2, 1)  # retry commits
+    after = {r.vec_id for r in sink.read_kept(spark).select("vec_id").collect()}
+    assert after > epoch0_ids
+
+
+def test_embedding_sink_serving_reads_empty_lake(spark, tmp_path):
+    """ADVICE r8: an empty lake yields empty frames, not
+    AnalysisException on the missing dirs."""
+    from gomaxscale_spark.streaming.embedding_index import (
+        IncrementalEmbeddingIndexSink,
+    )
+
+    sink = IncrementalEmbeddingIndexSink(str(tmp_path / "eidx_empty"))
+    assert sink.read_kept(spark).count() == 0
+    assert sink.topk(spark, [1.0] * 64, k=5).count() == 0
+
+
+def test_swap_publish_first_time_publish(tmp_path):
+    """ADVICE r8: swap_publish with no live dir must do the staged→live
+    rename instead of raising FileNotFoundError."""
+    import os
+
+    from gomaxscale_spark.streaming.epoch import EpochCommit
+
+    root = str(tmp_path / "ec")
+    os.makedirs(root)
+    ec = EpochCommit(root)
+
+    def write_staged(staging):
+        os.makedirs(staging)
+        open(f"{staging}/data.txt", "w").write("x")
+
+    ec.swap_publish("kept", write_staged)
+    assert os.path.isfile(f"{root}/kept/data.txt")
+    # and the normal path still swaps
+    def write_staged2(staging):
+        os.makedirs(staging)
+        open(f"{staging}/data.txt", "w").write("y")
+
+    ec.swap_publish("kept", write_staged2)
+    assert open(f"{root}/kept/data.txt").read() == "y"
+    assert not os.path.isdir(f"{root}/kept__old")
