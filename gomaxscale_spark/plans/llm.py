@@ -2663,6 +2663,43 @@ def sampling_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sampling_domain_cap_salted",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM ranked WHERE rnk <= 15
+    """,
+    doc="sampling_domain_cap's SALTED twin (VERDICT r8 item 3) — the "
+    "hot-domain escalation the plain form's docstring names: the "
+    "per-source row_number window is exactly the skew shape the "
+    "operator exists to guard against (one crawl domain with 10⁸ docs "
+    "serializes through a single task's sort). Here phase 1 ranks "
+    "within (source, salt) so a hot domain spreads over n_salts "
+    "tasks, and phase 2 merges the ≤ n_salts×15 partial winners with "
+    "a BOUNDED collect→sort→slice agg — no per-source window node in "
+    "the plan (asserted), per-key merge state capped regardless of "
+    "skew. Exact: the rank order is total, so the result is "
+    "row-identical to the window form (same oracle; equality under a "
+    "30%-hot-key transform pytested). Tier-2 placement: the window "
+    "holds the plain form (the common no-skew plan — one exchange + "
+    "one window, strictly cheaper at uniform key spread); this twin "
+    "is the documented escalation, same slot policy as "
+    "cdc_snapshot_latest_state_salted.",
+)
+def sampling_domain_cap_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import domain_cap_salted
+
+    d = t(spark, sf_dir, "documents")
+    return domain_cap_salted(
+        d, key_col="source", quality_col="n_chars", id_col="doc_id", k=15
+    )
+
+
+@query(
     "dedup_family_histogram",
     oracle="""
     WITH fams AS (

@@ -41,8 +41,11 @@ FAMILY_REPRESENTATIVES = {
     ],
     "B15 dedup": ["dedup_exact_documents", "dedup_minhash_lsh",
                   "dedup_connected_components_lsh", "dedup_keep_representatives_lsh"],
-    "B16 similarity": ["similarity_cosine_topk", "similarity_lsh_bucketed",
-                       "similarity_ivf_topk"],
+    # r8 window swap: the ADAPTIVE serving twins hold the B16 slots
+    # (fixed-width forms demoted to tier-2) — the pin names the live
+    # slot-holders so a future reshuffle that drops them fails here
+    "B16 similarity": ["similarity_cosine_topk", "similarity_lsh_bucketed_scaled",
+                       "similarity_ivf_topk_scaled"],
     "B17 text": ["text_tfidf", "text_quality_score", "text_language_id"],
     "B18 udf": ["udf_pandas_scalar_log1p", "udf_grouped_zscore",
                 "udf_mapinpandas_doc_stats", "udf_grouped_agg_mad",

@@ -147,7 +147,7 @@ def test_cdc_snapshot_sink_bucket_scoped_rewrite(spark, tmp_path):
     assert not any(i in state for i in victims)
 
 
-@pytest.mark.parametrize("rebuild_scope", ["keys", "bucket"])
+@pytest.mark.parametrize("rebuild_scope", ["keys", "bucket", "auto"])
 def test_cdc_history_sink_incremental(spark, tmp_path, rebuild_scope):
     """The streaming SCD2 sink: a later micro-batch must CLOSE a
     previously-open version (the thing an append-only history gets
@@ -1367,3 +1367,57 @@ def test_incremental_embedding_index_sink_empty_review_drain(spark, sf_dir, tmp_
     assert sink.drain_review(spark) == 0
     assert not os.path.isdir(f"{path}/review")
     assert sink.read_kept(spark).count() == n
+
+
+def test_cdc_history_sink_auto_scope_decision(spark, tmp_path):
+    """VERDICT r8 item 5: rebuild_scope='auto' derives the mode per
+    batch from the touched buckets' pruned-log row counts — 'bucket'
+    under the crossover, 'keys' above it — and both decisions produce
+    the identical history."""
+    from gomaxscale_spark.streaming.sinks import CDCHistorySink
+
+    schema = "id int, event_type string, v double, seq long"
+    b1 = spark.createDataFrame(
+        [(i, "insert", float(i), 100 + i) for i in range(1, 9)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, "update_after", 11.0, 200), (2, "delete", 2.0, 210)], schema
+    )
+
+    # default threshold (10^7): every sandbox bucket is tiny → 'bucket'
+    small = CDCHistorySink(
+        str(tmp_path / "auto_small"), key_cols=["id"], order_cols=["seq"]
+    )
+    assert small.rebuild_scope == "auto"
+    small.apply_batch(b1, 0)
+    assert small.last_scope == "bucket"
+    small.apply_batch(b2, 1)
+    assert small.last_scope == "bucket"
+
+    # threshold 0: any non-empty bucket log crosses it → 'keys'
+    aged = CDCHistorySink(
+        str(tmp_path / "auto_aged"),
+        key_cols=["id"],
+        order_cols=["seq"],
+        auto_scope_rows=0,
+    )
+    aged.apply_batch(b1, 0)
+    assert aged.last_scope == "keys"
+    aged.apply_batch(b2, 1)
+    assert aged.last_scope == "keys"
+
+    h_small = {
+        (r.id, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in small.read_history(spark).collect()
+    }
+    h_aged = {
+        (r.id, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in aged.read_history(spark).collect()
+    }
+    assert h_small == h_aged and h_small
+
+    with pytest.raises(ValueError, match="rebuild_scope"):
+        CDCHistorySink(
+            str(tmp_path / "bad"), key_cols=["id"], order_cols=["seq"],
+            rebuild_scope="adaptive",
+        )

@@ -161,3 +161,65 @@ def test_salted_snapshot_plan_has_no_window_node(spark, sf_dir):
     # the salted fold must be pure (partial) aggregation
     assert "Window" not in plan
     assert "partial_max_by" in plan or "HashAggregate" in plan
+
+
+# ------------------------------------------------- salted domain cap
+
+def _domain_cap_inputs(spark, sf_dir, skew: bool):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    if skew:
+        # 30% of docs collapse onto one hot crawl domain
+        d = d.withColumn(
+            "source",
+            F.when(
+                (F.abs(F.xxhash64("doc_id")) % 1000) < 300, F.lit("hot.example.com")
+            ).otherwise(F.col("source")),
+        )
+    return d
+
+
+@pytest.mark.parametrize("skew", [False, True])
+def test_salted_domain_cap_equals_window_form(spark, sf_dir, skew):
+    """domain_cap_salted ≡ the per-key window top-K, with and without
+    a 30%-hot-key transform (VERDICT r8 item 3: the rank order is
+    total, so the salted two-phase selection is exact)."""
+    from pyspark.sql import Window as W
+
+    from gomaxscale_spark.operators.sampling import domain_cap_salted
+
+    d = _domain_cap_inputs(spark, sf_dir, skew)
+    rnk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("n_chars"), F.col("doc_id"))
+    )
+    window_form = (
+        d.select("doc_id", "source", "n_chars", rnk.alias("rnk"))
+        .filter(F.col("rnk") <= 15)
+        .drop("rnk")
+        .orderBy("source", "doc_id")
+        .collect()
+    )
+    salted_form = (
+        domain_cap_salted(d, "source", "n_chars", "doc_id", k=15)
+        .orderBy("source", "doc_id")
+        .collect()
+    )
+    assert window_form == salted_form
+    assert len(window_form) > 0
+
+
+def test_salted_domain_cap_plan_has_no_per_key_window(spark, sf_dir):
+    """The only Window in the plan ranks within (source, salt) — a hot
+    key spreads over n_salts tasks; the per-key merge is a bounded
+    aggregation, never a per-source window over the full input."""
+    from gomaxscale_spark.operators.sampling import domain_cap_salted
+
+    d = _domain_cap_inputs(spark, sf_dir, skew=True)
+    plan = (
+        domain_cap_salted(d, "source", "n_chars", "doc_id", k=15)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert len(windows) == 1, plan
+    assert "__salt" in windows[0], windows[0]

@@ -116,9 +116,12 @@ if __name__ == "__main__":
     spark = get_session("history_batch_study")
     for scope in scopes:
         run(sf_dir, k_u, k_n, rebuild_scope=scope, spark=spark)
-    if len(scopes) == 2:
+    if len(scopes) >= 2:
         a = spark.read.parquet(f"/tmp/hist_study_uniform_{scopes[0]}/history")
-        b = spark.read.parquet(f"/tmp/hist_study_uniform_{scopes[1]}/history")
-        same = (a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty())
-        print(json.dumps({"series": "mode_equality", "identical": bool(same),
-                          "rows": a.count()}), flush=True)
+        for other in scopes[1:]:
+            b = spark.read.parquet(f"/tmp/hist_study_uniform_{other}/history")
+            same = (a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty())
+            print(json.dumps({"series": "mode_equality",
+                              "modes": [scopes[0], other],
+                              "identical": bool(same),
+                              "rows": a.count()}), flush=True)
