@@ -1246,7 +1246,13 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_ivf_topk_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
-    return S.ivf_topk_adaptive(e, _query_vector(spark, sf_dir), k=10, n_probe=4)
+    # kernel="numpy" (r9): the Arrow-batched matmul assignment — row-
+    # identical to the HOF fold at x10/x30/x100 (parity gate in
+    # tools/scale_vector_kernel.py) and 24× faster at x100 (58.9 →
+    # 2.47 s, SCALING.md r9)
+    return S.ivf_topk_adaptive(
+        e, _query_vector(spark, sf_dir), k=10, n_probe=4, kernel="numpy"
+    )
 
 
 @query(
@@ -1730,7 +1736,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
-    refined = S.kmeans_refine(e, n_centroids=16, n_iters=1)
+    # kernel="numpy" (r9): per-iteration assignment via the batched
+    # matmul kernel — row-identical at x10/x30/x100, 37× at x100
+    # (38.9 → 1.05 s, SCALING.md r9)
+    refined = S.kmeans_refine(e, n_centroids=16, n_iters=1, kernel="numpy")
     return refined.select(
         "centroid_id", "dim_idx", F.round(F.col("centroid"), 6).alias("centroid")
     )
@@ -2592,7 +2601,8 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = t(spark, sf_dir, "embeddings")
-    cents = S.kmeans_centroid_vectors(e, n_centroids=16, n_iters=1)
+    # kernel="numpy" (r9): see SCALING.md r9 kernel A/B (parity-gated)
+    cents = S.kmeans_centroid_vectors(e, n_centroids=16, n_iters=1, kernel="numpy")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     probe = (
         cents.crossJoin(F.broadcast(q))
