@@ -28,6 +28,7 @@ keys reads and rewrites few files, never the whole snapshot.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 
@@ -206,7 +207,7 @@ class CDCHistorySink:
         self.n_buckets = n_buckets
         #: what a touched bucket's rebuild re-windows (both modes are
         #: result-identical; measured head-to-head in SCALING.md r8):
-        #: - "keys" (default): semi-join the pruned log on the batch's
+        #: - "keys": semi-join the pruned log on the batch's
         #:   key set, re-window only those keys' events, carry untouched
         #:   keys' existing history rows verbatim into the staged
         #:   rewrite. Bounds the window-sort by the TOUCHED KEYS'
@@ -218,8 +219,10 @@ class CDCHistorySink:
         #:   bucket's accumulated log. Preferable only when batches
         #:   touch most keys of every bucket anyway.
         #: - "auto" (default, r9 — VERDICT r8 item 5): pick per BATCH
-        #:   from the touched buckets' pruned-log row counts (≤
-        #:   n_buckets small ints, one cheap column-free count agg):
+        #:   from the touched buckets' pruned-log row counts, read
+        #:   from parquet FOOTERS on the driver (no Spark job — see
+        #:   ``_max_touched_bucket_rows``; a count-agg job here
+        #:   measured ~0.3 s/batch of pure decision overhead):
         #:   "bucket" while every touched bucket's log is under
         #:   ``auto_scope_rows``, "keys" once any crosses it. The
         #:   measured crossover (SCALING.md r8): "keys"'s two extra
@@ -291,15 +294,20 @@ class CDCHistorySink:
         hist_root = f"{self.path}/history"
         scope = self.rebuild_scope
         if scope == "auto":
-            # one column-free count agg over the pruned scan (≤
-            # n_buckets output rows): "bucket" while every touched
-            # bucket's log sorts cheaply, "keys" once any crosses the
-            # measured ~10⁷-rows/bucket overhead crossover
-            per_bucket = log.groupBy("__bucket").agg(
-                F.count(F.lit(1)).alias("__n")
-            ).collect()
-            biggest = max((r["__n"] for r in per_bucket), default=0)
-            scope = "keys" if biggest > self.auto_scope_rows else "bucket"
+            # "bucket" while every touched bucket's log sorts cheaply,
+            # "keys" once any crosses the measured ~10⁷-rows/bucket
+            # overhead crossover. The counts come from parquet FOOTERS
+            # on the driver (log/epoch=N/__bucket=B layout → glob +
+            # metadata.num_rows), NOT a count-agg job: the job form
+            # measured ~0.3 s/batch of fixed overhead (SCALING.md r9),
+            # the footer read is ~ms. Driver work is O(#log files),
+            # bounded by compact_log — the same footer tax the Spark
+            # scan itself pays at planning time.
+            scope = (
+                "keys"
+                if self._max_touched_bucket_rows(touched) > self.auto_scope_rows
+                else "bucket"
+            )
             self.last_scope = scope
         if scope == "keys":
             touched_log = log.join(F.broadcast(batch_keys), self.key_cols, "semi")
@@ -332,6 +340,24 @@ class CDCHistorySink:
         ).partitionBy("__bucket").parquet(staged)
         self._commit.swap_bucket_dirs(staged, hist_root, touched)
         self._commit.commit(epoch_id)
+
+    def _max_touched_bucket_rows(self, touched: list[int]) -> int:
+        """Largest touched bucket's accumulated log row count, summed
+        from parquet footer metadata on the driver — no Spark job. The
+        trigger path calls this AFTER the current epoch's log append
+        and its cleanup preamble, so the enumerated ``epoch=`` dirs are
+        exactly what the rebuild scan will read. A corrupt footer
+        raises (strict-read discipline: a wrong cheap answer here
+        silently mis-picks the rebuild plan)."""
+        import pyarrow.parquet as pq
+
+        biggest = 0
+        for b in touched:
+            total = 0
+            for f in glob.glob(f"{self.path}/log/epoch=*/__bucket={b}/*.parquet"):
+                total += pq.ParquetFile(f).metadata.num_rows
+            biggest = max(biggest, total)
+        return biggest
 
     def read_history(self, spark) -> DataFrame:
         return spark.read.parquet(f"{self.path}/history").drop("__bucket")
