@@ -83,6 +83,7 @@ class IncrementalEmbeddingIndexSink:
         target_bucket: int = 64,
         max_bucket_size: int | None = None,
         kernel: str = "numpy",
+        compact_every: int | None = None,
     ) -> None:
         self.path = path
         self.id_col = id_col
@@ -114,6 +115,22 @@ class IncrementalEmbeddingIndexSink:
         #: size, which the stream owner controls, unlike the lake side
         #: which grows without bound.
         self.max_bucket_size = max_bucket_size
+        #: small-files control loop (r9): when set, ``apply_batch``
+        #: runs ``compact()`` automatically once the lake holds ≥
+        #: ``compact_every`` committed epoch dirs, folding them into
+        #: one base epoch. The probe-vs-epoch-count curve (SCALING.md
+        #: r9, x10 lake) sizes the cadence: ``topk()`` best-of-3 read
+        #: 0.506 s compacted, 0.612 at 10 epoch dirs, 0.805 at 25,
+        #: 1.036 at 100 — the per-dir listing/footer tax every serving
+        #: read AND every trigger's lake scan pays. Cadence 10 holds
+        #: the probe within ~20% of the compacted floor; 25 within
+        #: ~60% at the cadence peak (~30% mean). Compaction itself is
+        #: an O(lake) rewrite, so serving-heavy lakes want the short
+        #: cadence and ingest-heavy lakes a longer one. None (default)
+        #: leaves compaction to the operator/maintenance window — it
+        #: takes the maintenance guard, so auto-compaction briefly
+        #: excludes concurrent maintenance between triggers.
+        self.compact_every = compact_every
         #: fault-injection hook for the commit-protocol tests ONLY
         #: ("kept" → raise between the kept and bands writes; "bands" →
         #: between bands and the marker). Never set in production.
@@ -175,6 +192,15 @@ class IncrementalEmbeddingIndexSink:
             return  # retried epoch — already committed
         with self._commit.trigger_guard():
             self._apply_batch_locked(batch_df, epoch_id)
+        if (
+            self.compact_every is not None
+            and len(self._commit.committed_epoch_dirs("kept")) >= self.compact_every
+        ):
+            # OUTSIDE the trigger guard: compact() takes the
+            # maintenance guard and the two are mutually exclusive by
+            # protocol. A crash between the commit above and this
+            # compaction loses nothing — the next batch re-triggers it.
+            self.compact(batch_df.sparkSession)
 
     def _apply_batch_locked(self, batch_df: DataFrame, epoch_id: int) -> None:
         from ..operators import dedup as D

@@ -484,6 +484,7 @@ class IncrementalLSHDedupSink:
         bands: int = 16,
         shingle_n: int = 2,
         max_bucket_size: int | None = None,
+        compact_every: int | None = None,
     ) -> None:
         self.path = path
         self.id_col = id_col
@@ -492,6 +493,16 @@ class IncrementalLSHDedupSink:
         self.num_hashes = num_hashes
         self.bands = bands
         self.shingle_n = shingle_n
+        #: small-files control loop (r9, shared with the embedding
+        #: lake): when set, ``apply_batch`` runs ``compact()`` once the
+        #: lake holds ≥ compact_every committed epoch dirs. Cadence
+        #: sizing: the r7 measurement (per-batch wall 2× at 100 epochs
+        #: pre-compaction) and the r9 probe-vs-epoch-count curve
+        #: (serving reads +20% over the compacted floor at 10 epoch
+        #: dirs, +60% at 25, 2× at 100 — SCALING.md r9). Compaction is
+        #: an O(lake) rewrite: serving-heavy lakes want a short
+        #: cadence (~10), ingest-heavy lakes a longer one.
+        self.compact_every = compact_every
         #: 100 TB control loop: cap the per-band-key join fan-out. The
         #: LAKE side of the cross-batch join accumulates every kept
         #: doc's band rows forever, so one boilerplate band key
@@ -573,6 +584,14 @@ class IncrementalLSHDedupSink:
             return  # retried epoch — already committed
         with self._commit.trigger_guard():
             self._apply_batch_locked(batch_df, epoch_id)
+        if (
+            self.compact_every is not None
+            and len(self._commit.committed_epoch_dirs("kept")) >= self.compact_every
+        ):
+            # OUTSIDE the trigger guard (compact takes the maintenance
+            # guard); a crash before compaction loses nothing — the
+            # next batch re-triggers it
+            self.compact(batch_df.sparkSession)
 
     def _apply_batch_locked(self, batch_df: DataFrame, epoch_id: int) -> None:
         from ..operators import dedup as D

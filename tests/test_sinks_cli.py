@@ -1421,3 +1421,54 @@ def test_cdc_history_sink_auto_scope_decision(spark, tmp_path):
             str(tmp_path / "bad"), key_cols=["id"], order_cols=["seq"],
             rebuild_scope="adaptive",
         )
+
+
+@pytest.mark.parametrize("flavor", ["text", "embedding"])
+def test_sink_auto_compaction_cadence(spark, sf_dir, tmp_path, flavor):
+    """compact_every=N (r9): the sink self-compacts once N committed
+    epoch dirs accumulate — the SCALING.md r9 probe-vs-epoch-count
+    cadence as a first-class knob. Kept output must be identical to an
+    uncompacted run (compaction is a pure file-layout fold), and the
+    epoch-dir census must stay bounded by the cadence."""
+    import os
+
+    from gomaxscale_spark.streaming.embedding_index import (
+        IncrementalEmbeddingIndexSink,
+    )
+    from gomaxscale_spark.streaming.sinks import IncrementalLSHDedupSink
+
+    def epoch_dirs(path, sub):
+        root = f"{path}/{sub}"
+        return [e for e in os.listdir(root) if e.startswith("epoch=")]
+
+    if flavor == "text":
+        src = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        id_col, make = "doc_id", lambda p, ce: IncrementalLSHDedupSink(
+            p, threshold=0.8, compact_every=ce
+        )
+    else:
+        src = load_table(spark, sf_dir, "embeddings")
+        id_col, make = "vec_id", lambda p, ce: IncrementalEmbeddingIndexSink(
+            p, threshold=0.3, compact_every=ce
+        )
+
+    ids = sorted(r[0] for r in src.select(id_col).collect())
+    cuts = [ids[(i * len(ids)) // 5] for i in range(1, 5)] + [ids[-1]]
+    auto = make(str(tmp_path / f"{flavor}_auto"), 3)
+    plain = make(str(tmp_path / f"{flavor}_plain"), None)
+    lo = None
+    for epoch, hi in enumerate(cuts):
+        b = src.filter(F.col(id_col) <= hi)
+        if lo is not None:
+            b = b.filter(F.col(id_col) > lo)
+        lo = hi
+        auto.apply_batch(b, epoch)
+        plain.apply_batch(b, epoch)
+
+    # cadence bound: compaction fired at ≥3 dirs, so the census never
+    # exceeds compact_every at a batch boundary
+    assert len(epoch_dirs(tmp_path / f"{flavor}_auto", "kept")) <= 3
+    assert len(epoch_dirs(tmp_path / f"{flavor}_plain", "kept")) == 5
+    a = sorted(r[0] for r in auto.read_kept(spark).select(id_col).collect())
+    p = sorted(r[0] for r in plain.read_kept(spark).select(id_col).collect())
+    assert a == p and a
