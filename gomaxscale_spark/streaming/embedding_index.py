@@ -451,6 +451,104 @@ class IncrementalEmbeddingIndexSink:
             .limit(k)
         )
 
+    def topk_batch(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Batched serving probe: approximate top-k for EVERY row of
+        ``queries`` in ONE pass over the lake — what a real serving
+        tier does instead of Q sequential ``topk()`` calls (each of
+        which pays a full probe's job overhead and lake scan; the
+        batched form pays ONE lake scan for the whole query set).
+
+        Same semantics per query as ``topk()``: the queries' per-band
+        signatures come from the SAME plane family/seed the index rows
+        carry (in-plan this time — ``wide_band_signatures`` — instead
+        of the driver-side fold, same bits either way, equality
+        pytested), both sides mask at the CURRENT adaptive width,
+        candidates are lake vectors sharing any band bucket with the
+        query, exact cosine re-ranks. Returns (query_id, vec_id,
+        score, rank) with rank 1..≤k per query.
+
+        Scale shape: the query side (signatures + buckets) BROADCASTS
+        against the lake index — committed-epoch scans only, the lake
+        is never shuffled (plan-pinned like the single probe). The
+        per-query re-rank uses a row_number window whose partitions
+        are the candidate sets — bounded at ~n_bands × target_bucket
+        rows by the adaptive width (the knob that exists to bound
+        exactly this), so no partition grows with the lake.
+        """
+        from ..operators import similarity as S
+
+        id_c, vec = self.id_col, self.vec_col
+        kept = self.read_kept(spark := queries.sparkSession)
+        band_dirs = self._commit.committed_epoch_dirs("bands")
+        if not band_dirs:
+            return spark.createDataFrame(
+                [], f"{query_id_col} bigint, {id_c} bigint, score double, rank int"
+            )
+        bands = spark.read.parquet(*band_dirs).select(id_c, "band", "sig")
+        nn = kept.select(id_c).agg(F.count(F.lit(1)).alias("__n"))
+
+        wide = S.wide_band_signatures(
+            queries,
+            dim=self.dim,
+            id_col=query_id_col,
+            vec_col=query_vec_col,
+            planes_per_band=self.planes_per_band,
+            n_bands=self.n_bands,
+        )
+        qrows = wide.select(
+            F.col(query_id_col),
+            F.posexplode(
+                F.array(*[F.col(f"s{b}") for b in range(self.n_bands)])
+            ).alias("band", "qsig"),
+        )
+        p2 = F.expr(
+            S.adaptive_pow2_case_sql("__n", target_bucket=self.target_bucket)
+        )
+        qbuckets = (
+            qrows.crossJoin(F.broadcast(nn))
+            .withColumn("bucket", F.col("qsig") % p2)
+            .select(query_id_col, "band", "bucket")
+        )
+        cand = (
+            self._masked(bands, nn, "cand_id")
+            .join(F.broadcast(qbuckets), ["band", "bucket"])
+            .select(query_id_col, "cand_id")
+            .distinct()
+        )
+        qvecs = queries.select(
+            F.col(query_id_col), F.col(query_vec_col).alias("__qvec")
+        )
+        scored = (
+            cand.join(kept.select(id_c, vec), cand.cand_id == F.col(id_c))
+            .join(F.broadcast(qvecs), query_id_col)
+        )
+        if self.kernel == "numpy":
+            from ..operators import vector_kernel as VK
+
+            score = VK.cosine_pairs(F.col(vec), F.col("__qvec"))
+        else:
+            score = S.cosine(F.col(vec), F.col("__qvec"))
+        from pyspark.sql import Window as W
+
+        rnk = F.row_number().over(
+            W.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_c))
+        )
+        return (
+            scored.select(
+                F.col(query_id_col),
+                F.col(id_c),
+                F.round(score, 6).alias("score"),
+            )
+            .withColumn("rank", rnk)
+            .filter(F.col("rank") <= k)
+        )
+
     def _publish_sub(
         self, sub: str, df: DataFrame, base_epoch: int, target_files: int
     ) -> None:
