@@ -524,8 +524,12 @@ class IncrementalEmbeddingIndexSink:
         qvecs = queries.select(
             F.col(query_id_col), F.col(query_vec_col).alias("__qvec")
         )
+        # candidate set BROADCASTS onto the lake scan (Q × bounded
+        # candidates rows — serving-batch sized), mirroring the single
+        # probe's semi-join: the kept/ side must never shuffle
         scored = (
-            cand.join(kept.select(id_c, vec), cand.cand_id == F.col(id_c))
+            kept.select(id_c, vec)
+            .join(F.broadcast(cand), F.col(id_c) == F.col("cand_id"))
             .join(F.broadcast(qvecs), query_id_col)
         )
         if self.kernel == "numpy":

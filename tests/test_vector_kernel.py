@@ -186,3 +186,76 @@ def test_swap_publish_first_time_publish(tmp_path):
     ec.swap_publish("kept", write_staged2)
     assert open(f"{root}/kept/data.txt").read() == "y"
     assert not os.path.isdir(f"{root}/kept__old")
+
+
+def test_topk_batch_equals_per_query_probes(spark, sf_dir, tmp_path):
+    """topk_batch(queries) must return, per query, exactly the rows
+    the single-query topk() returns (same ids, scores, order) — the
+    in-plan signature fold and the driver-side fold agree bit-for-bit
+    and the re-rank is the same kernel."""
+    from pyspark.sql import functions as F
+
+    from gomaxscale_spark.catalog import load_table
+    from gomaxscale_spark.streaming.embedding_index import IncrementalEmbeddingIndexSink
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sink = IncrementalEmbeddingIndexSink(str(tmp_path / "eidx_batch"), threshold=0.3)
+    sink.apply_batch(emb, 0)
+
+    qids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(5).collect()]
+    queries = (
+        emb.filter(F.col("vec_id").isin(qids))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    batched = sink.topk_batch(queries, k=7).collect()
+    by_q = {}
+    for r in sorted(batched, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.score))
+
+    for qid in qids:
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).select("embedding").head()[0]
+        ]
+        single = [(r.vec_id, r.score) for r in sink.topk(spark, qvec, k=7).collect()]
+        assert by_q.get(qid) == single, f"query {qid} diverged"
+
+
+def test_topk_batch_empty_lake(spark, tmp_path):
+    from gomaxscale_spark.streaming.embedding_index import IncrementalEmbeddingIndexSink
+
+    sink = IncrementalEmbeddingIndexSink(str(tmp_path / "eidx_none"), threshold=0.3)
+    queries = spark.createDataFrame(
+        [(1, [0.1] * 64)], "query_id bigint, embedding array<float>"
+    )
+    assert sink.topk_batch(queries, k=3).count() == 0
+
+
+def test_topk_batch_plan_lake_never_shuffled(spark, sf_dir, tmp_path):
+    """The batched probe keeps the single probe's contract: kept/ and
+    bands/ are scanned and broadcast-probed — no hash exchange keyed
+    on the band/bucket join, and the only exchanges carry the (small)
+    candidate/result rows (the distinct and the per-query window)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from gomaxscale_spark.catalog import load_table
+    from gomaxscale_spark.streaming.embedding_index import IncrementalEmbeddingIndexSink
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sink = IncrementalEmbeddingIndexSink(str(tmp_path / "eidx_bplan"), threshold=0.3)
+    sink.apply_batch(emb.limit(60), 0)
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    p = (
+        sink.topk_batch(queries, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    ex_keys = re.findall(r"Exchange hashpartitioning\(([^,)]+)", p)
+    assert len(ex_keys) <= 2, "batched probe grew extra shuffles:\n" + p[:2000]
+    for key in ex_keys:
+        assert "band" not in key and "bucket" not in key, (
+            f"hash exchange keyed on the bucket join key ({key}):\n" + p[:2000]
+        )
