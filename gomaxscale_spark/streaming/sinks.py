@@ -199,6 +199,7 @@ class CDCHistorySink:
         n_buckets: int = 16,
         rebuild_scope: str = "auto",
         auto_scope_rows: int = 10_000_000,
+        compact_log_every: int | None = None,
     ) -> None:
         self.path = path
         self.key_cols = key_cols
@@ -239,6 +240,15 @@ class CDCHistorySink:
             )
         self.rebuild_scope = rebuild_scope
         self.auto_scope_rows = auto_scope_rows
+        #: small-files cadence for the event log (r9, same loop as the
+        #: dedup lakes' compact_every): when set, ``apply_batch`` runs
+        #: ``compact_log()`` once ≥ N committed ``log/epoch=`` dirs
+        #: accumulate. Every rebuild's pruned scan AND the auto-scope
+        #: footer read pay the per-dir census tax (measured curve:
+        #: SCALING.md r9 probe-vs-epoch-count), so long-running
+        #: streams want this on (~25 is a good default cadence —
+        #: the trigger path tolerates more dirs than a serving probe).
+        self.compact_log_every = compact_log_every
         #: the last auto decision (introspection/tests): None until an
         #: auto-mode batch runs
         self.last_scope: str | None = None
@@ -257,6 +267,14 @@ class CDCHistorySink:
             return  # committed epoch — replay is a no-op
         with self._commit.trigger_guard():
             self._apply_batch_locked(batch_df, epoch_id, UPDATE_BEFORE, materialize_history)
+        if (
+            self.compact_log_every is not None
+            and len(self._commit.committed_epoch_dirs("log")) >= self.compact_log_every
+        ):
+            # outside the trigger guard (compact_log takes the
+            # maintenance guard); a crash here loses nothing — the
+            # next batch re-triggers the compaction
+            self.compact_log(batch_df.sparkSession)
 
     def _apply_batch_locked(
         self, batch_df: DataFrame, epoch_id: int, UPDATE_BEFORE, materialize_history
@@ -731,7 +749,20 @@ class IncrementalLSHDedupSink:
         self._commit.commit(epoch_id)
 
     def read_kept(self, spark) -> DataFrame:
-        return spark.read.parquet(f"{self.path}/kept").drop("__digest", "epoch")
+        """Serving read of the kept corpus: COMMITTED epochs only (the
+        embedding lake's r9 fix, applied symmetrically): a crashed-but-
+        not-yet-retried epoch's markerless partial rows are invisible,
+        an interrupted compact() swap is followed to the staged copy,
+        and an empty lake yields an empty frame (the two contractual
+        columns) instead of AnalysisException. The trigger path keeps
+        ``_read_or_none`` — it runs after the cleanup preamble, where
+        markerless dirs are already gone."""
+        dirs = self._commit.committed_epoch_dirs("kept")
+        if not dirs:
+            return spark.createDataFrame(
+                [], f"{self.id_col} bigint, {self.text_col} string"
+            )
+        return spark.read.parquet(*dirs).drop("__digest", "epoch")
 
     # ------------------------------------------------------------------
     # maintenance: epoch compaction (the small-files control)

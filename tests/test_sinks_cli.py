@@ -1472,3 +1472,89 @@ def test_sink_auto_compaction_cadence(spark, sf_dir, tmp_path, flavor):
     a = sorted(r[0] for r in auto.read_kept(spark).select(id_col).collect())
     p = sorted(r[0] for r in plain.read_kept(spark).select(id_col).collect())
     assert a == p and a
+
+
+def test_text_lake_read_kept_skips_partial_epochs(spark, sf_dir, tmp_path):
+    """r9 symmetry with the embedding lake's serving-read fix: a
+    fault-injected markerless epoch is invisible to the text lake's
+    read_kept before retry; an empty lake yields an empty frame, not
+    AnalysisException."""
+    from gomaxscale_spark.streaming.sinks import IncrementalLSHDedupSink
+
+    empty = IncrementalLSHDedupSink(str(tmp_path / "tl_empty"), threshold=0.8)
+    assert empty.read_kept(spark).count() == 0
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    sink = IncrementalLSHDedupSink(str(tmp_path / "tl_srv"), threshold=0.8)
+    sink.apply_batch(docs.filter(F.col("doc_id") <= cut), 0)
+    committed = {r.doc_id for r in sink.read_kept(spark).select("doc_id").collect()}
+
+    sink._fail_after = "bands"  # kept/epoch=1 + bands/epoch=1, no marker
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sink.apply_batch(docs.filter(F.col("doc_id") > cut), 1)
+    sink._fail_after = None
+    assert {
+        r.doc_id for r in sink.read_kept(spark).select("doc_id").collect()
+    } == committed, "markerless epoch rows must be invisible to read_kept"
+
+    sink.apply_batch(docs.filter(F.col("doc_id") > cut), 1)  # retry
+    assert {
+        r.doc_id for r in sink.read_kept(spark).select("doc_id").collect()
+    } > committed
+
+
+def test_cdc_history_sink_log_compaction_cadence(spark, tmp_path):
+    """compact_log_every=N: the history sink self-compacts its event
+    log once N committed log epochs accumulate; the history output is
+    identical to the uncompacted run and replays stay no-ops."""
+    import os
+
+    from gomaxscale_spark.streaming.sinks import CDCHistorySink
+
+    schema = "id int, event_type string, v double, seq long"
+
+    def batches():
+        for e in range(6):
+            yield spark.createDataFrame(
+                [(i, "insert" if e == 0 else "update_after", float(e * 10 + i),
+                  e * 100 + i) for i in range(1, 4)],
+                schema,
+            )
+
+    auto = CDCHistorySink(
+        str(tmp_path / "hl_auto"), key_cols=["id"], order_cols=["seq"],
+        compact_log_every=3,
+    )
+    plain = CDCHistorySink(
+        str(tmp_path / "hl_plain"), key_cols=["id"], order_cols=["seq"]
+    )
+    for e, b in enumerate(batches()):
+        auto.apply_batch(b, e)
+    for e, b in enumerate(batches()):
+        plain.apply_batch(b, e)
+
+    log_dirs = [
+        d for d in os.listdir(tmp_path / "hl_auto" / "log") if d.startswith("epoch=")
+    ]
+    assert len(log_dirs) <= 3
+    assert len(
+        [d for d in os.listdir(tmp_path / "hl_plain" / "log") if d.startswith("epoch=")]
+    ) == 6
+
+    h_a = {
+        (r.id, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in auto.read_history(spark).collect()
+    }
+    h_p = {
+        (r.id, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in plain.read_history(spark).collect()
+    }
+    assert h_a == h_p and h_a
+    # replay of a compacted epoch is still a no-op
+    auto.apply_batch(next(iter(batches())), 0)
+    assert {
+        (r.id, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in auto.read_history(spark).collect()
+    } == h_a
