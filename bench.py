@@ -83,6 +83,9 @@ EXTRA = [
     # r9: the hot-domain escalation of sampling_domain_cap — salted
     # two-phase per-key top-K, no per-source window node
     "sampling_domain_cap_salted",
+    # r9: batched brute-force cosine top-k (one corpus pass for Q
+    # queries; salted per-query selection + numpy kernel)
+    "similarity_cosine_topk_batch",
 ]
 
 

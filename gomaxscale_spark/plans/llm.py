@@ -859,6 +859,60 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_cosine_topk_batch",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             round((SELECT sum(CAST(x.u AS DOUBLE) * CAST(x.v AS DOUBLE))
+                    FROM (SELECT unnest(e.embedding) u, unnest(q.qv) v) x)
+                   / (sqrt((SELECT sum(CAST(x.u AS DOUBLE)*CAST(x.u AS DOUBLE))
+                            FROM (SELECT unnest(e.embedding) u) x))
+                      * sqrt((SELECT sum(CAST(x.v AS DOUBLE)*CAST(x.v AS DOUBLE))
+                              FROM (SELECT unnest(q.qv) v) x))), 6) AS score
+      FROM embeddings e, q
+    ), ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT vec_id, query_id, score FROM ranked WHERE rnk <= 10
+    ORDER BY query_id, score DESC, vec_id
+    """,
+    doc="B16 BATCHED brute-force cosine top-k (r9): exact top-10 for "
+    "FIVE query vectors in ONE pass over the corpus — what a serving "
+    "tier does instead of Q sequential scans (the lake probe twin, "
+    "topk_batch, measured 7.2× for 16 queries; this is its exact "
+    "oracle-checked baseline). The query set broadcasts into the "
+    "scan; scoring is the Arrow-batched numpy kernel (parity-gated, "
+    "SCALING.md r9); per-query top-k is the SALTED two-phase "
+    "selection (domain_cap_salted reused with query_id as the key) — "
+    "no per-query window over all N scored rows, per-key merge state "
+    "capped at n_salts·k structs, so one hot query set cannot "
+    "serialize the rank through one task.",
+)
+def similarity_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import vector_kernel as VK
+
+    e = t(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(VK.cosine_pairs(F.col("embedding"), F.col("qvec")), 6).alias("score"),
+    )
+    top = SA.domain_cap_salted(
+        scored, key_col="query_id", quality_col="score", id_col="vec_id", k=10
+    )
+    return top.orderBy("query_id", F.desc("score"), "vec_id")
+
+
+@query(
     "similarity_lsh_bucketed",
     oracle=_lsh_bucketed_oracle(n_planes=4, dim=64, k=10),
     doc="B16 LSH-bucketed ANN: random-hyperplane signatures prune the "
