@@ -122,11 +122,16 @@ def test_hll_merge_dims_broadcast_two_level_agg(spark, sf_dir):
 
 
 def test_kmeans_refine_centroids_broadcast(spark, sf_dir):
-    """The centroid table is O(k·dim) and must ship as a broadcast —
-    an embeddings×centroids shuffle join would move the corpus."""
+    """The centroid table is O(k·dim) and must never move the corpus.
+    r9 (numpy kernel): there is no assignment JOIN at all anymore —
+    the centroid matrix rides task-local inside one ArrowEvalPython
+    map (assign_nearest), strictly better than the broadcast fan-out
+    the HOF form needed. The pin now asserts that shape: one Arrow
+    eval, no corpus-moving join, no N×k scored-row Window."""
     p = plan_str(spark, sf_dir, "embedding_kmeans_refine")
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "ArrowEvalPython" in p
     assert "SortMergeJoin" not in p
+    assert "Window" not in p
 
 
 def test_snapshot_as_of_cutoff_stays_in_plan(spark, sf_dir):
