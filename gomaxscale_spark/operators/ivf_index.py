@@ -137,3 +137,77 @@ class IVFIndex:
             .orderBy(F.desc("score"), F.col(self.id_col))
             .limit(k)
         )
+
+    def probe_batch(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Batched probe: top-k for EVERY query row in ONE partition-
+        pruned pass — the index twin of the lake's ``topk_batch``
+        (which measured 7.2× over sequential probes at 16 queries).
+
+        The query set collects driver-side ONCE (a serving batch —
+        small by definition; the corpus never does) to (a) assign each
+        query its ``n_probe`` cells against the quantizer matrix and
+        (b) build the (query_id, cell) probe table. The scan then
+        prunes to the UNION of all probed cells, each scanned row is
+        scored only against the queries probing its cell (the probe
+        table broadcasts into the join), and the per-query top-k is
+        the salted two-phase selection — no per-query window over the
+        scanned rows. Returns (query_id, id, score) with per-query
+        rows ≤ k, ranked (score desc, id)."""
+        import numpy as np
+
+        qrows = queries.select(query_id_col, query_vec_col).collect()
+        if not qrows:
+            return queries.sparkSession.createDataFrame(
+                [], f"{query_id_col} bigint, {self.id_col} bigint, score double"
+            )
+        spark = queries.sparkSession
+        ids, M = VK.collect_matrix(
+            spark.read.parquet(f"{self.path}/centroids"),
+            "centroid_id",
+            "centroid_vec",
+        )
+        Mn = np.sqrt(np.einsum("ij,ij->i", M, M))
+        probe_pairs = []  # (query_id, cell)
+        for r in qrows:
+            q = np.asarray(list(r[1]), dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = (M @ q) / (Mn * np.sqrt((q * q).sum()))
+            order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))
+            probe_pairs += [(int(r[0]), int(ids[i])) for i in order[:n_probe]]
+        cells = sorted({c for _, c in probe_pairs})
+        ptab = spark.createDataFrame(
+            probe_pairs, f"{query_id_col} bigint, centroid_id bigint"
+        )
+        qvecs = queries.select(
+            F.col(query_id_col), F.col(query_vec_col).alias("__qvec")
+        )
+        scored = (
+            spark.read.parquet(f"{self.path}/vectors")
+            .filter(F.col("centroid_id").isin(cells))  # pruned union scan
+            .join(F.broadcast(ptab), "centroid_id")
+            .join(F.broadcast(qvecs), query_id_col)
+            .select(
+                query_id_col,
+                self.id_col,
+                F.round(
+                    VK.cosine_pairs(F.col(self.vec_col), F.col("__qvec")), 6
+                ).alias("score"),
+            )
+        )
+        from .sampling import domain_cap_salted
+
+        top = domain_cap_salted(
+            scored,
+            key_col=query_id_col,
+            quality_col="score",
+            id_col=self.id_col,
+            k=k,
+        )
+        return top.select(query_id_col, self.id_col, "score")

@@ -105,3 +105,35 @@ def test_build_empty_corpus_rejected(spark, built, tmp_path):
     _, emb, _ = built
     with pytest.raises(ValueError, match="empty corpus"):
         idx2.build(emb.filter(F.lit(False)))
+
+
+def test_probe_batch_equals_per_query_probes(spark, built):
+    """probe_batch must return, per query, exactly probe()'s rows
+    (same ids and 6dp scores in rank order)."""
+    idx, emb, _ = built
+    qids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(4).collect()]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {}
+    for r in idx.probe_batch(queries, k=6, n_probe=3).collect():
+        got.setdefault(r.query_id, []).append((r.vec_id, r.score))
+    for qid in qids:
+        got[qid].sort(key=lambda t: (-t[1], t[0]))
+        q = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).head().embedding
+        ]
+        single = [
+            (r.vec_id, r.score)
+            for r in idx.probe(spark, q, k=6, n_probe=3).collect()
+        ]
+        assert got[qid] == single, f"query {qid} diverged"
+
+
+def test_probe_batch_empty_queries(spark, built):
+    idx, emb, _ = built
+    empty = emb.filter(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert idx.probe_batch(empty, k=3).count() == 0
