@@ -97,6 +97,40 @@ class IVFIndex:
         )
         return {"n_vectors": n, "n_centroids": len(ids)}
 
+    def add(self, new_vectors: DataFrame) -> dict:
+        """Incremental insertion — the standard IVF insert path: assign
+        new vectors to the EXISTING quantizer's cells (centroids stay
+        fixed) and APPEND to their partition directories. Probes see
+        the new vectors on their next plan (file listing happens at
+        planning time; this is an offline artifact, not the
+        crash-safe streaming lake — use
+        ``IncrementalEmbeddingIndexSink`` for that). Quality note,
+        stated plainly: a fixed quantizer degrades as the incoming
+        distribution drifts from the built one (cells go hot /
+        recall drops); ``build()`` re-clusters — the rebuild cadence
+        is the same maintenance trade as any IVF system's."""
+        spark = new_vectors.sparkSession
+        ids, M = VK.collect_matrix(
+            spark.read.parquet(f"{self.path}/centroids"),
+            "centroid_id",
+            "centroid_vec",
+        )
+        n = new_vectors.count()
+        assign = VK.assign_nearest(ids, M)
+        (
+            new_vectors.select(self.id_col, self.vec_col)
+            .withColumn("__a", assign(F.col(self.vec_col)))
+            .select(
+                self.id_col,
+                self.vec_col,
+                F.col("__a.centroid_id").alias("centroid_id"),
+            )
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(f"{self.path}/vectors")
+        )
+        return {"added": n}
+
     # ------------------------------------------------------------ probe
 
     def _probe_cells(self, spark, query_vec, n_probe: int) -> list[int]:

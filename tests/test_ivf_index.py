@@ -137,3 +137,29 @@ def test_probe_batch_empty_queries(spark, built):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     assert idx.probe_batch(empty, k=3).count() == 0
+
+
+def test_incremental_add_probed(spark, sf_dir, tmp_path):
+    """add(): vectors inserted after build land in their nearest
+    existing cell and are probe-visible; the index holds the union."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    cut = ids[len(ids) // 2]
+    first, second = (
+        emb.filter(F.col("vec_id") <= cut),
+        emb.filter(F.col("vec_id") > cut),
+    )
+    idx = IVFIndex(str(tmp_path / "ivf_add"))
+    built_stats = idx.build(first, n_iters=1)
+    assert idx.add(second) == {"added": second.count()}
+    total = spark.read.parquet(f"{idx.path}/vectors").count()
+    assert total == built_stats["n_vectors"] + second.count()
+
+    # an added vector is its own nearest neighbour under the probe
+    probe_id = max(ids)
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == probe_id).head().embedding
+    ]
+    top = idx.probe(spark, q, k=3, n_probe=1).collect()
+    assert top and (top[0].vec_id == probe_id or top[0].score == 1.0)
