@@ -597,6 +597,75 @@ class IncrementalLSHDedupSink:
             .distinct()
         )
 
+    def probe_near_dups(
+        self,
+        probe_docs: DataFrame,
+        threshold: float | None = None,
+        check_ids: bool = True,
+    ) -> DataFrame:
+        """Serving probe: which KEPT lake docs are verified near-dups
+        of each probe doc — the ONLINE contamination check ("is this
+        eval/benchmark document already in my training corpus?"), the
+        text twin of the embedding lake's ``topk``. Read-only,
+        COMMITTED epochs only (markerless crashed epochs invisible;
+        empty lake → empty frame).
+
+        Same pipeline as the trigger's cross-batch layer, pointed the
+        other way: the probe docs' band rows (portable family, same
+        hash literals as the index) BROADCAST against the lake band
+        index — the lake is scanned, never shuffled — then exact
+        Jaccard verifies the candidates, so an identical doc reports
+        jaccard 1.0 (identical text ⇒ identical band rows ⇒ always a
+        candidate). Returns (probe_<id>, <id>, jaccard) for every
+        verified pair at ≥ ``threshold`` (default: the sink's).
+
+        Probe ids must be disjoint from lake ids (the verify stage
+        keys shingle sets by id); ``check_ids`` enforces this with one
+        broadcast semi-join over the lake's id column (a pruned
+        columnar scan — skip only on a hot serving path that
+        guarantees disjointness upstream)."""
+        from ..operators import dedup as D
+
+        spark = probe_docs.sparkSession
+        id_c, txt = self.id_col, self.text_col
+        kept_dirs = self._commit.committed_epoch_dirs("kept")
+        band_dirs = self._commit.committed_epoch_dirs("bands")
+        out_schema = f"probe_{id_c} bigint, {id_c} bigint, jaccard double"
+        if not kept_dirs or not band_dirs:
+            return spark.createDataFrame([], out_schema)
+        kept = spark.read.parquet(*kept_dirs)
+        if check_ids:
+            clash = (
+                kept.select(id_c)
+                .join(F.broadcast(probe_docs.select(id_c)), id_c, "semi")
+                .limit(1)
+                .collect()
+            )
+            if clash:
+                raise ValueError(
+                    f"probe_near_dups: probe {id_c} {clash[0][0]} collides with "
+                    "a kept lake id — probe ids must be disjoint (remap them)"
+                )
+        lake_bands = spark.read.parquet(*band_dirs).select(
+            id_c, "band_id", "band_hash"
+        )
+        probe_bands = D._lsh_band_rows(
+            probe_docs, id_c, txt, self.num_hashes, self.bands, self.shingle_n,
+            portable=True,
+        )
+        cross = self.cross_batch_candidates(lake_bands, probe_bands)
+        docs = kept.select(id_c, txt).unionByName(probe_docs.select(id_c, txt))
+        pairs = D.verify_candidates_jaccard(
+            docs, cross, id_c, txt,
+            self.threshold if threshold is None else threshold,
+            self.shingle_n,
+        )
+        return pairs.select(
+            F.col("id_b").alias(f"probe_{id_c}"),
+            F.col("id_a").alias(id_c),
+            "jaccard",
+        )
+
     def apply_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
         if self._commit.is_committed(epoch_id):
             return  # retried epoch — already committed

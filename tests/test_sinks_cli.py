@@ -1558,3 +1558,43 @@ def test_cdc_history_sink_log_compaction_cadence(spark, tmp_path):
         (r.id, r.v, r.valid_from, r.valid_to, r.is_current)
         for r in auto.read_history(spark).collect()
     } == h_a
+
+
+def test_text_lake_probe_near_dups(spark, sf_dir, tmp_path):
+    """probe_near_dups (r9): the online contamination check against
+    the kept lake — an identical probe doc reports jaccard 1.0 against
+    its kept twin, a novel doc reports nothing, colliding probe ids
+    are rejected, and an empty lake yields an empty frame."""
+    from gomaxscale_spark.streaming.sinks import IncrementalLSHDedupSink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sink = IncrementalLSHDedupSink(str(tmp_path / "probe_lake"), threshold=0.8)
+
+    probe_schema = "doc_id bigint, text string"
+    empty_probe = spark.createDataFrame(
+        [(10_000_000, "never seen")], probe_schema
+    )
+    assert sink.probe_near_dups(empty_probe).count() == 0  # empty lake
+
+    sink.apply_batch(docs, 0)
+    kept = sink.read_kept(spark)
+    some = kept.orderBy("doc_id").limit(1).collect()[0]
+
+    probes = spark.createDataFrame(
+        [
+            (10_000_000, some.text),  # exact copy of a kept doc
+            (10_000_001, "zq xv qp wk jj totally novel gibberish tokens"),
+        ],
+        probe_schema,
+    )
+    hits = sink.probe_near_dups(probes).collect()
+    assert any(
+        r.probe_doc_id == 10_000_000 and r.doc_id == some.doc_id and r.jaccard == 1.0
+        for r in hits
+    ), hits
+    assert not any(r.probe_doc_id == 10_000_001 for r in hits)
+
+    with pytest.raises(ValueError, match="collides"):
+        sink.probe_near_dups(
+            spark.createDataFrame([(some.doc_id, "x")], probe_schema)
+        )
