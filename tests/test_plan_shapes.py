@@ -460,3 +460,41 @@ def test_embedding_index_topk_probe_plan(spark, sf_dir, tmp_path):
         assert "band" not in key and "bucket" not in key, (
             f"hash exchange keyed on the bucket join key ({key}):\n" + p[:2000]
         )
+
+
+def test_text_lake_probe_near_dups_plan(spark, sf_dir, tmp_path):
+    """probe_near_dups keeps the lake-probe contract: the probe side
+    broadcasts against the lake band index — no hash exchange keyed on
+    the band join key, no sort-merge join anywhere in the probe plan."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from gomaxscale_spark.catalog import load_table
+    from gomaxscale_spark.streaming.sinks import IncrementalLSHDedupSink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sink = IncrementalLSHDedupSink(str(tmp_path / "probe_plan_lake"), threshold=0.8)
+    sink.apply_batch(docs.limit(80), 0)
+    probes = spark.createDataFrame(
+        [(10_000_000, "sample probe text tokens")], "doc_id bigint, text string"
+    )
+    p = (
+        sink.probe_near_dups(probes, check_ids=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # The candidate stage (probe bands broadcast against the lake
+    # index) runs inside materialize_once, so the output plan starts
+    # from the checkpointed id-pair RDD — its band-join shape is
+    # pinned on the shared cross_batch_candidates path by
+    # test_dedup_lake_probe_joins_never_shuffle_the_lake. What THIS plan must
+    # never show: an exchange keyed on the band join key (that would
+    # move the lake index) — id-keyed exchanges are candidate-bounded
+    # by design and allowed.
+    for key in re.findall(r"Exchange hashpartitioning\(([^,)]+)", p):
+        assert "band" not in key, (
+            f"hash exchange keyed on the band join key ({key}):\n" + p[:2000]
+        )
+    assert "Scan ExistingRDD" in p  # candidates arrive checkpointed
