@@ -156,27 +156,51 @@ def domain_cap_salted(
     unique), and every global top-K row is in its salt's top-K, so the
     union of partial winners contains the exact answer — row-identical
     to the window form (equality pytested under a 30%-hot-key
-    transform). Returns (id_col, key_col, quality_col).
+    transform). Both phases rank by ONE shared composite key that
+    reproduces Spark's ``desc(quality)`` semantics exactly — NaN first
+    (Spark orders NaN above +Inf), NULL last (desc default), then id
+    asc — so rows with NaN quality (reachable via zero-norm cosine
+    scores in ``IVFIndex.probe_batch`` / the batched-top-k plan) and
+    NULL quality rank identically in the salted partial window, the
+    bounded merge, and the window form (ADVICE r9: the earlier
+    negated-quality merge key inverted NaN/NULL between the phases).
+    Returns (id_col, key_col, quality_col).
     """
-    salted = df.select(id_col, key_col, quality_col).withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(n_salts)))
+    q = F.col(quality_col)
+    # desc-order class: NaN(0) < non-null(1) < NULL(2); within class 1,
+    # -quality asc ≡ quality desc. isNull checked first (isnan(NULL)→NULL).
+    cls = (
+        F.when(q.isNull(), F.lit(2))
+        .when(F.isnan(q.cast("double")), F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    negq = F.when(cls == 1, -q.cast("double")).otherwise(F.lit(0.0))
+    salted = (
+        df.select(id_col, key_col, quality_col)
+        .withColumn("__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(n_salts))))
+        .withColumn("__cls", cls)
+        .withColumn("__negq", negq)
     )
     w1 = W.partitionBy(key_col, "__salt").orderBy(
-        F.desc(quality_col), F.col(id_col)
+        F.col("__cls"), F.col("__negq"), F.col(id_col)
     )
     partial = (
         salted.withColumn("__rnk", F.row_number().over(w1))
         .filter(F.col("__rnk") <= k)
     )
-    # phase 2: bounded merge — struct sorts (−quality asc, id asc) ≡
-    # (quality desc, id asc); per-key state ≤ n_salts·k elements
+    # phase 2: bounded merge — struct sorts (cls, −quality, id) asc, the
+    # SAME total order phase 1 ranked by; per-key state ≤ n_salts·k
+    # elements; original quality rides as a trailing (never-compared,
+    # id is unique) payload field so NaN/NULL survive the round-trip
     merged = partial.groupBy(key_col).agg(
         F.slice(
             F.array_sort(
                 F.collect_list(
                     F.struct(
-                        (-F.col(quality_col)).alias("__negq"),
+                        F.col("__cls"),
+                        F.col("__negq"),
                         F.col(id_col).alias("__id"),
+                        F.col(quality_col).alias("__q"),
                     )
                 )
             ),
@@ -189,6 +213,6 @@ def domain_cap_salted(
         .select(
             F.col("__t.__id").alias(id_col),
             F.col(key_col),
-            (-F.col("__t.__negq")).alias(quality_col),
+            F.col("__t.__q").alias(quality_col),
         )
     )

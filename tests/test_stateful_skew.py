@@ -223,3 +223,75 @@ def test_salted_domain_cap_plan_has_no_per_key_window(spark, sf_dir):
     windows = [ln for ln in plan.splitlines() if "Window [" in ln]
     assert len(windows) == 1, plan
     assert "__salt" in windows[0], windows[0]
+
+
+def test_salted_domain_cap_nan_null_quality_matches_window(spark, sf_dir):
+    """NaN quality (zero-norm cosine scores reach this operator via
+    IVFIndex.probe_batch / the batched top-k) ranks FIRST and NULL
+    quality ranks LAST in BOTH phases — row-identical to the window
+    form's desc(quality) total order (ADVICE r9 medium: the earlier
+    negated-quality merge key inverted NaN/NULL between the phases,
+    so a salt whose partial top-K filled with NaN rows discarded real
+    rows phase 2 would have ranked ahead of them)."""
+    from pyspark.sql import Window as W
+
+    from gomaxscale_spark.operators.sampling import domain_cap_salted
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    m = F.abs(F.xxhash64("doc_id")) % 10
+    d = d.withColumn(
+        "q",
+        F.when(m == 0, F.lit(float("nan")))
+        .when(m == 1, F.lit(None).cast("double"))
+        .otherwise(F.col("n_chars").cast("double")),
+    )
+
+    def norm(rows):
+        import math
+
+        out = []
+        for r in rows:
+            q = r["q"]
+            if q is None:
+                q = "NULL"
+            elif math.isnan(q):
+                q = "NaN"
+            out.append((r["doc_id"], r["source"], q))
+        return out
+
+    rnk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("q"), F.col("doc_id"))
+    )
+    window_form = (
+        d.select("doc_id", "source", "q", rnk.alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+        .drop("rnk")
+        .orderBy("source", "doc_id")
+        .collect()
+    )
+    salted_form = (
+        domain_cap_salted(d, "source", "q", "doc_id", k=5)
+        .orderBy("source", "doc_id")
+        .collect()
+    )
+    assert norm(window_form) == norm(salted_form)
+    # NaN really reached the selection (desc ranks NaN first)
+    assert "NaN" in {x[2] for x in norm(window_form)}
+
+    # deterministic micro-frame forcing ALL THREE classes into the
+    # top-5 of one key: desc order = NaN(ids asc) > reals desc > NULL
+    nan = float("nan")
+    tiny = spark.createDataFrame(
+        [(1, "k", nan), (2, "k", 7.0), (3, "k", nan), (4, "k", None),
+         (5, "k", 9.0), (6, "k", None)],
+        "doc_id int, source string, q double",
+    )
+    got = norm(
+        domain_cap_salted(tiny, "source", "q", "doc_id", k=5)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert got == [
+        (1, "k", "NaN"), (2, "k", 7.0), (3, "k", "NaN"),
+        (4, "k", "NULL"), (5, "k", 9.0),
+    ]
