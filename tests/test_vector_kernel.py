@@ -95,6 +95,52 @@ def test_assign_nearest_input_contract():
         VK.assign_nearest([1, 2], np.eye(3))
 
 
+def test_chunked_argmax_large_k_matches_unchunked():
+    """VERDICT r9 item 1: the assignment kernel iterates centroid
+    blocks with a running argmax, bounding peak memory at
+    O(batch × ASSIGN_BLOCK) instead of O(batch × k). Bit-identity
+    with the unchunked ``np.argmax`` at k ≥ 2¹⁴ (17 ragged blocks),
+    including NaN rows (zero-norm vectors: numpy argmax = FIRST NaN
+    index) and exact-duplicate centroids straddling block boundaries
+    (first occurrence wins)."""
+    rng = np.random.default_rng(7)
+    k, dim, n = (1 << 14) + 37, 16, 256
+    M = rng.normal(size=(k, dim))
+    # exact cross-block ties: centroid 5 duplicated far into later blocks
+    for j in (VK.ASSIGN_BLOCK + 11, 5 * VK.ASSIGN_BLOCK + 3, k - 1):
+        M[j] = M[5]
+    A = rng.normal(size=(n, dim))
+    A[:32] = M[5]            # rows whose best score ties across blocks
+    A[40:44] = 0.0           # zero-norm rows → all-NaN score rows
+    An = np.sqrt(np.einsum("ij,ij->i", A, A))
+    Mn = np.sqrt(np.einsum("ij,ij->i", M, M))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ref = np.argmax((A @ M.T) / (An[:, None] * Mn[None, :]), axis=1)
+    got = VK._argmax_cosine(A, An, M, Mn)
+    assert np.array_equal(got, ref)
+    assert (got[:32] == 5).all()     # tie → lowest index, across blocks
+    assert (got[40:44] == 0).all()   # all-NaN row → first index
+
+
+def test_chunked_argmax_nan_first_occurrence_across_blocks(monkeypatch):
+    """A NaN COLUMN (zero-norm centroid) in a later block must win over
+    any finite best from earlier blocks, and the first NaN wins among
+    several — numpy-argmax semantics reproduced block-by-block."""
+    monkeypatch.setattr(VK, "ASSIGN_BLOCK", 4)
+    rng = np.random.default_rng(11)
+    M = rng.normal(size=(13, 8))
+    M[6] = 0.0   # NaN column in block 2
+    M[9] = 0.0   # second NaN column, block 3 — must NOT displace idx 6
+    A = rng.normal(size=(50, 8))
+    An = np.sqrt(np.einsum("ij,ij->i", A, A))
+    Mn = np.sqrt(np.einsum("ij,ij->i", M, M))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ref = np.argmax((A @ M.T) / (An[:, None] * Mn[None, :]), axis=1)
+    got = VK._argmax_cosine(A, An, M, Mn)
+    assert np.array_equal(got, ref)
+    assert (got == 6).all()
+
+
 def test_unknown_kernel_rejected(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="unknown kernel"):
