@@ -13,31 +13,51 @@ IVF-Flat, re-expressed as a Spark storage layout):
   is the partitioned write itself — exactly the co-location future
   probes monetize.
 - ``probe()`` reads the centroid table (O(√N·dim) — the standard
-  driver-side quantizer artifact), picks the ``n_probe`` nearest
-  cells on the driver, and scans ONLY those cells' directories:
-  Spark's partition discovery turns ``centroid_id IN (...)`` into
-  file-level pruning (pinned by inputFiles in the tests), so a probe
-  touches ~n_probe/k of the corpus regardless of corpus size. Exact
-  cosine (numpy kernel) re-ranks inside the probed cells.
+  driver-side quantizer artifact, cached on the instance), picks the
+  ``n_probe`` nearest cells on the driver, and scans ONLY those
+  cells' directories: Spark's partition discovery turns
+  ``centroid_id IN (...)`` into file-level pruning (pinned by the
+  scan RDD's split count in the tests), so a probe touches
+  ~n_probe/k of the corpus regardless of corpus size. Exact cosine
+  (numpy kernel) re-ranks inside the probed cells.
+
+Insert/serve protocol (r10 — VERDICT r9 item 2): ``add()`` no longer
+appends bare parquet into the live dataset. Each add is an epoch:
+rows land under ``adds/epoch=N/centroid_id=.../`` and become visible
+only when the ``_epoch_N`` marker (the ``EpochCommit`` commit point
+shared with the streaming lakes) is written LAST — a crashed or
+in-flight add is markerless and every probe skips it; the retry
+preamble deletes it. ``compact_adds()`` folds committed add-epochs
+into the base dataset with the crash-recoverable two-rename swap; the
+staged dataset carries a ``_folded_epochs`` manifest INSIDE the
+swapped directory, so "which add-epochs are already folded" flips
+atomically with the data swap — a probe can never double-count an
+epoch that is both folded and still on disk awaiting garbage
+collection. Writers are single-process (``add``/``compact_adds`` take
+the trigger/maintenance sentinels, so a racing pair raises instead of
+corrupting); probes are read-only and safe against any crash point.
 
 At 100 TB: the build is one assignment map + one shuffle-by-cell
 write; probes are n_probe directory reads + a TakeOrdered — no
 driver-side data motion beyond the quantizer table. Recall follows
 the usual IVF trade (n_probe dials recall vs scan fraction); the
 exact answer inside the probed cells is pytested against numpy.
-
-Build is a plain overwrite (an offline artifact, not a streaming
-sink); for continuously-arriving vectors use
-``streaming.embedding_index.IncrementalEmbeddingIndexSink`` and its
-``topk`` probes instead.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 from . import similarity as S
 from . import vector_kernel as VK
+from ..streaming.epoch import EpochCommit
+
+_FOLDED = "_folded_epochs"
 
 
 class IVFIndex:
@@ -50,6 +70,66 @@ class IVFIndex:
         self.path = path
         self.id_col = id_col
         self.vec_col = vec_col
+        self._ec = EpochCommit(path)
+        #: cached coarse quantizer (ids, matrix) — collected once per
+        #: instance; probes/adds reuse it (re-collecting the parquet on
+        #: every call was ~ms at sandbox scale but wrong for a serving
+        #: tier). Invalidated by build(); call invalidate_cache() after
+        #: an out-of-process rebuild.
+        self._quantizer: tuple[list[int], object] | None = None
+
+    # --------------------------------------------------------- quantizer
+
+    def invalidate_cache(self) -> None:
+        self._quantizer = None
+
+    def _load_quantizer(self, spark):
+        if self._quantizer is None:
+            self._quantizer = VK.collect_matrix(
+                spark.read.parquet(f"{self.path}/centroids"),
+                "centroid_id",
+                "centroid_vec",
+            )
+        return self._quantizer
+
+    # ------------------------------------------------------------ layout
+
+    def _live_vectors_dir(self) -> str:
+        """Follow a swap interrupted between its two renames (same rule
+        as ``EpochCommit.committed_epoch_dirs``): the staged ``__new``
+        holds the same committed data the missing live dir did."""
+        live = f"{self.path}/vectors"
+        if not os.path.isdir(live) and os.path.isdir(live + "__new"):
+            return live + "__new"
+        return live
+
+    def _folded_epochs(self) -> set[int]:
+        try:
+            with open(f"{self._live_vectors_dir()}/{_FOLDED}") as fh:
+                return set(json.load(fh))
+        except (OSError, ValueError):
+            return set()
+
+    def _committed_add_dirs(self) -> list[str]:
+        """Committed, NOT-yet-folded add-epoch dirs — the read-only
+        enumeration every probe uses. Markerless (crashed/in-flight)
+        epochs are skipped, never deleted here."""
+        folded = self._folded_epochs()
+        return [
+            d
+            for d in self._ec.committed_epoch_dirs("adds")
+            if int(d.rsplit("epoch=", 1)[1]) not in folded
+        ]
+
+    def _read_vectors(self, spark) -> DataFrame:
+        """The probe-visible dataset: base ∪ committed unfolded adds.
+        Each add-epoch dir is read with itself as the partition-
+        discovery root, so ``centroid_id=`` pruning applies to every
+        union branch exactly as it does to the base."""
+        df = spark.read.parquet(self._live_vectors_dir())
+        for d in self._committed_add_dirs():
+            df = df.unionByName(spark.read.parquet(d))
+        return df
 
     # ------------------------------------------------------------ build
 
@@ -62,7 +142,11 @@ class IVFIndex:
         """Cluster + write the partitioned index. ``n_centroids``
         defaults to the adaptive √N power of two (same dial as the
         in-plan serving ops), so cell population ≈ √N at any corpus
-        size. Returns build stats."""
+        size. A rebuild supersedes any prior add-epochs (they were
+        assigned against the OLD quantizer); their dirs and markers
+        are cleared. Offline operation: not safe against concurrent
+        probes (use the streaming lake for that). Returns build
+        stats."""
         spark = embeddings.sparkSession
         n = embeddings.count()
         if n == 0:
@@ -77,11 +161,8 @@ class IVFIndex:
             kernel="numpy",
         )
         cents.coalesce(1).write.mode("overwrite").parquet(f"{self.path}/centroids")
-        ids, M = VK.collect_matrix(
-            spark.read.parquet(f"{self.path}/centroids"),
-            "centroid_id",
-            "centroid_vec",
-        )
+        self.invalidate_cache()
+        ids, M = self._load_quantizer(spark)
         assign = VK.assign_nearest(ids, M)
         (
             embeddings.select(self.id_col, self.vec_col)
@@ -95,52 +176,106 @@ class IVFIndex:
             .partitionBy("centroid_id")
             .parquet(f"{self.path}/vectors")
         )
+        # prior adds target the superseded quantizer: clear dirs+markers
+        shutil.rmtree(f"{self.path}/adds", ignore_errors=True)
+        for f in os.listdir(self.path):
+            if f.startswith("_epoch_"):
+                os.remove(f"{self.path}/{f}")
         return {"n_vectors": n, "n_centroids": len(ids)}
 
     def add(self, new_vectors: DataFrame) -> dict:
         """Incremental insertion — the standard IVF insert path: assign
         new vectors to the EXISTING quantizer's cells (centroids stay
-        fixed) and APPEND to their partition directories. Probes see
-        the new vectors on their next plan (file listing happens at
-        planning time; this is an offline artifact, not the
-        crash-safe streaming lake — use
-        ``IncrementalEmbeddingIndexSink`` for that). Quality note,
-        stated plainly: a fixed quantizer degrades as the incoming
-        distribution drifts from the built one (cells go hot /
-        recall drops); ``build()`` re-clusters — the rebuild cadence
-        is the same maintenance trade as any IVF system's."""
+        fixed) and publish them as a COMMITTED epoch: the rows land in
+        ``adds/epoch=N`` and the ``_epoch_N`` marker is written only
+        after the write completes, so a probe planned mid-add or after
+        a crashed add sees exactly the pre-add corpus (fault-injection
+        pytested). The retry preamble deletes markerless (crashed)
+        epochs — single add-writer at a time, enforced by the same
+        sentinel pair the streaming sinks use (a concurrent
+        ``compact_adds`` raises loudly). Quality note, stated plainly:
+        a fixed quantizer degrades as the incoming distribution drifts
+        from the built one (cells go hot / recall drops); ``build()``
+        re-clusters — the rebuild cadence is the same maintenance
+        trade as any IVF system's."""
         spark = new_vectors.sparkSession
-        ids, M = VK.collect_matrix(
-            spark.read.parquet(f"{self.path}/centroids"),
-            "centroid_id",
-            "centroid_vec",
-        )
-        n = new_vectors.count()
-        assign = VK.assign_nearest(ids, M)
-        (
-            new_vectors.select(self.id_col, self.vec_col)
-            .withColumn("__a", assign(F.col(self.vec_col)))
-            .select(
-                self.id_col,
-                self.vec_col,
-                F.col("__a.centroid_id").alias("centroid_id"),
+        with self._ec.trigger_guard():
+            self._ec.finish_swap(("vectors",))
+            self._gc_folded()
+            committed = self._ec.drop_partial_epochs(("adds",))
+            n = new_vectors.count()
+            if n == 0:
+                return {"added": 0, "epoch": None}
+            epoch = max(set(committed) | self._folded_epochs(), default=-1) + 1
+            ids, M = self._load_quantizer(spark)
+            assign = VK.assign_nearest(ids, M)
+            (
+                new_vectors.select(self.id_col, self.vec_col)
+                .withColumn("__a", assign(F.col(self.vec_col)))
+                .select(
+                    self.id_col,
+                    self.vec_col,
+                    F.col("__a.centroid_id").alias("centroid_id"),
+                )
+                .write.mode("overwrite")
+                .partitionBy("centroid_id")
+                .parquet(f"{self.path}/adds/epoch={epoch}")
             )
-            .write.mode("append")
-            .partitionBy("centroid_id")
-            .parquet(f"{self.path}/vectors")
-        )
-        return {"added": n}
+            self._ec.commit(epoch)  # the commit point
+            return {"added": n, "epoch": epoch}
+
+    # ------------------------------------------------------- compaction
+
+    def _gc_folded(self) -> None:
+        """Garbage-collect add-epochs the live ``_folded_epochs``
+        manifest already covers — their rows are IN the base dataset;
+        probes ignore them via the manifest, so deletion here is pure
+        cleanup (a crash mid-GC just leaves it for the next writer)."""
+        for e in self._folded_epochs():
+            shutil.rmtree(f"{self.path}/adds/epoch={e}", ignore_errors=True)
+            try:
+                os.remove(self._ec.marker(e))
+            except OSError:
+                pass
+
+    def compact_adds(self) -> dict:
+        """Fold committed add-epochs into the base dataset (the
+        small-files maintenance pass, same motivation as the lakes'
+        ``compact()``). Crash-safe for probes at every point: the
+        staged replacement dataset carries the updated
+        ``_folded_epochs`` manifest INSIDE the swapped directory, so
+        data and fold-bookkeeping flip in the same rename — a probe
+        either sees (old base + add dirs) or (new base, add dirs
+        ignored), never both copies of an epoch. Requires a live
+        SparkSession on the driver."""
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        with self._ec.maintenance_guard():
+            self._ec.finish_swap(("vectors",))
+            self._gc_folded()
+            add_dirs = self._committed_add_dirs()
+            if not add_dirs:
+                return {"folded_epochs": 0}
+            epochs = [int(d.rsplit("epoch=", 1)[1]) for d in add_dirs]
+            folded = self._folded_epochs() | set(epochs)
+            full = self._read_vectors(spark)
+
+            def _write(staged: str) -> None:
+                full.write.partitionBy("centroid_id").parquet(staged)
+                with open(f"{staged}/{_FOLDED}", "w") as fh:
+                    json.dump(sorted(folded), fh)
+
+            self._ec.swap_publish("vectors", _write)
+            self._gc_folded()
+            return {"folded_epochs": len(epochs)}
 
     # ------------------------------------------------------------ probe
 
     def _probe_cells(self, spark, query_vec, n_probe: int) -> list[int]:
         import numpy as np
 
-        ids, M = VK.collect_matrix(
-            spark.read.parquet(f"{self.path}/centroids"),
-            "centroid_id",
-            "centroid_vec",
-        )
+        ids, M = self._load_quantizer(spark)
         q = np.asarray(list(query_vec), dtype=np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
             scores = (M @ q) / (
@@ -161,7 +296,7 @@ class IVFIndex:
             F.col(self.vec_col)
         )
         return (
-            spark.read.parquet(f"{self.path}/vectors")
+            self._read_vectors(spark)
             .filter(F.col("centroid_id").isin(cells))
             .select(
                 F.col(self.id_col),
@@ -192,38 +327,52 @@ class IVFIndex:
         scored only against the queries probing its cell (the probe
         table broadcasts into the join), and the per-query top-k is
         the salted two-phase selection — no per-query window over the
-        scanned rows. Returns (query_id, id, score) with per-query
-        rows ≤ k, ranked (score desc, id)."""
+        scanned rows. Query ids pass through untouched with their own
+        type (string ids probe fine — ADVICE r9); the empty-input
+        schema is derived from the live datasets' actual field types,
+        so the empty and non-empty paths agree. Returns
+        (query_id, id, score) with per-query rows ≤ k, ranked
+        (score desc, id)."""
         import numpy as np
 
+        spark = queries.sparkSession
+        qid_field = queries.schema[query_id_col]
         qrows = queries.select(query_id_col, query_vec_col).collect()
         if not qrows:
-            return queries.sparkSession.createDataFrame(
-                [], f"{query_id_col} bigint, {self.id_col} bigint, score double"
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField(query_id_col, qid_field.dataType),
+                        self._read_vectors(spark).schema[self.id_col],
+                        T.StructField("score", T.DoubleType()),
+                    ]
+                ),
             )
-        spark = queries.sparkSession
-        ids, M = VK.collect_matrix(
-            spark.read.parquet(f"{self.path}/centroids"),
-            "centroid_id",
-            "centroid_vec",
-        )
+        ids, M = self._load_quantizer(spark)
         Mn = np.sqrt(np.einsum("ij,ij->i", M, M))
-        probe_pairs = []  # (query_id, cell)
+        probe_pairs = []  # (query_id, cell) — query id kept verbatim
         for r in qrows:
             q = np.asarray(list(r[1]), dtype=np.float64)
             with np.errstate(divide="ignore", invalid="ignore"):
                 scores = (M @ q) / (Mn * np.sqrt((q * q).sum()))
             order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))
-            probe_pairs += [(int(r[0]), int(ids[i])) for i in order[:n_probe]]
+            probe_pairs += [(r[0], int(ids[i])) for i in order[:n_probe]]
         cells = sorted({c for _, c in probe_pairs})
         ptab = spark.createDataFrame(
-            probe_pairs, f"{query_id_col} bigint, centroid_id bigint"
+            probe_pairs,
+            T.StructType(
+                [
+                    T.StructField(query_id_col, qid_field.dataType),
+                    T.StructField("centroid_id", T.LongType()),
+                ]
+            ),
         )
         qvecs = queries.select(
             F.col(query_id_col), F.col(query_vec_col).alias("__qvec")
         )
         scored = (
-            spark.read.parquet(f"{self.path}/vectors")
+            self._read_vectors(spark)
             .filter(F.col("centroid_id").isin(cells))  # pruned union scan
             .join(F.broadcast(ptab), "centroid_id")
             .join(F.broadcast(qvecs), query_id_col)

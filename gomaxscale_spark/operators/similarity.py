@@ -392,12 +392,20 @@ def lsh_near_duplicates_adaptive(
         raw = dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b"))
     else:
         raise ValueError(f"lsh_near_duplicates_adaptive: unknown kernel {kernel!r}")
+    # threshold on the 6dp-ROUNDED score (ADVICE r9): this operator is
+    # kernel-switchable, and numpy's pairwise summation differs from
+    # the HOF/DuckDB fold in the last ulps — a raw-score threshold
+    # would let boundary pairs flip kept/dropped with the kernel. The
+    # 6dp contract makes the predicate kernel-stable; the oracle
+    # applies the identical round-then-compare. (The hof-only
+    # operators keep the raw threshold: their fold is bit-identical
+    # to the oracle's, the r4 decision.)
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("__raw", raw)
-        .filter(F.col("__raw") >= threshold)
-        .select("id_a", "id_b", F.round("__raw", 6).alias("score"))
+        .withColumn("__score", F.round(raw, 6))
+        .filter(F.col("__score") >= threshold)
+        .select("id_a", "id_b", F.col("__score").alias("score"))
     )
 
 
@@ -696,9 +704,16 @@ def ivf_topk_adaptive(
         cs = (M @ qv) / (
             np.sqrt(np.einsum("ij,ij->i", M, M)) * float(np.sqrt((qv * qv).sum()))
         )
-        # top-n_probe centroids by (cosine desc, centroid_id asc) —
-        # the driver-side twin of the in-plan orderBy/limit
-        order = np.lexsort((np.asarray(cent_ids), -cs))
+        # top-n_probe centroids by (cosine desc, centroid_id asc),
+        # ranked on the 6dp-ROUNDED score (the output contract's own
+        # granularity — ADVICE r9): a last-ulp kernel divergence near
+        # a tie then cannot flip cell selection between the numpy,
+        # HOF, and oracle paths, because all three rank rounded and
+        # break the tie on centroid_id. Parity below the 6th decimal
+        # (the argmax ASSIGNMENT) remains empirical — gated by the
+        # collected-row equality tests at both oracle scales, not by
+        # construction.
+        order = np.lexsort((np.asarray(cent_ids), -np.round(cs, 6)))
         probe_ids = [int(cent_ids[i]) for i in order[:n_probe]]
         assign = VK.assign_nearest(cent_ids, M, query_vec=query_vec)
         assigned = parallelize_narrow_input(embeddings).select(
@@ -721,8 +736,13 @@ def ivf_topk_adaptive(
         .filter((F.col(id_col) % stride) == 0)
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec"))
     )
+    # probe-cell ranking on the 6dp-ROUNDED score (same contract as
+    # the numpy path and the oracle — ADVICE r9: near-tie cells must
+    # not flip with the kernel's last-ulp arithmetic)
     probe = (
-        centroids.select("centroid_id", cosine(F.col("centroid_vec"), q).alias("s"))
+        centroids.select(
+            "centroid_id", F.round(cosine(F.col("centroid_vec"), q), 6).alias("s")
+        )
         .orderBy(F.desc("s"), F.col("centroid_id"))
         .limit(n_probe)
         .select("centroid_id")

@@ -112,7 +112,7 @@ def _ivf_adaptive_oracle(
           FROM embeddings e, st WHERE e.vec_id % st.stride = 0),
     q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     probe_scored AS (
-      SELECT c.centroid_id, {_cos_sql("c.cvec", "q.qv")} AS s FROM c, q
+      SELECT c.centroid_id, round({_cos_sql("c.cvec", "q.qv")}, 6) AS s FROM c, q
     ),
     probe AS (
       SELECT centroid_id FROM probe_scored
@@ -713,7 +713,7 @@ def _embedding_lsh_adaptive_pairs_ctes(
       FROM cand c
       JOIN embeddings x ON x.vec_id = c.id_a
       JOIN embeddings y ON y.vec_id = c.id_b
-      WHERE {_cos_sql("x.embedding", "y.embedding")} >= {threshold}
+      WHERE round({_cos_sql("x.embedding", "y.embedding")}, 6) >= {threshold}
     )"""
 
 

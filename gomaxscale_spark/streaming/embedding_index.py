@@ -97,7 +97,10 @@ class IncrementalEmbeddingIndexSink:
         #: "numpy" (default — Arrow-batched matmul, vector_kernel.py; the
         #: interpreted HOF fold measured ~3 µs/64-dim pair and priced
         #: every verify stage, SCALING.md r8) or "hof" (the portable
-        #: in-plan expression). Same raw-threshold predicate either way.
+        #: in-plan expression). Verify thresholds the 6dp-ROUNDED score
+        #: on both kernels (r10 — ADVICE r9: the kernels agree at 6dp
+        #: but not in the last ulps, so rounding makes kept/dropped
+        #: decisions kernel-stable for existing lakes).
         if kernel not in ("numpy", "hof"):
             raise ValueError(f"IncrementalEmbeddingIndexSink: unknown kernel {kernel!r}")
         self.kernel = kernel
@@ -290,10 +293,16 @@ class IncrementalEmbeddingIndexSink:
                         verify = VK.cosine_pairs(F.col("vec_a"), F.col("vec_b"))
                     else:
                         verify = S.cosine(F.col("vec_a"), F.col("vec_b"))
+                    # 6dp-rounded threshold — the kernel-stable contract
+                    # (ADVICE r9: numpy vs HOF differ in the last ulps,
+                    # so a raw threshold could flip boundary pairs
+                    # kept/dropped for EXISTING lakes when the kernel
+                    # knob changes); same predicate as the within-batch
+                    # operator, so batch ≡ stream holds on both kernels
                     matched = (
                         cross.join(va, "id_a")
                         .join(F.broadcast(vb), "id_b")
-                        .filter(verify >= self.threshold)
+                        .filter(F.round(verify, 6) >= self.threshold)
                         .select(F.col("id_b").alias(id_c))
                         .distinct()
                     )

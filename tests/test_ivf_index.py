@@ -139,27 +139,181 @@ def test_probe_batch_empty_queries(spark, built):
     assert idx.probe_batch(empty, k=3).count() == 0
 
 
-def test_incremental_add_probed(spark, sf_dir, tmp_path):
-    """add(): vectors inserted after build land in their nearest
-    existing cell and are probe-visible; the index holds the union."""
-    emb = load_table(spark, sf_dir, "embeddings")
+def _split_corpus(emb):
     ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
     cut = ids[len(ids) // 2]
-    first, second = (
+    return (
         emb.filter(F.col("vec_id") <= cut),
         emb.filter(F.col("vec_id") > cut),
+        max(ids),
     )
+
+
+def test_incremental_add_probed(spark, sf_dir, tmp_path):
+    """add(): vectors inserted after build land in their nearest
+    existing cell as a COMMITTED epoch and are probe-visible; the
+    probe-visible dataset holds the union."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    first, second, probe_id = _split_corpus(emb)
     idx = IVFIndex(str(tmp_path / "ivf_add"))
     built_stats = idx.build(first, n_iters=1)
-    assert idx.add(second) == {"added": second.count()}
-    total = spark.read.parquet(f"{idx.path}/vectors").count()
+    res = idx.add(second)
+    assert res["added"] == second.count() and res["epoch"] == 0
+    total = idx._read_vectors(spark).count()
     assert total == built_stats["n_vectors"] + second.count()
 
     # an added vector is its own nearest neighbour under the probe
-    probe_id = max(ids)
     q = [
         float(x)
         for x in emb.filter(F.col("vec_id") == probe_id).head().embedding
     ]
     top = idx.probe(spark, q, k=3, n_probe=1).collect()
     assert top and (top[0].vec_id == probe_id or top[0].score == 1.0)
+
+
+def test_add_crash_before_commit_invisible_then_retry(spark, sf_dir, tmp_path):
+    """VERDICT r9 item 2 fault injection: a crash between the add's
+    parquet write and its marker leaves the epoch UNCOMMITTED — every
+    probe sees exactly the pre-add corpus; the retried add cleans the
+    partial dir and completes; probes then see the union."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first, second, probe_id = _split_corpus(emb)
+    idx = IVFIndex(str(tmp_path / "ivf_crash"))
+    idx.build(first, n_iters=1)
+    n_base = first.count()
+
+    # crash injection: run the real add, then delete the marker —
+    # on-disk state identical to dying just before commit()
+    res = idx.add(second)
+    os.remove(idx._ec.marker(res["epoch"]))
+    assert os.path.isdir(f"{idx.path}/adds/epoch={res['epoch']}")
+
+    assert idx._read_vectors(spark).count() == n_base  # probe-invisible
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == probe_id).head().embedding
+    ]
+    got = {r.vec_id for r in idx.probe(spark, q, k=500, n_probe=64).collect()}
+    assert probe_id not in got
+
+    # retry: preamble deletes the markerless dir, add completes
+    res2 = idx.add(second)
+    assert res2["added"] == second.count()
+    assert idx._read_vectors(spark).count() == n_base + second.count()
+    top = idx.probe(spark, q, k=3, n_probe=1).collect()
+    assert top and (top[0].vec_id == probe_id or top[0].score == 1.0)
+
+
+def test_probe_after_add_equals_rebuilt_cells(spark, sf_dir, tmp_path):
+    """Probe-after-add equality: with every cell probed (n_probe =
+    k_cells) the add-path index returns the identical top-k the exact
+    scan over base ∪ adds does — the epoch layout changes storage,
+    never results."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first, second, probe_id = _split_corpus(emb)
+    idx = IVFIndex(str(tmp_path / "ivf_eq"))
+    stats = idx.build(first, n_iters=1)
+    idx.add(second)
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == probe_id).head().embedding
+    ]
+    got = [
+        (r.vec_id, r.score)
+        for r in idx.probe(spark, q, k=10, n_probe=stats["n_centroids"]).collect()
+    ]
+    qv = np.asarray(q)
+    exp = []
+    for r in emb.collect():
+        v = np.asarray(list(r.embedding), dtype=np.float64)
+        s = float(v @ qv / (np.sqrt(v @ v) * np.sqrt(qv @ qv)))
+        exp.append((r.vec_id, round(s, 6)))
+    exp.sort(key=lambda t: (-t[1], t[0]))
+    assert got == exp[:10]
+
+
+def test_compact_adds_folds_epochs_atomically(spark, sf_dir, tmp_path):
+    """compact_adds(): results identical before/after; the manifest
+    rides inside the swapped dataset so a probe never double-counts a
+    folded-but-not-yet-GC'd epoch; a second compact is a no-op."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first, second, probe_id = _split_corpus(emb)
+    idx = IVFIndex(str(tmp_path / "ivf_compact"))
+    idx.build(first, n_iters=1)
+    idx.add(second)
+    n_all = emb.count()
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == probe_id).head().embedding
+    ]
+    before = [(r.vec_id, r.score) for r in idx.probe(spark, q, k=8, n_probe=4).collect()]
+
+    assert idx.compact_adds() == {"folded_epochs": 1}
+    assert idx._read_vectors(spark).count() == n_all
+    after = [(r.vec_id, r.score) for r in idx.probe(spark, q, k=8, n_probe=4).collect()]
+    assert before == after
+
+    # double-count guard: even if GC had crashed (recreate the folded
+    # epoch dir), the manifest keeps it invisible
+    os.makedirs(f"{idx.path}/adds/epoch=0", exist_ok=True)
+    open(idx._ec.marker(0), "w").close()
+    assert 0 in idx._folded_epochs()
+    assert idx._committed_add_dirs() == []
+    assert idx._read_vectors(spark).count() == n_all
+
+    assert idx.compact_adds() == {"folded_epochs": 0}  # no-op + GC
+
+
+def test_add_compact_mutual_exclusion(spark, sf_dir, tmp_path):
+    """A racing add/compact pair raises loudly (sentinel pair) instead
+    of corrupting the layout."""
+    import os
+
+    import pytest as _pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first, second, _ = _split_corpus(emb)
+    idx = IVFIndex(str(tmp_path / "ivf_race"))
+    idx.build(first, n_iters=1)
+    os.makedirs(idx.path, exist_ok=True)
+    open(f"{idx.path}/_inflight_maintenance", "w").close()
+    with _pytest.raises(RuntimeError, match="race"):
+        idx.add(second)
+    os.remove(f"{idx.path}/_inflight_maintenance")
+    open(f"{idx.path}/_inflight_batch", "w").close()
+    with _pytest.raises(RuntimeError, match="race"):
+        idx.compact_adds()
+    os.remove(f"{idx.path}/_inflight_batch")
+
+
+def test_probe_batch_string_query_ids(spark, sf_dir, built):
+    """ADVICE r9: query ids pass through with their own type — string
+    ids probe fine, and the empty-input schema matches the non-empty
+    path's types."""
+    idx, emb, _ = built
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(2)
+        .select(
+            F.concat(F.lit("q-"), F.col("vec_id").cast("string")).alias("query_id"),
+            "embedding",
+        )
+    )
+    got = idx.probe_batch(queries, k=3, n_probe=2).collect()
+    assert got and all(r.query_id.startswith("q-") for r in got)
+
+    empty = queries.filter(F.lit(False))
+    edf = idx.probe_batch(empty, k=3)
+    assert edf.count() == 0
+    assert [f.dataType.simpleString() for f in edf.schema.fields] == [
+        "string",
+        "bigint",
+        "double",
+    ]
+    assert [f.name for f in edf.schema.fields] == ["query_id", "vec_id", "score"]
