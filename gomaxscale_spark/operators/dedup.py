@@ -402,14 +402,23 @@ def _lsh_band_rows(
     bands: int,
     shingle_n: int,
     portable: bool = False,
+    sig_kernel: str = "sql",
 ) -> DataFrame:
     """(id, band_id, band_hash) rows — one per (doc, band) — the shared
-    base of the bucket table and the hot-bucket review queue."""
-    sigs = (
-        portable_minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-        if portable
-        else minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    )
+    base of the bucket table and the hot-bucket review queue.
+    ``sig_kernel="numpy"`` (portable family only) swaps the SQL
+    signature emitters for the bit-exact Arrow-batched kernel
+    (portable_minhash_signatures_numpy)."""
+    if sig_kernel not in ("sql", "numpy"):
+        raise ValueError(f"_lsh_band_rows: unknown sig_kernel {sig_kernel!r}")
+    if portable and sig_kernel == "numpy":
+        sigs = portable_minhash_signatures_numpy(
+            df, id_col, text_col, num_hashes, shingle_n
+        )
+    elif portable:
+        sigs = portable_minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    else:
+        sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     return _band_rows_from_sigs(sigs, id_col, num_hashes, bands, portable)
 
 
@@ -437,6 +446,7 @@ def _lsh_buckets(
     max_bucket_size: int | None = None,
     portable: bool = False,
     band_rows: DataFrame | None = None,
+    sig_kernel: str = "sql",
 ) -> DataFrame:
     """(band_id, band_hash, ids) bucket table — bounded BEFORE any
     membership array exists.
@@ -458,7 +468,10 @@ def _lsh_buckets(
     """
     if band_rows is None:
         band_rows = materialize_once(
-            _lsh_band_rows(df, id_col, text_col, num_hashes, bands, shingle_n, portable)
+            _lsh_band_rows(
+                df, id_col, text_col, num_hashes, bands, shingle_n, portable,
+                sig_kernel,
+            )
         )
     counts = _lsh_bucket_counts(band_rows)
     if max_bucket_size is not None:
@@ -479,6 +492,7 @@ def lsh_hot_buckets(
     bands: int = 16,
     shingle_n: int = 3,
     portable: bool = False,
+    sig_kernel: str = "sql",
 ) -> DataFrame:
     """The review queue: buckets whose membership exceeds the cap.
 
@@ -492,7 +506,9 @@ def lsh_hot_buckets(
     a hot bucket, only its size.
     """
     return _lsh_bucket_counts(
-        _lsh_band_rows(df, id_col, text_col, num_hashes, bands, shingle_n, portable)
+        _lsh_band_rows(
+            df, id_col, text_col, num_hashes, bands, shingle_n, portable, sig_kernel
+        )
     ).filter(F.col("n_members") > max_bucket_size)
 
 
@@ -505,6 +521,7 @@ def drain_hot_buckets(
     bands: int = 16,
     shingle_n: int = 3,
     portable: bool = False,
+    sig_kernel: str = "sql",
 ) -> DataFrame:
     """DRAIN the review queue: process the hot buckets the capped
     pipeline deferred, without ever expanding them into pairs.
@@ -542,11 +559,15 @@ def drain_hot_buckets(
     SCALING.md r6); the only shuffles are the count agg, the hot-member
     distinct, and the 8-byte family agg.
     """
-    sigs = materialize_once(
-        portable_minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-        if portable
-        else minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    )
+    if portable and sig_kernel == "numpy":
+        _sigs = portable_minhash_signatures_numpy(
+            df, id_col, text_col, num_hashes, shingle_n
+        )
+    elif portable:
+        _sigs = portable_minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    else:
+        _sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sigs = materialize_once(_sigs)
     band_rows = _band_rows_from_sigs(sigs, id_col, num_hashes, bands, portable)
     hot_keys = (
         _lsh_bucket_counts(band_rows)
@@ -606,6 +627,7 @@ def minhash_lsh_candidates(
     max_bucket_size: int | None = None,
     portable: bool = False,
     band_rows: DataFrame | None = None,
+    sig_kernel: str = "sql",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -641,7 +663,7 @@ def minhash_lsh_candidates(
     # a re-run of the whole signature pipeline.
     buckets = _lsh_buckets(
         df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket_size,
-        portable, band_rows,
+        portable, band_rows, sig_kernel,
     )
     combos = F.flatten(
         F.transform(

@@ -32,10 +32,23 @@ def load(path: str) -> dict:
     return doc.get("parsed", doc)
 
 
+def calib_min(rec: dict):
+    """Tightest calibration bound the record carries: r10 records run
+    best-of-5 pre AND post battery (the top-level min already holds
+    min(pre, post)); pre-r10 records carry a single post-battery
+    best-of-3 min."""
+    cal = rec.get("calibration") or {}
+    cells = [cal.get("min")]
+    for sub in ("pre", "post"):
+        cells.append((cal.get(sub) or {}).get("min"))
+    cells = [c for c in cells if c]
+    return min(cells) if cells else None
+
+
 def main() -> None:
     a, b = load(sys.argv[1]), load(sys.argv[2])
-    calib_a = (a.get("calibration") or {}).get("min")
-    calib_b = (b.get("calibration") or {}).get("min")
+    calib_a = calib_min(a)
+    calib_b = calib_min(b)
     if calib_a and calib_b:
         calib_ratio = calib_b / calib_a
         print(f"calibration (host drift): {calib_a:.3f}s -> {calib_b:.3f}s "
