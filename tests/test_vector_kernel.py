@@ -305,3 +305,73 @@ def test_topk_batch_plan_lake_never_shuffled(spark, sf_dir, tmp_path):
         assert "band" not in key and "bucket" not in key, (
             f"hash exchange keyed on the bucket join key ({key}):\n" + p[:2000]
         )
+
+
+def test_portable_minhash_batches_edge_docs():
+    """The numpy signature kernel's per-batch driver, exercised without
+    Spark: None/empty/short docs are OMITTED (the SQL pipeline's
+    explode-drops-them semantics), repeated tokens md5 once via the
+    task cache, and values reproduce the reference integer math."""
+    import hashlib
+
+    import pandas as pd
+
+    from gomaxscale_spark.operators.dedup import (
+        MINHASH_P,
+        MINHASH_R,
+        _portable_minhash_batches,
+        cw_hash_coefficients,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["alpha beta gamma alpha beta", "", None, "one", "  x\ty \n z  "],
+        }
+    )
+    out = list(_portable_minhash_batches(iter([pdf]), "doc_id", 8, 2))
+    assert len(out) == 1
+    got = dict(zip(out[0]["doc_id"], out[0]["minhash"]))
+    # docs 2 (empty), 3 (None), 4 (<2 tokens) omitted
+    assert set(got) == {1, 5}
+
+    def ref_sig(text, num_hashes, n):
+        toks = [t for t in text.split() if t]
+        th = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % MINHASH_P
+            for t in toks
+        ]
+        sh = set()
+        for k in range(len(th) - n + 1):
+            h = th[k]
+            for i in range(1, n):
+                h = (h * MINHASH_R + th[k + i]) % MINHASH_P
+            sh.add(h)
+        return [
+            min((a * h + b) % MINHASH_P for h in sh)
+            for a, b in cw_hash_coefficients(num_hashes)
+        ]
+
+    assert list(got[1]) == ref_sig("alpha beta gamma alpha beta", 8, 2)
+    assert list(got[5]) == ref_sig("x y z", 8, 2)
+
+
+def test_portable_minhash_batches_chunking(monkeypatch):
+    """Shingle-mass chunking (SIG_CHUNK_SHINGLES) changes memory shape,
+    never values: force a tiny chunk bound and compare."""
+    import pandas as pd
+
+    from gomaxscale_spark.operators import dedup as D
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(20)),
+            "text": [f"tok{i} " + " ".join(f"w{j}" for j in range(i + 2)) for i in range(20)],
+        }
+    )
+    big = list(D._portable_minhash_batches(iter([docs]), "doc_id", 16, 3))
+    monkeypatch.setattr(D, "SIG_CHUNK_SHINGLES", 4)
+    small = list(D._portable_minhash_batches(iter([docs]), "doc_id", 16, 3))
+    a = {i: list(m) for i, m in zip(big[0]["doc_id"], big[0]["minhash"])}
+    b = {i: list(m) for i, m in zip(small[0]["doc_id"], small[0]["minhash"])}
+    assert a == b and len(a) >= 18
