@@ -97,15 +97,24 @@ def main() -> None:
         label = os.path.basename(d)
         cell: dict = {"n_docs": n}
 
-        # ---- bit-equality gate (in-plan; no driver-side signature blobs)
-        a = sigs(docs, "sql").withColumnRenamed("minhash", "mh_sql")
-        b = sigs(docs, "numpy").withColumnRenamed("minhash", "mh_np")
-        j = a.join(b, "doc_id", "full")
-        bad = j.filter(
-            F.col("mh_sql").isNull()
-            | F.col("mh_np").isNull()
-            | (F.col("mh_sql") != F.col("mh_np"))
-        ).count()
+        # ---- bit-equality gate (in-plan; no driver-side signature blobs).
+        # Broadcast disabled for the gate only: at x100 the two
+        # (id, 64-long) frames are ~256 MB each and AQE's stats-blind
+        # estimate of the mapInPandas side tries to broadcast it —
+        # notEnoughMemoryToBuildAndBroadcastTable on an 8g driver.
+        prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = sigs(docs, "sql").withColumnRenamed("minhash", "mh_sql")
+            b = sigs(docs, "numpy").withColumnRenamed("minhash", "mh_np")
+            j = a.join(b, "doc_id", "full")
+            bad = j.filter(
+                F.col("mh_sql").isNull()
+                | F.col("mh_np").isNull()
+                | (F.col("mh_sql") != F.col("mh_np"))
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         cell["bit_equal"] = bad == 0
         if bad:
             cell["mismatches"] = bad
@@ -123,6 +132,8 @@ def main() -> None:
         cell["headline_parity"] = [tuple(r) for r in hs] == [tuple(r) for r in hn]
         out[label] = cell
         print(json.dumps({label: cell}), flush=True)
+        with open("/tmp/minhash_ab.json", "w") as fh:  # survives a later crash
+            json.dump(out, fh)
     print("RESULT " + json.dumps(out))
 
 
