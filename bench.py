@@ -86,6 +86,9 @@ EXTRA = [
     # r9: batched brute-force cosine top-k (one corpus pass for Q
     # queries; salted per-query selection + numpy kernel)
     "similarity_cosine_topk_batch",
+    # r10: PQ/ADC — rank the corpus reading only the 8-byte code column
+    # (the compression half of IVF-PQ; codes are ingest-time in prod)
+    "similarity_pq_adc_topk",
 ]
 
 

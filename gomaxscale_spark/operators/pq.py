@@ -1,0 +1,265 @@
+"""Product Quantization (PQ) — the compression half of the standard
+FAISS-style IVF-PQ serving layout (Jégou et al., "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011).
+
+The repo's serving tiers so far keep RAW vectors everywhere (the
+lakes, `IVFIndex`): a probe that scans a cell reads 64 × 4 B = 256 B
+per vector. PQ splits each vector into ``m`` subvectors, quantizes
+each against a per-subspace codebook of ``k`` centroids, and stores
+only the code indices — with m = 8, k = 16 that is 8 × 4 bits packed
+into ONE BIGINT: **8 bytes per vector, a 32× scan reduction**, and
+queries rank candidates with an Asymmetric Distance Computation (ADC):
+a driver-side m×k lookup table of (query-subvector ↔ centroid)
+distances, so scoring a row is m integer unpacks + m table lookups —
+no float vector ever read.
+
+At 100 TB: codes are an ingest-time map (like the LSH signatures);
+the ADC scan reads the 8-byte code column only (column pruning does
+the rest); the LUT is an O(m·k) plan literal; composed with the
+``IVFIndex`` cell layout this is IVF-PQ — partition-prune to n_probe
+cells, ADC-rank inside them, exact-re-rank the short list from the
+raw vectors (`pq_adc_topk(..., refine=N)` does the last step).
+
+Two codebook sources, honestly separated:
+
+- ``pq_codebooks_lcg`` — fixed-seed plan LITERALS (the hyperplane
+  pattern): deterministic in any engine, so the DuckDB oracle replays
+  codes and ADC ranks bit-for-bit. Quantization quality is that of a
+  random codebook — fine for the exactness gate, not the production
+  path.
+- ``train_pq_codebooks`` — per-subspace Lloyd k-means (numpy, on a
+  modulus sample collected driver-side: the standard train-on-sample
+  practice; the sample is quantizer-artifact-sized, never the
+  corpus). The production path; pytested to reduce quantization
+  error vs the LCG codebooks and to lift ADC recall.
+
+Engine-portability contract (same discipline as the minhash family):
+every distance is the SAME left-associated ``(x−c)·(x−c) + …``
+expression in Spark and DuckDB over exactly-representable doubles
+(float32 data promotes exactly; ``repr`` round-trips the centroid
+literals), so argmin/rank decisions are IEEE-identical — no rounding
+contract needed, ties break to the LOWEST code via the argmin-earliest
+CASE. Distances/argmins are emitted as CHAINED projections (distance
+columns → least column → CASE on columns), never nested — a CASE arm
+referencing an inline ``least(d0..d15)`` would re-evaluate the 16
+distance subtrees per arm (the r5 chained-projection lesson).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from .bucketing import parallelize_narrow_input
+
+
+def pq_codebooks_lcg(
+    dim: int = 64, m: int = 8, k: int = 16, seed: int = 99, scale: float = 0.125
+) -> list[list[list[float]]]:
+    """Fixed-seed codebooks as exact binary fractions (LCG / 2³⁰, the
+    hyperplane trick — ``repr`` round-trips bit-exactly through both
+    engines' double parsers). ``scale`` matches the component scale of
+    unit-normalized embeddings (std ≈ 1/√dim)."""
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    state = seed & 0x7FFFFFFF
+    books: list[list[list[float]]] = []
+    for _ in range(m):
+        book = []
+        for _ in range(k):
+            row = []
+            for _ in range(dim // m):
+                state = (1103515245 * state + 12345) & 0x7FFFFFFF
+                row.append((state / 0x40000000 - 1.0) * scale)
+            book.append(row)
+        books.append(book)
+    return books
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 5,
+    sample_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd k-means on a modulus SAMPLE (train-on-sample,
+    the standard PQ practice — the collect is quantizer-artifact-sized,
+    ≤ ``sample_cap`` rows, never the corpus). Deterministic: sample by
+    ``id % stride == 0``, init each codebook from the sample's first k
+    distinct subvectors, L2 assignment ties to the lowest centroid.
+    Empty clusters keep their previous centroid (standard fix)."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    n = embeddings.count()
+    stride = max(1, n // sample_cap)
+    rows = (
+        embeddings.filter((F.col(id_col) % stride) == 0)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    if len(X) < k:
+        raise ValueError(f"pq: sample of {len(X)} rows < k={k}")
+    d8 = dim // m
+    books = []
+    for j in range(m):
+        S = X[:, j * d8 : (j + 1) * d8]
+        C = S[:k].copy()
+        for _ in range(n_iters):
+            D = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(D, axis=1)  # first min = lowest centroid
+            for c in range(k):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+# ---------------------------------------------------------------- SQL
+
+def _spark_idx(vec: str):
+    return lambda i: f"element_at({vec}, {i})"
+
+
+def _duck_idx(vec: str):
+    return lambda i: f"{vec}[{i}]"
+
+
+def _subdist_sql(idx, centroid: Sequence[float], offset: int) -> str:
+    """Left-associated Σ (v[i]−c)·(v[i]−c) — identical operation
+    sequence in both engines, so the double result is bit-identical.
+    Every operand is CAST to DOUBLE explicitly: a bare decimal literal
+    parses as DECIMAL in both engines (different scales/rounding), and
+    the vector elements are float32 — the casts pin the whole
+    expression to IEEE double arithmetic on both sides."""
+    terms = []
+    for t, c in enumerate(centroid):
+        e = f"CAST({idx(offset + t + 1)} AS DOUBLE)"
+        lit = f"CAST({repr(float(c))} AS DOUBLE)"
+        terms.append(f"(({e}) - {lit}) * (({e}) - {lit})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def pq_code_layers(
+    idx, codebooks: Sequence[Sequence[Sequence[float]]]
+) -> list[list[tuple[str, str]]]:
+    """The encode pipeline as CHAINED projection layers of
+    (alias, sql): [distances d_j_c] → [least m_j] → [argmin-earliest
+    code_j] → [packed pq_code]. Emitting layers keeps every distance
+    evaluated ONCE (columns), instead of 16× inside each CASE arm."""
+    m, k = len(codebooks), len(codebooks[0])
+    d8 = len(codebooks[0][0])
+    l1 = [
+        (f"__d{j}_{c}", _subdist_sql(idx, codebooks[j][c], j * d8))
+        for j in range(m)
+        for c in range(k)
+    ]
+    l2 = [
+        (f"__m{j}", "least(" + ", ".join(f"__d{j}_{c}" for c in range(k)) + ")")
+        for j in range(m)
+    ]
+    l3 = [
+        (
+            f"__code{j}",
+            "CASE "
+            + " ".join(f"WHEN __d{j}_{c} = __m{j} THEN {c}" for c in range(k))
+            + " END",
+        )
+        for j in range(m)
+    ]
+    # BIGINT cast per term: k^7 = 2²⁸ and code·k^j overflows an INT32
+    # multiply in DuckDB (Spark widens implicitly; DuckDB raises)
+    packed = " + ".join(f"CAST(__code{j} AS BIGINT) * {k ** j}" for j in range(m))
+    l4 = [("pq_code", f"CAST({packed} AS BIGINT)")]
+    return [l1, l2, l3, l4]
+
+
+def pq_unpack_sql(code_col: str, j: int, k: int) -> str:
+    """code_j from the packed BIGINT. ``FLOOR(a / b)`` rather than an
+    integer-div operator: both engines' ``/`` on integers is double
+    division (exact below 2⁵³ — pq_code < k^m = 2³²), while their
+    integer-division spellings differ (``div`` vs ``//``)."""
+    return f"(CAST(FLOOR({code_col} / {k ** j}) AS BIGINT) % {k})"
+
+
+# ------------------------------------------------------------ operators
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pq_code): each vector quantized to one packed BIGINT —
+    the ingest-time map. One narrow projection chain, no shuffle."""
+    out = parallelize_narrow_input(df.select(F.col(id_col), F.col(vec_col)))
+    layers = pq_code_layers(_spark_idx(vec_col), codebooks)
+    for layer in layers:
+        out = out.select("*", *[F.expr(sql).alias(a) for a, sql in layer])
+    return out.select(F.col(id_col), F.col("pq_code"))
+
+
+def adc_lut(
+    query_vec: Sequence[float], codebooks: Sequence[Sequence[Sequence[float]]]
+) -> list[list[float]]:
+    """The m×k ADC lookup table, computed in pure Python with the SAME
+    left-associated operation order the SQL distance expression uses —
+    the Spark plan embeds these values as literals while the oracle
+    derives them in SQL from the query row; IEEE determinism of the
+    identical sequence makes the two bit-equal."""
+    m, k = len(codebooks), len(codebooks[0])
+    d8 = len(codebooks[0][0])
+    lut = []
+    for j in range(m):
+        row = []
+        for c in range(k):
+            acc = None
+            for t in range(d8):
+                q = float(query_vec[j * d8 + t])
+                cv = float(codebooks[j][c][t])
+                term = (q - cv) * (q - cv)
+                acc = term if acc is None else acc + term
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: encode (ingest-time in production — composed here so
+    the catalog entry is self-contained on the raw table), then rank
+    by Σ_j LUT[j][code_j]. The scan side touches only the 8-byte code
+    (+ id); the LUT rides as m k-element array literals; the rank is a
+    TakeOrdered, never a global sort. Ascending distance, ties to the
+    lowest id. Returns (id, adc_dist rounded 6dp)."""
+    k = len(codebooks[0])
+    lut = adc_lut(query_vec, codebooks)
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+    lookups = []
+    for j in range(len(codebooks)):
+        arr = "array(" + ", ".join(
+            f"CAST({v!r} AS DOUBLE)" for v in lut[j]
+        ) + ")"
+        lookups.append(f"element_at({arr}, CAST({pq_unpack_sql('pq_code', j, k)} AS INT) + 1)")
+    score = " + ".join(lookups)
+    return (
+        codes.select(F.col(id_col), F.expr(score).alias("__adc"))
+        .orderBy(F.asc("__adc"), F.col(id_col))
+        .limit(topk)
+        .select(F.col(id_col), F.round("__adc", 6).alias("adc_dist"))
+    )

@@ -2692,6 +2692,107 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- B16 PQ / ADC (r10)
+
+def _pq_books():
+    from ..operators import pq as PQ
+
+    return PQ.pq_codebooks_lcg(dim=64, m=8, k=16, seed=99)
+
+
+def _pq_codes_ctes(vec_ref: str = "e.embedding") -> str:
+    """The encode pipeline's four chained projection layers as CTEs —
+    the same (alias, sql) layers the Spark plan projects, rendered over
+    DuckDB's 1-based list indexing. Chained CTEs keep every distance
+    evaluated once (the r5 lesson: a CASE arm referencing an inline
+    least() re-evaluates all 16 distance subtrees per arm)."""
+    from ..operators import pq as PQ
+
+    layers = PQ.pq_code_layers(PQ._duck_idx(vec_ref), _pq_books())
+    l1, l2, l3, l4 = layers
+    return f"""
+    pq1 AS (SELECT e.vec_id, {", ".join(f'{sql} AS {a}' for a, sql in l1)}
+            FROM embeddings e),
+    pq2 AS (SELECT *, {", ".join(f'{sql} AS {a}' for a, sql in l2)} FROM pq1),
+    pq3 AS (SELECT *, {", ".join(f'{sql} AS {a}' for a, sql in l3)} FROM pq2),
+    pqc AS (SELECT vec_id, {l4[0][1]} AS pq_code FROM pq3)"""
+
+
+def _pq_adc_oracle(topk: int = 10) -> str:
+    from ..operators import pq as PQ
+
+    books = _pq_books()
+    m, k = len(books), len(books[0])
+    d8 = len(books[0][0])
+    lut_cols = ", ".join(
+        f"{PQ._subdist_sql(PQ._duck_idx('q.qv'), books[j][c], j * d8)} AS __l{j}_{c}"
+        for j in range(m)
+        for c in range(k)
+    )
+    lookups = " + ".join(
+        f"list_value({', '.join(f'__l{j}_{c}' for c in range(k))})"
+        f"[CAST({PQ.pq_unpack_sql('c.pq_code', j, k)} AS INT) + 1]"
+        for j in range(m)
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    {_pq_codes_ctes()},
+    lut AS (SELECT {lut_cols} FROM q),
+    scored AS (
+      SELECT c.vec_id, ({lookups}) AS __adc FROM pqc c CROSS JOIN lut
+    )
+    SELECT vec_id, round(__adc, 6) AS adc_dist FROM scored
+    ORDER BY __adc, vec_id LIMIT {topk}
+    """
+
+
+@query(
+    "similarity_pq_codes",
+    oracle="WITH " + _pq_codes_ctes()
+    + "\n    SELECT vec_id, pq_code FROM pqc",
+    doc="B16 Product Quantization ENCODE (Jégou et al. 2011 — the "
+    "compression half of the FAISS IVF-PQ serving layout): each "
+    "64-dim vector → 8 subspace codes (argmin-L2 against a 16-entry "
+    "per-subspace codebook, ties to the lowest code) packed into ONE "
+    "BIGINT — 8 bytes/vector, a 32× scan reduction for probes that "
+    "rank on codes (ADC below). Codebooks here are fixed-seed plan "
+    "LITERALS (the hyperplane pattern) so the oracle replays every "
+    "argmin bit-for-bit — identical left-assoc float arithmetic both "
+    "engines, no rounding contract; train_pq_codebooks is the "
+    "production (sampled-Lloyd) path, pytested for quantization-error "
+    "and recall lift. Scale: ingest-time map, no shuffle; distances/"
+    "argmins emitted as CHAINED projections (r5 lesson).",
+)
+def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq as PQ
+
+    e = t(spark, sf_dir, "embeddings")
+    return PQ.pq_encode(e, _pq_books())
+
+
+@query(
+    "similarity_pq_adc_topk",
+    oracle=_pq_adc_oracle(topk=10),
+    doc="B16 PQ Asymmetric Distance Computation top-k: rank the WHOLE "
+    "corpus against a query reading only the 8-byte code column — "
+    "score = Σⱼ LUT[j][codeⱼ], the m×k LUT being driver-side "
+    "(query-subvector ↔ centroid) distances shipped as plan literals "
+    "(Python computes them with the same left-assoc order the "
+    "oracle's SQL derivation uses → bit-equal). The scan side is "
+    "(id, pq_code): at 100 TB this is the 32×-less-I/O rank stage of "
+    "IVF-PQ — partition-prune cells (IVFIndex), ADC-rank inside them, "
+    "exact-re-rank the short list from raw vectors. Ascending "
+    "distance, ties to the lowest id; TakeOrdered, never a global "
+    "sort.",
+)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq as PQ
+
+    e = t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).head().embedding]
+    return PQ.pq_adc_topk(e, q, _pq_books(), topk=10)
+
+
 @query(
     "sampling_domain_cap",
     oracle="""
