@@ -66,10 +66,18 @@ class IVFIndex:
         path: str,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        codebooks=None,
     ) -> None:
+        """``codebooks`` (optional, from ``pq.train_pq_codebooks`` /
+        ``pq.pq_codebooks_lcg``) turns the index into IVF-PQ: build/add
+        store an 8-byte ``pq_code`` next to each vector and
+        ``probe_adc`` ranks probed cells reading ONLY (id, pq_code) —
+        the column-pruned 32×-less-I/O scan — before an exact re-rank
+        of the shortlist from the raw vectors."""
         self.path = path
         self.id_col = id_col
         self.vec_col = vec_col
+        self.codebooks = codebooks
         self._ec = EpochCommit(path)
         #: cached coarse quantizer (ids, matrix) — collected once per
         #: instance; probes/adds reuse it (re-collecting the parquet on
@@ -131,6 +139,19 @@ class IVFIndex:
             df = df.unionByName(spark.read.parquet(d))
         return df
 
+    def _with_code(self, df: DataFrame) -> DataFrame:
+        """Append the packed ``pq_code`` column (IVF-PQ mode) via the
+        chained-projection encode layers; a no-op without codebooks."""
+        if self.codebooks is None:
+            return df
+        from . import pq as PQ
+
+        layers = PQ.pq_code_layers(PQ._spark_idx(self.vec_col), self.codebooks)
+        out = df
+        for layer in layers:
+            out = out.select("*", *[F.expr(sql).alias(a) for a, sql in layer])
+        return out.drop(*[a for layer in layers[:-1] for a, _ in layer])
+
     # ------------------------------------------------------------ build
 
     def build(
@@ -165,13 +186,13 @@ class IVFIndex:
         ids, M = self._load_quantizer(spark)
         assign = VK.assign_nearest(ids, M)
         (
-            embeddings.select(self.id_col, self.vec_col)
+            self._with_code(embeddings.select(self.id_col, self.vec_col))
             .withColumn("__a", assign(F.col(self.vec_col)))
             .select(
-                self.id_col,
-                self.vec_col,
+                "*",
                 F.col("__a.centroid_id").alias("centroid_id"),
             )
+            .drop("__a")
             .write.mode("overwrite")
             .partitionBy("centroid_id")
             .parquet(f"{self.path}/vectors")
@@ -210,13 +231,13 @@ class IVFIndex:
             ids, M = self._load_quantizer(spark)
             assign = VK.assign_nearest(ids, M)
             (
-                new_vectors.select(self.id_col, self.vec_col)
+                self._with_code(new_vectors.select(self.id_col, self.vec_col))
                 .withColumn("__a", assign(F.col(self.vec_col)))
                 .select(
-                    self.id_col,
-                    self.vec_col,
+                    "*",
                     F.col("__a.centroid_id").alias("centroid_id"),
                 )
+                .drop("__a")
                 .write.mode("overwrite")
                 .partitionBy("centroid_id")
                 .parquet(f"{self.path}/adds/epoch={epoch}")
@@ -302,6 +323,49 @@ class IVFIndex:
                 F.col(self.id_col),
                 F.round(score, 6).alias("score"),
                 "centroid_id",
+            )
+            .orderBy(F.desc("score"), F.col(self.id_col))
+            .limit(k)
+        )
+
+    def probe_adc(
+        self, spark, query_vec, k: int = 10, n_probe: int = 4,
+        shortlist: int | None = None,
+    ) -> DataFrame:
+        """IVF-PQ probe: partition-prune to the ``n_probe`` cells, rank
+        them by ADC distance reading ONLY (id, pq_code) — at 100 TB the
+        column-pruned code scan reads 8 B/vector instead of the 256 B
+        raw vector, the 32× I/O cut that makes billion-vector probes
+        affordable — then exact-cosine re-rank the ``shortlist``
+        (default 5k) from the raw vectors of those ids only. Unit-norm
+        embeddings make L2² = 2−2·cos, so the ADC (L2) shortlist and
+        the cosine re-rank agree on ordering up to quantization error —
+        recall follows the PQ trade (train codebooks on the corpus;
+        the shortlist factor dials recall vs re-rank cost). Returns
+        (id, score, adc_dist) ranked (score desc, id)."""
+        if self.codebooks is None:
+            raise ValueError("probe_adc: index built without codebooks (IVF-PQ mode)")
+        from . import pq as PQ
+
+        shortlist = shortlist or 5 * k
+        cells = self._probe_cells(spark, query_vec, n_probe)
+        score_sql = PQ.adc_score_sql([float(x) for x in query_vec], self.codebooks)
+        pruned = self._read_vectors(spark).filter(F.col("centroid_id").isin(cells))
+        short = (
+            pruned.select(self.id_col, F.expr(score_sql).alias("__adc"))
+            .orderBy(F.asc("__adc"), F.col(self.id_col))
+            .limit(shortlist)
+        )
+        rerank = VK.cosine_vs_query([float(x) for x in query_vec])(
+            F.col(self.vec_col)
+        )
+        return (
+            pruned.select(self.id_col, self.vec_col)
+            .join(F.broadcast(short), self.id_col)
+            .select(
+                F.col(self.id_col),
+                F.round(rerank, 6).alias("score"),
+                F.round("__adc", 6).alias("adc_dist"),
             )
             .orderBy(F.desc("score"), F.col(self.id_col))
             .limit(k)

@@ -233,6 +233,28 @@ def adc_lut(
     return lut
 
 
+def adc_score_sql(
+    query_vec: Sequence[float],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    code_col: str = "pq_code",
+) -> str:
+    """Σ_j LUT[j][code_j] as one Spark SQL expression over the packed
+    code column: m literal k-element DOUBLE arrays (driver-computed,
+    see ``adc_lut``) indexed by the unpacked code — the whole rank
+    cost per row is m integer unpacks + m array lookups."""
+    k = len(codebooks[0])
+    lut = adc_lut(query_vec, codebooks)
+    lookups = []
+    for j in range(len(codebooks)):
+        arr = "array(" + ", ".join(
+            f"CAST({v!r} AS DOUBLE)" for v in lut[j]
+        ) + ")"
+        lookups.append(
+            f"element_at({arr}, CAST({pq_unpack_sql(code_col, j, k)} AS INT) + 1)"
+        )
+    return " + ".join(lookups)
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     query_vec: Sequence[float],
@@ -247,16 +269,8 @@ def pq_adc_topk(
     (+ id); the LUT rides as m k-element array literals; the rank is a
     TakeOrdered, never a global sort. Ascending distance, ties to the
     lowest id. Returns (id, adc_dist rounded 6dp)."""
-    k = len(codebooks[0])
-    lut = adc_lut(query_vec, codebooks)
     codes = pq_encode(embeddings, codebooks, id_col, vec_col)
-    lookups = []
-    for j in range(len(codebooks)):
-        arr = "array(" + ", ".join(
-            f"CAST({v!r} AS DOUBLE)" for v in lut[j]
-        ) + ")"
-        lookups.append(f"element_at({arr}, CAST({pq_unpack_sql('pq_code', j, k)} AS INT) + 1)")
-    score = " + ".join(lookups)
+    score = adc_score_sql(query_vec, codebooks)
     return (
         codes.select(F.col(id_col), F.expr(score).alias("__adc"))
         .orderBy(F.asc("__adc"), F.col(id_col))

@@ -150,3 +150,51 @@ def test_ivf_pq_composition_shape(spark, emb, tmp_path):
 def test_pq_input_contract():
     with pytest.raises(ValueError, match="divisible"):
         PQ.pq_codebooks_lcg(dim=65, m=8)
+
+
+def test_ivf_pq_index_probe_adc(spark, emb, tmp_path):
+    """IVF-PQ as a first-class index mode: build stores pq_code in the
+    partitioned layout, probe_adc's code scan reads only (id, pq_code,
+    centroid_id) — plan-checked — and the exact re-rank of a full-cell
+    shortlist reproduces probe()'s answer on the same cells."""
+    from gomaxscale_spark.operators.ivf_index import IVFIndex
+
+    books = PQ.train_pq_codebooks(emb, n_iters=2)
+    idx = IVFIndex(str(tmp_path / "ivfpq_idx"), codebooks=books)
+    stats = idx.build(emb, n_iters=1)
+
+    cols = spark.read.parquet(f"{idx.path}/vectors").columns
+    assert "pq_code" in cols
+
+    q_row = emb.orderBy("vec_id").limit(1).head()
+    q = [float(x) for x in q_row.embedding]
+
+    # the ADC leg's scan schema is column-pruned to id + code (+ the
+    # partition column) — the raw vector column must NOT be read
+    from pyspark.sql import functions as F  # noqa: F811
+
+    score_sql = PQ.adc_score_sql(q, books)
+    adc_leg = (
+        idx._read_vectors(spark)
+        .filter(F.col("centroid_id").isin(idx._probe_cells(spark, q, 2)))
+        .select("vec_id", F.expr(score_sql).alias("__adc"))
+    )
+    plan = adc_leg._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan_lines and all("embedding" not in ln for ln in scan_lines), plan
+
+    got = idx.probe_adc(spark, q, k=5, n_probe=2, shortlist=10_000).collect()
+    assert got and got[0].vec_id == q_row.vec_id or got[0].score == 1.0
+    # shortlist covering the whole probed cells ≡ the exact probe()
+    exact = idx.probe(spark, q, k=5, n_probe=2).collect()
+    assert [(r.vec_id, r.score) for r in got] == [
+        (r.vec_id, r.score) for r in exact
+    ]
+
+    # add() in IVF-PQ mode carries codes too, probe_adc sees the epoch
+    extra = emb.orderBy(F.desc("vec_id")).limit(3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    idx.add(extra)
+    add_dirs = idx._committed_add_dirs()
+    assert add_dirs and "pq_code" in spark.read.parquet(add_dirs[0]).columns
