@@ -272,6 +272,11 @@ class IVFIndex:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "IVFIndex.compact_adds: no active SparkSession on this "
+                "driver (the fold rewrites the dataset with Spark)"
+            )
         with self._ec.maintenance_guard():
             self._ec.finish_swap(("vectors",))
             self._gc_folded()
