@@ -89,6 +89,10 @@ EXTRA = [
     # r10: PQ/ADC — rank the corpus reading only the 8-byte code column
     # (the compression half of IVF-PQ; codes are ingest-time in prod)
     "similarity_pq_adc_topk",
+    # r10: exact-substring (duplicated-span) dedup — the positional
+    # modality (Lee et al. 2021 shape); one window-key exchange
+    "dedup_substring_coverage",
+    "dedup_substring_strip",
 ]
 
 

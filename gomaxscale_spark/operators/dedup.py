@@ -1273,3 +1273,199 @@ def incremental_dedup(
         fresh.join(first, ["__digest", id_col], "semi")
         .drop("__digest")
     )
+
+
+# ------------------- exact-substring (duplicated-span) dedup ----------
+#
+# The token-position analogue of suffix-array substring dedup
+# (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better"): mark every W-token window whose content occurs at more than
+# one (doc, position) in the corpus, merge marked windows into spans at
+# token granularity, and either REPORT per-document duplicated-span
+# coverage or STRIP every occurrence except one canonical copy. The
+# reference CDC consumer has no corpus operators at all; this fills the
+# one dedup modality the battery lacked — position-aware exact
+# substring overlap (MinHash/SimHash are bag-of-shingles and blind to
+# WHERE the overlap sits; exact dedup is whole-document).
+#
+# Spark-first shape: per-token portable hash ONCE (md5-60-bit mod P,
+# the PORTABLE_TOKEN_HASH base), W adjacent token hashes folded into a
+# 62-bit two-lane window key with the SAME band_key_sql emitter the
+# LSH oracle replays — so a DuckDB oracle reproduces every window key,
+# count, and canonical choice bit-for-bit. The one corpus-sized shuffle
+# partitions (id, pos, wh) rows by wh — the same N_tokens-row cost the
+# published suffix-array pipelines pay to sort the corpus, with 8-byte
+# keys and NO text in the exchange (plan-pinned).
+
+#: Packed (doc, position) canonical key: doc_id * CAP + pos. Bounds
+#: token positions per document to 2²⁰ (~1M tokens, far beyond any
+#: pre-chunked training document; chunk longer docs upstream). Packing
+#: keeps the canonical min a single BIGINT both engines order
+#: identically — no struct-comparison parity risk.
+SUBSTRING_POS_CAP = 1 << 20
+
+
+def substring_window_positions(
+    df: DataFrame, id_col: str, text_col: str, window: int = 8
+) -> DataFrame:
+    """(id, pos, wh): one row per token position 0 ≤ pos ≤ n_toks − W.
+
+    wh is the two-lane 62-bit fold (band_key_sql) of the W consecutive
+    portable token hashes — collision odds across N windows are
+    ~N²/2⁶³ (≈10⁻⁷ at the 500k-window gate corpus; at a 10¹³-token
+    corpus use window-text verification or a wider fold — the same
+    dial the LSH band keys document). Documents shorter than W tokens
+    produce no rows. Token hashes are computed once per token; each
+    window key is 2·W integer ops via element_at — never a slice copy
+    or a window-string md5 (the shingle_hash_rows lesson).
+    """
+    base = parallelize_narrow_input(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.transform(
+            tokenize(F.col(text_col)),
+            lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+            % MINHASH_P,
+        ).alias("__th"),
+    )
+    key = band_key_sql(
+        ["element_at(__th, k)"]
+        + [f"element_at(__th, k + {i})" for i in range(1, window)]
+    )
+    wins = F.when(
+        F.size(F.col("__th")) >= window,
+        F.expr(
+            f"transform(sequence(1, size(__th) - {window} + 1),"
+            f" k -> named_struct('pos', k - 1, 'wh', {key}))"
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,wh:bigint>>"))
+    return base.select(F.col(id_col), F.explode(wins).alias("__w")).select(
+        F.col(id_col), F.col("__w.pos").alias("pos"), F.col("__w.wh").alias("wh")
+    )
+
+
+def substring_annotate(
+    df: DataFrame, id_col: str, text_col: str, window: int = 8
+) -> DataFrame:
+    """Window occurrences annotated with their global duplication state:
+    (id, pos, wh, __pk, cnt, canon) where cnt is the corpus-wide
+    occurrence count of the window's content and canon the packed
+    (doc, pos) of its first occurrence (min doc_id, then min pos).
+
+    Scale: ONE exchange, partitioned by the 8-byte window key — count
+    and min ride the same Window frame (no order-by, whole-partition
+    aggregate, no sort). A window whose content occurs k times makes a
+    k-row partition — boilerplate repeated 10⁶ times is a 10⁶-row task,
+    linear, never quadratic (nothing expands pairs). Text never enters
+    the exchange; rows are (long, int, long, long).
+    """
+    pos = substring_window_positions(df, id_col, text_col, window)
+    wspec = W.partitionBy("wh")
+    return pos.withColumn(
+        "__pk", F.col(id_col) * SUBSTRING_POS_CAP + F.col("pos")
+    ).select(
+        F.col(id_col),
+        "pos",
+        "wh",
+        "__pk",
+        F.count(F.lit(1)).over(wspec).alias("cnt"),
+        F.min("__pk").over(wspec).alias("canon"),
+    )
+
+
+def substring_duplicate_coverage(
+    df: DataFrame, id_col: str, text_col: str, window: int = 8
+) -> DataFrame:
+    """Per-document duplicated-span coverage report: (id, total_tokens,
+    dup_tokens, dup_coverage) — a token is duplicated iff SOME W-token
+    window containing it occurs elsewhere in the corpus (another doc or
+    another position). All documents appear; clean docs report 0.
+
+    The quality-filter shape: drop or down-weight documents whose
+    dup_coverage exceeds a budget (boilerplate, mirrored pages, licence
+    headers). Scale: the ×W covered-position fan-out runs over
+    DUPLICATED windows only (cnt ≥ 2 — the rare side after the
+    annotate), and countDistinct keeps the merge token-granular without
+    materializing span structs.
+    """
+    ann = substring_annotate(df, id_col, text_col, window)
+    dup = ann.filter(F.col("cnt") >= 2)
+    cov = (
+        dup.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))
+            ).alias("tpos"),
+        )
+        .groupBy(id_col)
+        .agg(F.countDistinct("tpos").alias("dup_tokens"))
+    )
+    totals = df.select(
+        F.col(id_col), F.size(tokenize(F.col(text_col))).alias("total_tokens")
+    )
+    return totals.join(cov, [id_col], "left").select(
+        F.col(id_col),
+        "total_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0).cast("long")).alias("dup_tokens"),
+        F.round(
+            F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("total_tokens"), 6
+        ).alias("dup_coverage"),
+    )
+
+
+def substring_strip(
+    df: DataFrame, id_col: str, text_col: str, window: int = 8
+) -> DataFrame:
+    """Rewrite the corpus with duplicated spans removed, keeping one
+    canonical occurrence: (id, kept_text, n_kept, n_removed).
+
+    Semantics are token-granular: a token survives iff NO removable
+    window covers it, where a window occurrence is removable iff its
+    content occurs elsewhere AND this occurrence is not the canonical
+    (first) one. The canonical occurrence therefore keeps its tokens
+    except where a DIFFERENT duplicated window overlaps them from a
+    non-canonical occurrence — the same all-but-one approximation the
+    suffix-array pipelines make when merging overlapping duplicate
+    ranges. kept_text is the space-join of surviving tokens (documents
+    here are whitespace-tokenized; a byte-faithful rewrite would carry
+    char offsets instead of token positions — same plan shape).
+
+    Scale: the removable set (non-canonical duplicated windows) is the
+    only ×W fan-out; the rebuild anti-joins the (id, tpos, token) rows
+    against it and re-aggregates per doc — this is the one stage where
+    token text enters an exchange, inherent to rewriting the corpus
+    (the output IS the text). Each doc's collect_list is bounded by its
+    own token count (docs are pre-chunked ≤ SUBSTRING_POS_CAP tokens).
+    """
+    ann = substring_annotate(df, id_col, text_col, window)
+    removable = ann.filter(
+        (F.col("cnt") >= 2) & (F.col("__pk") != F.col("canon"))
+    )
+    covered = removable.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))
+        ).alias("tpos"),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokenize(F.col(text_col))).alias("tpos", "tok")
+    )
+    kept = toks.join(covered, [id_col, "tpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("kept_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col), F.size(tokenize(F.col(text_col))).alias("n_tokens")
+    )
+    return totals.join(rebuilt, [id_col], "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+    )

@@ -2959,3 +2959,113 @@ def sampling_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("split"))
         .alias("final_split"),
     )
+
+
+# ------------------- exact-substring (duplicated-span) dedup ----------
+
+def _substring_base_ctes(window: int = 8) -> str:
+    """CTE chain ``toks → th → wpos → win → ann`` that REPLAYS the
+    Spark substring-dedup pipeline (operators/dedup.py
+    substring_annotate) in DuckDB: the same md5-60-bit portable token
+    hashes, the same two-lane 62-bit window fold emitted by the SAME
+    band_key_sql helper the Spark plan embeds, the same packed
+    (doc_id · 2²⁰ + pos) canonical key — every window key, occurrence
+    count, and canonical choice is bit-identical, so parity is
+    deterministic on any regenerated corpus (the substring analogue of
+    _portable_lsh_pairs_ctes)."""
+    key = D.band_key_sql(["th[i]"] + [f"th[i+{k}]" for k in range(1, window)])
+    return f"""
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ), th AS (
+      SELECT doc_id,
+             list_transform(toks,
+                            t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {D.MINHASH_P}) AS th
+      FROM toks
+    ), wpos AS (
+      SELECT doc_id, unnest(range(1, len(th) - {window} + 2)) AS i, th
+      FROM th WHERE len(th) >= {window}
+    ), win AS (
+      SELECT doc_id, i - 1 AS pos, {key} AS wh FROM wpos
+    ), ann AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY wh) AS cnt,
+             min(doc_id * {D.SUBSTRING_POS_CAP} + pos) OVER (PARTITION BY wh) AS canon
+      FROM win
+    )"""
+
+
+@query(
+    "dedup_substring_coverage",
+    oracle="WITH " + _substring_base_ctes(window=8) + """, covt AS (
+      SELECT doc_id, pos + u AS tpos
+      FROM (SELECT doc_id, pos, unnest(range(8)) AS u FROM ann WHERE cnt >= 2)
+    ), cov AS (
+      SELECT doc_id, count(DISTINCT tpos) AS dup_tokens FROM covt GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.toks) AS INTEGER) AS total_tokens,
+           coalesce(c.dup_tokens, 0) AS dup_tokens,
+           round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / len(t.toks), 6)
+             AS dup_coverage
+    FROM toks t LEFT JOIN cov c USING (doc_id)
+    """,
+    doc="B15 exact-substring dedup, REPORT side (the token-position "
+    "analogue of suffix-array substring dedup, Lee et al. 2021): a "
+    "token is duplicated iff some 8-token window containing it occurs "
+    "at another (doc, position) in the corpus; per-doc coverage is the "
+    "quality-filter signal (drop pages past a boilerplate budget). "
+    "Positional — MinHash/SimHash are bag-of-shingles and blind to "
+    "WHERE overlap sits; exact dedup is whole-document. Portable "
+    "md5+two-lane window keys → the oracle replays every key, count, "
+    "and coverage bit-for-bit. Scale: ONE corpus-sized exchange "
+    "partitioned by the 8-byte window key (the suffix-array sort cost, "
+    "Spark-shaped), no text in any exchange before the final report "
+    "join, ×W fan-out only over the cnt ≥ 2 minority.",
+)
+def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return D.substring_duplicate_coverage(d, "doc_id", "text", window=8)
+
+
+@query(
+    "dedup_substring_strip",
+    oracle="WITH " + _substring_base_ctes(window=8) + """, remv AS (
+      SELECT doc_id, pos FROM ann
+      WHERE cnt >= 2 AND doc_id * """ + str(D.SUBSTRING_POS_CAP) + """ + pos <> canon
+    ), rcov AS (
+      SELECT DISTINCT doc_id, pos + u AS tpos
+      FROM (SELECT doc_id, pos, unnest(range(8)) AS u FROM remv)
+    ), tok AS (
+      SELECT doc_id, i - 1 AS tpos, toks[i] AS tok
+      FROM (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks FROM toks)
+    ), kept AS (
+      SELECT k.doc_id, k.tpos, k.tok
+      FROM tok k LEFT JOIN rcov r ON k.doc_id = r.doc_id AND k.tpos = r.tpos
+      WHERE r.doc_id IS NULL
+    ), reb AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS kept_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, coalesce(r.kept_text, '') AS kept_text,
+           coalesce(r.n_kept, 0) AS n_kept,
+           CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM toks t LEFT JOIN reb r USING (doc_id)
+    """,
+    doc="B15 exact-substring dedup, REWRITE side: every duplicated "
+    "8-token span is stripped except its canonical (first) occurrence "
+    "— the corpus rewrite Lee et al. 2021 apply before training, "
+    "token-granular (a token survives iff no removable window covers "
+    "it; overlapping spans resolve with the same all-but-one "
+    "approximation the suffix-array pipelines make). Exact-duplicate "
+    "documents collapse to one surviving copy (kept_text = '' on the "
+    "others). Oracle replays keys, canonical choice, and the rebuilt "
+    "text bit-for-bit. Scale: the rebuild is the one stage where token "
+    "text enters an exchange — inherent, the output IS the text; the "
+    "removable set is the only ×W fan-out.",
+)
+def dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return D.substring_strip(d, "doc_id", "text", window=8)
