@@ -93,6 +93,10 @@ EXTRA = [
     # modality (Lee et al. 2021 shape); one window-key exchange
     "dedup_substring_coverage",
     "dedup_substring_strip",
+    # r10: DSIR importance resampling (hashed-unigram LLR in µ-nats +
+    # deterministic Gumbel top-k)
+    "sampling_dsir_weights",
+    "sampling_dsir_select",
 ]
 
 

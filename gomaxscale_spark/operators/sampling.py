@@ -216,3 +216,134 @@ def domain_cap_salted(
             F.col("__t.__q").alias(quality_col),
         )
     )
+
+
+# ---------------- DSIR: data selection via importance resampling ------
+#
+# Xie et al. 2023 ("Data Selection for Language Models via Importance
+# Resampling"): estimate hashed bag-of-words unigram LMs of a TARGET
+# slice and of the RAW corpus, score every raw document with its log
+# importance weight Σ_tokens ln p̂_target(b)/p̂_raw(b), and resample by
+# weight with Gumbel-top-k. The standard pretraining-data selection
+# recipe when you have a small trusted target (wiki/books) and a huge
+# raw crawl.
+#
+# Engine parity: the per-bucket log-likelihood ratio is quantized to
+# integer MICRO-NATS (round(llr·1e6) as BIGINT) before any per-document
+# aggregation, so the corpus-sized sum is pure integer arithmetic —
+# order-independent and bit-identical in any engine. The only float
+# steps (ln of exact integer ratios; the final Gumbel score) are
+# same-expression/same-input evaluations, the class the tf-idf entry
+# has proven IEEE-identical across Spark and DuckDB since round 2.
+
+#: Modulus for the deterministic Gumbel uniform: u = (h % M + 0.5) / M
+#: keeps u strictly inside (0, 1) so -ln(-ln(u)) is always finite.
+DSIR_GUMBEL_M = 1 << 20
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-document DSIR log importance weight in integer micro-nats:
+    (id, n_tokens, weight_micro).
+
+    weight_micro = Σ over token instances of llr_micro(bucket(token)),
+    llr_micro(b) = round(1e6 · [ln(tc_b+1) − ln(T+B) − ln(rc_b+1) +
+    ln(R+B)]) — add-1-smoothed hashed-unigram LLR of the ``target``
+    slice (a boolean Column over df's rows) against the whole corpus.
+    Buckets are the portable md5-60-bit token hash mod ``n_buckets``,
+    so an oracle replays membership exactly.
+
+    Scale: token rows carry (id, 2-byte bucket) — never text — and the
+    bucket LM is a ``n_buckets``-row aggregate that BROADCASTS back to
+    the token stream (one corpus-sized partial-agg groupBy(id), no
+    corpus-sized join). The totals crossJoin is a 1-row broadcast. At
+    100 TB the bucket table is still KBs: the stats pass and the score
+    pass each read the corpus once — the two-pass shape the DSIR paper
+    itself uses.
+    """
+    from .dedup import MINHASH_P  # portable token-hash base (md5-60-bit)
+
+    rows = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""),
+                    lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10)
+                    .cast("long")
+                    % F.lit(n_buckets),
+                )
+            ).alias("bucket"),
+            target.cast("long").alias("__t"),
+        )
+    )
+    bstats = rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rc"), F.sum("__t").alias("tc")
+    )
+    totals = bstats.agg(
+        F.sum("rc").alias("rt"), F.sum("tc").alias("tt")
+    )
+    llr = (
+        bstats.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(F.col("tc") + 1)
+                    - F.log(F.col("tt") + n_buckets)
+                    - F.log(F.col("rc") + 1)
+                    + F.log(F.col("rt") + n_buckets)
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("llr_micro"),
+        )
+    )
+    return (
+        rows.join(F.broadcast(llr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("llr_micro").alias("weight_micro"),
+        )
+    )
+
+
+def dsir_resample(
+    weights: DataFrame,
+    id_col: str,
+    k: int,
+    weight_micro_col: str = "weight_micro",
+) -> DataFrame:
+    """Gumbel-top-k resampling over DSIR weights: (id, score), the k
+    highest score = weight + Gumbel(id) rows — a without-replacement
+    sample ∝ exp(weight), deterministic in the id (re-runs and
+    backfills select the same documents; no rand()).
+
+    The Gumbel noise is g = −ln(−ln(u)) with u = (md5(id) % M + ½)/M —
+    engine-portable and strictly inside (0,1). Scale: pure map +
+    TakeOrderedAndProject; no shuffle beyond the top-k tree.
+    """
+    u = (
+        (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % DSIR_GUMBEL_M
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(DSIR_GUMBEL_M))
+    score = F.round(
+        F.col(weight_micro_col) / F.lit(1e6) + -F.log(-F.log(u)), 6
+    ).alias("score")
+    return (
+        weights.select(F.col(id_col), score)
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

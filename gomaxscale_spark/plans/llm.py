@@ -3069,3 +3069,71 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return D.substring_strip(d, "doc_id", "text", window=8)
+
+
+# ---------------- DSIR: data selection via importance resampling ------
+
+_DSIR_WEIGHTS_CTES = """
+    rws AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
+               t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 4096)) AS bucket,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t
+      FROM documents
+    ), bstats AS (
+      SELECT bucket, count(*) AS rc, sum(t) AS tc FROM rws GROUP BY bucket
+    ), totals AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM bstats),
+    llr AS (
+      SELECT bucket,
+             CAST(round((ln(tc + 1) - ln(tt + 4096)
+                         - ln(rc + 1) + ln(rt + 4096)) * 1e6) AS BIGINT)
+               AS llr_micro
+      FROM bstats, totals
+    ), w AS (
+      SELECT r.doc_id, count(*) AS n_tokens,
+             CAST(sum(l.llr_micro) AS BIGINT) AS weight_micro
+      FROM rws r JOIN llr l USING (bucket) GROUP BY r.doc_id
+    )"""
+
+
+@query(
+    "sampling_dsir_weights",
+    oracle="WITH " + _DSIR_WEIGHTS_CTES + "\n    SELECT doc_id, n_tokens, weight_micro FROM w",
+    doc="LLM-pipeline: DSIR log importance weights (Xie et al. 2023) — "
+    "hashed bag-of-words unigram LMs of the target slice (lang='en', "
+    "the trusted-corpus stand-in) vs the raw corpus; per-doc weight "
+    "Σ ln p̂_t(b)/p̂_r(b), add-1 smoothed over 4096 md5-portable "
+    "buckets. The per-bucket LLR is quantized to integer MICRO-NATS "
+    "before the corpus-sized sum, so the aggregation is pure BIGINT "
+    "arithmetic — order-independent, no float-summation parity risk "
+    "(the ln calls are same-expression/same-input, the tf-idf-proven "
+    "class). Scale: token rows carry (id, 2-byte bucket); the "
+    "4096-row LM broadcasts back; two corpus reads total — the DSIR "
+    "paper's own two-pass shape.",
+)
+def sampling_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return SA.dsir_log_weights(d, "doc_id", "text", F.col("lang") == "en", n_buckets=4096)
+
+
+@query(
+    "sampling_dsir_select",
+    oracle="WITH " + _DSIR_WEIGHTS_CTES + """
+    SELECT doc_id,
+           round(weight_micro / 1000000.0
+                 + -ln(-ln((((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                              % 1048576)) + 0.5) / 1048576.0)), 6) AS score
+    FROM w ORDER BY score DESC, doc_id LIMIT 100
+    """,
+    doc="LLM-pipeline: DSIR Gumbel-top-k resampling — the "
+    "without-replacement sample ∝ exp(weight) that DSIR draws from "
+    "the raw corpus, with the Gumbel noise a deterministic md5 "
+    "function of doc_id (re-runs/backfills select identical docs; no "
+    "rand()). Scale: pure map over the weights table + "
+    "TakeOrderedAndProject — no shuffle beyond the top-k tree.",
+)
+def sampling_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    w = SA.dsir_log_weights(d, "doc_id", "text", F.col("lang") == "en", n_buckets=4096)
+    return SA.dsir_resample(w, "doc_id", k=100)
