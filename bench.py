@@ -97,6 +97,8 @@ EXTRA = [
     # deterministic Gumbel top-k)
     "sampling_dsir_weights",
     "sampling_dsir_select",
+    # r10: CCNet-style hashed bigram-LM perplexity quality scoring
+    "text_bigram_perplexity",
 ]
 
 

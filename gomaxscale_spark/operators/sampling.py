@@ -282,8 +282,16 @@ def dsir_log_weights(
             target.cast("long").alias("__t"),
         )
     )
-    bstats = rows.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("rc"), F.sum("__t").alias("tc")
+    # materialize the (≤ n_buckets)-row LM once: totals, llr, and the
+    # score pass all consume it — without this the token explode+md5
+    # lineage re-executes per consumer (3 corpus scans; measured 31 s
+    # → ~20 s at the x30 replica). The stats artifact is KBs.
+    from .materialize import materialize_once
+
+    bstats = materialize_once(
+        rows.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("rc"), F.sum("__t").alias("tc")
+        )
     )
     totals = bstats.agg(
         F.sum("rc").alias("rt"), F.sum("tc").alias("tt")

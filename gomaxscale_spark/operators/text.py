@@ -215,3 +215,120 @@ def benchmark_contamination(
             "contamination", F.round(F.col("hits") / F.col("total_ngrams"), 6)
         )
     )
+
+
+# ------------- hashed bigram-LM perplexity scoring (CCNet-style) ------
+#
+# The perplexity quality filter (Wenzek et al. 2020, CCNet; also the
+# Gopher/MassiveText pipeline): score every document by the average
+# log-probability a reference-corpus language model assigns to it, and
+# filter/partition the corpus on that score. The LM here is a hashed
+# BIGRAM model with add-1 smoothing — the Spark-expressible stand-in
+# for KenLM (same pipeline role, engine-portable math; a production
+# deployment would swap the scorer UDF, not the plan).
+#
+# Engine parity reuses the DSIR discipline (operators/sampling.py):
+# each bigram's log-prob is quantized to integer MICRO-NATS right
+# after the (same-expression, integer-input) ln calls, so the per-doc
+# aggregation is order-independent BIGINT arithmetic.
+
+#: Per-side hash buckets for the bigram LM. 256 keeps the full
+#: conditional table ≤ 256² = 65,536 rows — broadcastable by
+#: construction at ANY corpus scale (the table size is a function of
+#: the hash space, not the corpus).
+PPL_BUCKETS = 256
+
+
+def bigram_logprob_micro(
+    df,
+    id_col: str,
+    text_col: str,
+    reference,
+    n_buckets: int = PPL_BUCKETS,
+):
+    """Per-document hashed-bigram LM score: (id, n_bigrams, lp_micro,
+    avg_logprob) where lp_micro = Σ round(1e6 · ln p̂(b₂|b₁)) over the
+    doc's token bigrams, p̂ add-1-smoothed from the ``reference`` slice
+    (a boolean Column over df's rows — the trusted corpus the LM is
+    trained on), and avg_logprob = round(lp_micro/1e6/n_bigrams, 6).
+    Documents with fewer than 2 tokens get no row (no bigrams to
+    score) — keep them upstream if needed.
+
+    Scale: bigram rows carry (id, packed 2-byte×2 key); the conditional
+    LM (≤ n_buckets² rows) and the context-count table (n_buckets rows)
+    are aggregates of the reference slice that BROADCAST back to the
+    corpus stream — the score pass is one scan + two broadcast hash
+    joins + one partial-agg groupBy(id). Unseen bigrams/contexts fall
+    out of the LEFT joins as count 0 (add-1 smoothing handles them in
+    the same expression — no special-casing, no lost rows).
+    """
+    from .dedup import MINHASH_P  # noqa: F401  (documents the hash family)
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    bucketed = F.transform(
+        toks,
+        lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+        % F.lit(n_buckets),
+    )
+    base = df.select(
+        F.col(id_col),
+        bucketed.alias("__b"),
+        reference.cast("long").alias("__ref"),
+    )
+    # (id, key=b1*B+b2, __ref) — one row per bigram occurrence
+    pairs = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(F.col("__b")) >= 2,
+                F.expr(
+                    "transform(sequence(1, size(__b) - 1),"
+                    f" k -> element_at(__b, k) * {n_buckets} + element_at(__b, k + 1))"
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("key"),
+        F.col("__ref"),
+    )
+    # materialize the (≤ n_buckets²)-row conditional LM once and DERIVE
+    # the context table from it (Σ_b2 c2(b1,b2) = c1(b1) — the proper
+    # conditional denominator, and zero extra corpus scans; counting
+    # raw tokens would also be wrong, including document-final tokens
+    # that never serve as context). The LM artifact is ≤ 65k rows.
+    from .materialize import materialize_once
+
+    c2 = materialize_once(
+        pairs.filter(F.col("__ref") == 1)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    c1 = (
+        c2.groupBy(F.floor(F.col("key") / n_buckets).cast("long").alias("b1"))
+        .agg(F.sum("c2").alias("c1"))
+    )
+    scored = (
+        pairs.withColumn("b1", F.floor(F.col("key") / n_buckets).cast("long"))
+        .join(F.broadcast(c2), "key", "left")
+        .join(F.broadcast(c1), "b1", "left")
+        .select(
+            F.col(id_col),
+            F.round(
+                (
+                    F.log(F.coalesce(F.col("c2"), F.lit(0)) + 1)
+                    - F.log(F.coalesce(F.col("c1"), F.lit(0)) + n_buckets)
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lp_micro").alias("lp_micro"),
+    ).select(
+        F.col(id_col),
+        "n_bigrams",
+        "lp_micro",
+        F.round(F.col("lp_micro") / 1e6 / F.col("n_bigrams"), 6).alias("avg_logprob"),
+    )

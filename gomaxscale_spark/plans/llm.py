@@ -3137,3 +3137,61 @@ def sampling_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     w = SA.dsir_log_weights(d, "doc_id", "text", F.col("lang") == "en", n_buckets=4096)
     return SA.dsir_resample(w, "doc_id", k=100)
+
+
+# ---------- hashed bigram-LM perplexity scoring (CCNet-style) ---------
+
+@query(
+    "text_bigram_perplexity",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
+               t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 256) AS b,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ref
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(b)),
+                                   k -> b[k] * 256 + b[k+1])) AS key,
+             ref
+      FROM base WHERE len(b) >= 2
+    ), c2 AS (
+      SELECT key, count(*) AS c2 FROM pairs WHERE ref = 1 GROUP BY key
+    ), c1 AS (
+      SELECT CAST(floor(key / 256) AS BIGINT) AS b1, count(*) AS c1
+      FROM pairs WHERE ref = 1 GROUP BY 1
+    ), scored AS (
+      SELECT p.doc_id,
+             CAST(round((ln(coalesce(c2.c2, 0) + 1)
+                         - ln(coalesce(c1.c1, 0) + 256)) * 1e6) AS BIGINT)
+               AS lp_micro
+      FROM pairs p
+      LEFT JOIN c2 ON p.key = c2.key
+      LEFT JOIN c1 ON CAST(floor(p.key / 256) AS BIGINT) = c1.b1
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum(lp_micro) AS BIGINT) AS lp_micro
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, lp_micro,
+           round(lp_micro / 1e6 / n_bigrams, 6) AS avg_logprob
+    FROM agg
+    """,
+    doc="LLM-pipeline: CCNet-style perplexity quality scoring (Wenzek "
+    "et al. 2020) — every document scored by the average log-prob a "
+    "reference-slice (lang='en') hashed BIGRAM LM assigns it, add-1 "
+    "smoothed over 256 md5-portable buckets per side (the "
+    "Spark-expressible stand-in for KenLM: same pipeline role, "
+    "engine-portable math). Per-bigram log-probs are quantized to "
+    "integer micro-nats (the DSIR discipline) so the per-doc sum is "
+    "order-independent BIGINT arithmetic. Scale: the conditional LM "
+    "is ≤ 256² rows and the context table 256 — broadcastable at ANY "
+    "corpus size by construction (table size is a function of the "
+    "hash space, not the corpus); the score pass is one scan + two "
+    "broadcast joins + one partial-agg groupBy.",
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return TX.bigram_logprob_micro(d, "doc_id", "text", F.col("lang") == "en")
