@@ -99,6 +99,11 @@ EXTRA = [
     "sampling_dsir_select",
     # r10: CCNet-style hashed bigram-LM perplexity quality scoring
     "text_bigram_perplexity",
+    # r10: substring-family diagnostics + span-level decontamination +
+    # the one-pass corpus profile
+    "dedup_substring_span_histogram",
+    "decontaminate_substring_overlap",
+    "profile_documents_by_source",
 ]
 
 

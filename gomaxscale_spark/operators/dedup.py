@@ -1469,3 +1469,86 @@ def substring_strip(
         F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
         (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
     )
+
+
+def substring_span_histogram(
+    df: DataFrame, id_col: str, text_col: str, window: int = 8
+) -> DataFrame:
+    """Corpus-wide histogram of MAXIMAL duplicated-span lengths:
+    (span_len tokens, n_spans) — the "how long are my repeated
+    substrings" report that decides the window/threshold dials
+    (suffix-array pipelines read the same distribution off the LCP
+    array). A maximal span is a run of consecutive duplicated window
+    positions within one doc: a run of r windows covers r + W − 1
+    tokens.
+
+    Scale: runs are found with the gaps-and-islands pattern (pos −
+    row_number is constant within a run) — one extra exchange on
+    doc_id over the DUPLICATED minority, then two partial-agg
+    reductions; the histogram is at most max_doc_tokens rows.
+    """
+    ann = substring_annotate(df, id_col, text_col, window)
+    dup = ann.filter(F.col("cnt") >= 2).select(F.col(id_col), "pos")
+    wspec = W.partitionBy(id_col).orderBy("pos")
+    runs = dup.withColumn(
+        "__grp", F.col("pos") - F.row_number().over(wspec)
+    )
+    spans = runs.groupBy(F.col(id_col), F.col("__grp")).agg(
+        (F.count(F.lit(1)) + F.lit(window - 1)).alias("span_len")
+    )
+    return (
+        spans.groupBy("span_len")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+        .orderBy("span_len")
+    )
+
+
+def incremental_substring_coverage(
+    new_batch: DataFrame,
+    historical: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Span-level decontamination / train-test overlap: for every doc
+    in ``new_batch``, the fraction of its tokens covered by W-token
+    windows that ALSO occur anywhere in ``historical`` — (id,
+    total_tokens, lake_tokens, lake_coverage). The positional twin of
+    benchmark_contamination (gram-SET overlap): this one tells you
+    WHERE and HOW MUCH of each candidate doc is verbatim lake content
+    (Lee et al. 2021 measure exactly this between train and eval).
+
+    Scale: both sides reduce to (pos,) window-key rows before any
+    join; the historical side is distinct 8-byte keys (one row per
+    unique window — boilerplate collapses) and the join is a semi join
+    on the key, so no text and no fan-out crosses the exchange. With a
+    key-bucketed lake layout the semi join co-locates
+    (operators/bucketing.py); a bloom/cuckoo filter on the lake keys
+    is the probe-side short-circuit at 100 TB — same plan shape.
+    """
+    new_pos = substring_window_positions(new_batch, id_col, text_col, window)
+    hist_keys = substring_window_positions(
+        historical, id_col, text_col, window
+    ).select("wh").distinct()
+    matched = new_pos.join(hist_keys, "wh", "semi")
+    cov = (
+        matched.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))
+            ).alias("tpos"),
+        )
+        .groupBy(id_col)
+        .agg(F.countDistinct("tpos").alias("lake_tokens"))
+    )
+    totals = new_batch.select(
+        F.col(id_col), F.size(tokenize(F.col(text_col))).alias("total_tokens")
+    )
+    return totals.join(cov, [id_col], "left").select(
+        F.col(id_col),
+        "total_tokens",
+        F.coalesce(F.col("lake_tokens"), F.lit(0).cast("long")).alias("lake_tokens"),
+        F.round(
+            F.coalesce(F.col("lake_tokens"), F.lit(0)) / F.col("total_tokens"), 6
+        ).alias("lake_coverage"),
+    )

@@ -3195,3 +3195,131 @@ def sampling_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return TX.bigram_logprob_micro(d, "doc_id", "text", F.col("lang") == "en")
+
+
+@query(
+    "dedup_substring_span_histogram",
+    oracle="WITH " + _substring_base_ctes(window=8) + """, dup AS (
+      SELECT doc_id, pos FROM ann WHERE cnt >= 2
+    ), runs AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dup
+    ), spans AS (
+      SELECT doc_id, grp, count(*) + 7 AS span_len
+      FROM runs GROUP BY doc_id, grp
+    )
+    SELECT span_len, count(*) AS n_spans FROM spans GROUP BY span_len
+    """,
+    doc="B15 exact-substring dedup, DIAGNOSTIC side: histogram of "
+    "maximal duplicated-span lengths (a run of r consecutive "
+    "duplicated window positions covers r+W−1 tokens) — the "
+    "distribution suffix-array pipelines read off the LCP array to "
+    "pick window/threshold dials. Gaps-and-islands over the "
+    "duplicated minority (pos − row_number constant within a run); "
+    "pure integer arithmetic, oracle replays exactly. Scale: one "
+    "doc_id exchange over cnt ≥ 2 positions only; output ≤ "
+    "max_doc_tokens rows.",
+)
+def dedup_substring_span_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return D.substring_span_histogram(d, "doc_id", "text", window=8)
+
+
+def _substring_win_ctes(window: int, src_filter: str, prefix: str) -> str:
+    """toks→th→wpos→win replay for a FILTERED slice of documents
+    (shared by the incremental/span-decontamination oracle)."""
+    key = D.band_key_sql([f"{prefix}th[i]"] + [f"{prefix}th[i+{k}]" for k in range(1, window)])
+    return f"""
+    {prefix}toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+      FROM documents WHERE {src_filter}
+    ), {prefix}th AS (
+      SELECT doc_id,
+             list_transform(toks,
+                            t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {D.MINHASH_P})
+               AS {prefix}th
+      FROM {prefix}toks
+    ), {prefix}wpos AS (
+      SELECT doc_id, unnest(range(1, len({prefix}th) - {window} + 2)) AS i, {prefix}th
+      FROM {prefix}th WHERE len({prefix}th) >= {window}
+    ), {prefix}win AS (
+      SELECT doc_id, i - 1 AS pos, {key} AS wh FROM {prefix}wpos
+    )"""
+
+
+@query(
+    "decontaminate_substring_overlap",
+    oracle="WITH "
+    + _substring_win_ctes(8, "doc_id % 10 = 0", "n")
+    + ", "
+    + _substring_win_ctes(8, "doc_id % 10 <> 0", "h")
+    + """, hk AS (
+      SELECT DISTINCT wh FROM hwin
+    ), matched AS (
+      SELECT n.doc_id, n.pos FROM nwin n WHERE n.wh IN (SELECT wh FROM hk)
+    ), covt AS (
+      SELECT doc_id, pos + u AS tpos
+      FROM (SELECT doc_id, pos, unnest(range(8)) AS u FROM matched)
+    ), cov AS (
+      SELECT doc_id, count(DISTINCT tpos) AS lake_tokens FROM covt GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.toks) AS INTEGER) AS total_tokens,
+           coalesce(c.lake_tokens, 0) AS lake_tokens,
+           round(CAST(coalesce(c.lake_tokens, 0) AS DOUBLE) / len(t.toks), 6)
+             AS lake_coverage
+    FROM ntoks t LEFT JOIN cov c USING (doc_id)
+    """,
+    doc="B15/decontamination: span-level train-test overlap — for each "
+    "doc of a NEW batch (doc_id % 10 = 0), the fraction of its tokens "
+    "covered by 8-token windows that occur anywhere in the historical "
+    "corpus (the other 90%) — the positional twin of "
+    "decontaminate_benchmark's gram-set overlap (Lee et al. 2021 "
+    "measure exactly this between train and eval). Scale: both sides "
+    "reduce to 8-byte window keys before the semi join (historical "
+    "side distinct — boilerplate collapses to one key row); no text "
+    "or fan-out in any exchange; bucket the lake keys for a "
+    "co-located join, bloom-filter them for a probe short-circuit.",
+)
+def decontaminate_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    hist = d.filter(F.col("doc_id") % 10 != 0)
+    return D.incremental_substring_coverage(new, hist, "doc_id", "text", window=8)
+
+
+@query(
+    "profile_documents_by_source",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(len(list_filter(string_split_regex(text, '\\s+'),
+                                     t -> t <> ''))), 4) AS avg_tokens,
+           quantile_cont(n_chars, 0.5) AS median_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY source
+    """,
+    doc="LLM-pipeline: one-pass corpus profile by source — doc counts, "
+    "token means, char-length median/min/max, language cardinality — "
+    "the dataset-card stats every ingest emits before mixing "
+    "decisions. Exact median via interpolated percentile (frac is 0 "
+    "or ½ on integer inputs → bit-identical in both engines; avg of "
+    "ints is an exact-in-double integer sum). Scale: a single "
+    "partial-agg groupBy over ~20 sources; at 100 TB swap the exact "
+    "median for approx_percentile in the same plan (the sketch is the "
+    "scale dial, the plan shape is the product).",
+)
+def profile_documents_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.size(toks)), 4).alias("avg_tokens"),
+        F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )

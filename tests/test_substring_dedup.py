@@ -135,3 +135,48 @@ def test_strip_window_key_exchange_is_text_free(spark, sf_dir):
     ]
     assert wh_exchanges, "annotate exchange (partition by wh) not found"
     assert all("text" not in e and "tok" not in e for e in wh_exchanges), wh_exchanges
+
+
+def test_span_histogram_merges_runs_to_maximal_spans(spark):
+    # docs 1/2 share one 5-token run ("q r s t u" → two overlapping
+    # 4-windows merge to ONE maximal span of 5 tokens per doc); docs
+    # 3/4 are exact 6-token duplicates (one 6-token span each)
+    df = _docs(
+        spark,
+        [
+            (1, "q r s t u aa bb cc"),
+            (2, "dd ee q r s t u ff"),
+            (3, "m n o p q2 r2"),
+            (4, "m n o p q2 r2"),
+        ],
+    )
+    hist = {
+        r["span_len"]: r["n_spans"]
+        for r in D.substring_span_histogram(df, "doc_id", "text", window=W).collect()
+    }
+    assert hist == {5: 2, 6: 2}, hist
+
+
+def test_incremental_coverage_vs_lake(spark):
+    # new doc 10 repeats lake doc 1's 5-token run; new doc 20 is clean
+    new = _docs(spark, [(10, "zz q r s t u yy"), (20, "totally fresh tokens here now")])
+    hist = _docs(spark, [(1, "q r s t u aa bb cc"), (2, "other lake content words")])
+    cov = {
+        r["doc_id"]: r
+        for r in D.incremental_substring_coverage(new, hist, "doc_id", "text", window=W).collect()
+    }
+    assert cov[10]["lake_tokens"] == 5
+    assert cov[20]["lake_tokens"] == 0 and cov[20]["lake_coverage"] == 0.0
+
+
+def test_incremental_coverage_nonzero_on_corpus(spark, sf_dir):
+    from gomaxscale_spark.plans import all_queries
+
+    df = all_queries()["decontaminate_substring_overlap"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 50  # the 10% "new batch" slice of 500 docs
+    assert any(r["lake_tokens"] > 0 for r in rows)  # near-dup families cross the split
+    # and the plan keeps text out of every exchange
+    p = df._jdf.queryExecution().executedPlan().toString()
+    exchanges = [seg.splitlines()[0] for seg in p.split("Exchange")[1:]]
+    assert all("text" not in e for e in exchanges), exchanges
