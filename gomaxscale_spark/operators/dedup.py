@@ -1360,9 +1360,20 @@ def substring_annotate(
     """
     pos = substring_window_positions(df, id_col, text_col, window)
     wspec = W.partitionBy("wh")
-    return pos.withColumn(
-        "__pk", F.col(id_col) * SUBSTRING_POS_CAP + F.col("pos")
-    ).select(
+    # enforce the documented bound instead of silently corrupting the
+    # packed key: a ≥ 2²⁰-token document aborts the job (chunk upstream)
+    packed = F.when(
+        F.col("pos") < SUBSTRING_POS_CAP,
+        F.col(id_col) * SUBSTRING_POS_CAP + F.col("pos"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "substring_annotate: document exceeds SUBSTRING_POS_CAP "
+                f"({SUBSTRING_POS_CAP}) token positions — chunk it upstream"
+            )
+        ).cast("long")
+    )
+    return pos.withColumn("__pk", packed).select(
         F.col(id_col),
         "pos",
         "wh",

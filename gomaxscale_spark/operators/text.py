@@ -262,8 +262,6 @@ def bigram_logprob_micro(
     out of the LEFT joins as count 0 (add-1 smoothing handles them in
     the same expression — no special-casing, no lost rows).
     """
-    from .dedup import MINHASH_P  # noqa: F401  (documents the hash family)
-
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     bucketed = F.transform(
         toks,

@@ -180,3 +180,12 @@ def test_incremental_coverage_nonzero_on_corpus(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     exchanges = [seg.splitlines()[0] for seg in p.split("Exchange")[1:]]
     assert all("text" not in e for e in exchanges), exchanges
+
+
+def test_pos_cap_guard_raises_instead_of_corrupting(spark, monkeypatch):
+    import pytest
+
+    monkeypatch.setattr(D, "SUBSTRING_POS_CAP", 4)
+    df = _docs(spark, [(1, "a b c d e f g h i j")])  # positions 0..6 > cap 4
+    with pytest.raises(Exception, match="SUBSTRING_POS_CAP"):
+        D.substring_annotate(df, "doc_id", "text", window=W).collect()
