@@ -1529,19 +1529,48 @@ def incremental_substring_coverage(
     WHERE and HOW MUCH of each candidate doc is verbatim lake content
     (Lee et al. 2021 measure exactly this between train and eval).
 
-    Scale: both sides reduce to (pos,) window-key rows before any
-    join; the historical side is distinct 8-byte keys (one row per
-    unique window — boilerplate collapses) and the join is a semi join
-    on the key, so no text and no fan-out crosses the exchange. With a
-    key-bucketed lake layout the semi join co-locates
-    (operators/bucketing.py); a bloom/cuckoo filter on the lake keys
-    is the probe-side short-circuit at 100 TB — same plan shape.
+    Scale: probe-direction joins — the probe batch's distinct key set
+    BROADCASTS into a semi join over the historical window stream
+    (the big side is scanned, never shuffled), and the (≤ probe-sized)
+    hit set broadcasts back; no text and no fan-out crosses any
+    exchange. The historical window computation itself is the
+    inherent cost of probing raw docs — SubstringKeyLakeSink
+    (streaming/sinks.py) amortizes it by maintaining the distinct key
+    store at ingest, and ``substring_coverage_vs_keys`` probes such a
+    precomputed store directly. A bloom/cuckoo filter on the lake
+    keys is the probe short-circuit at 100 TB — same plan shape.
     """
-    new_pos = substring_window_positions(new_batch, id_col, text_col, window)
-    hist_keys = substring_window_positions(
-        historical, id_col, text_col, window
-    ).select("wh").distinct()
-    matched = new_pos.join(hist_keys, "wh", "semi")
+    hist_pos = substring_window_positions(historical, id_col, text_col, window)
+    return substring_coverage_vs_keys(
+        new_batch, hist_pos.select("wh"), id_col, text_col, window
+    )
+
+
+def substring_coverage_vs_keys(
+    probe_docs: DataFrame,
+    key_rows: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Core of the span-level contamination probe: coverage of each
+    probe doc by windows present in ``key_rows`` (a ``wh`` column —
+    need not be distinct; a lake's key store or any window stream).
+
+    The probe side is assumed eval-set-sized (broadcastable): its
+    distinct keys broadcast into the key stream's scan and only the
+    hits come back. For probe batches too large to broadcast, run the
+    shuffle-join form instead (swap the broadcast for a plain semi
+    join — result-identical).
+    """
+    new_pos = substring_window_positions(probe_docs, id_col, text_col, window)
+    probe_keys = new_pos.select("wh").distinct()
+    hits = (
+        key_rows.join(F.broadcast(probe_keys), "wh", "semi")
+        .select("wh")
+        .distinct()
+    )
+    matched = new_pos.join(F.broadcast(hits), "wh", "semi")
     cov = (
         matched.select(
             F.col(id_col),
@@ -1552,7 +1581,7 @@ def incremental_substring_coverage(
         .groupBy(id_col)
         .agg(F.countDistinct("tpos").alias("lake_tokens"))
     )
-    totals = new_batch.select(
+    totals = probe_docs.select(
         F.col(id_col), F.size(tokenize(F.col(text_col))).alias("total_tokens")
     )
     return totals.join(cov, [id_col], "left").select(

@@ -991,3 +991,131 @@ class IncrementalLSHDedupSink:
         release(orphan_ids)
         shutil.rmtree(f"{self.path}/review", ignore_errors=True)
         return n_drop
+
+
+class SubstringKeyLakeSink:
+    """Streaming substring-window-key lake: the ingest-time half of
+    span-level decontamination. Each micro-batch's distinct W-token
+    window keys (operators/dedup.py substring_window_positions — the
+    portable two-lane fold) land as a committed epoch under
+    ``keys/epoch=N``; ``probe_coverage`` then answers the ONLINE
+    question "how much of this eval/benchmark doc is verbatim training
+    content?" without re-hashing the corpus — the positional twin of
+    the text lake's ``probe_near_dups`` (jaccard-level), and the
+    amortized form of operators/dedup.py incremental_substring_coverage
+    (which pays a full historical window scan per call).
+
+    Protocol: the repo-standard EpochCommit — markers are the commit
+    point, a retried epoch's markerless partial dir is dropped before
+    re-apply, serving reads see committed epochs only, and ``compact``
+    folds the epoch dirs into one distinct ``target_files``-file
+    dataset via the two-rename swap (keys are a SET, so compaction
+    also dedups across epochs — the store stops growing once the
+    corpus's window vocabulary saturates).
+
+    Layout under ``path``:
+      ``keys/epoch=N/``  — distinct window keys first seen in epoch N
+      ``_epoch_N``       — commit marker
+
+    Scale: the lake stores 8-byte keys only (no text, no positions —
+    ~32 B/row parquet-encoded vs the corpus's ~500 B/doc); probes
+    broadcast their key set into the lake scan (lake never shuffled,
+    plan-pinned in tests) and only hits come back.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        window: int = 8,
+        compact_every: int | None = None,
+    ) -> None:
+        self.path = path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.window = window
+        #: auto-compaction cadence (committed epoch dirs); None = manual
+        self.compact_every = compact_every
+        self._commit = EpochCommit(path)
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        self.apply_batch(batch_df, epoch_id)
+
+    def apply_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        if self._commit.is_committed(epoch_id):
+            return  # retried epoch — already committed
+        with self._commit.trigger_guard():
+            self._apply_batch_locked(batch_df, epoch_id)
+        if (
+            self.compact_every is not None
+            and len(self._commit.committed_epoch_dirs("keys")) >= self.compact_every
+        ):
+            self.compact(batch_df.sparkSession)
+
+    def _apply_batch_locked(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from ..operators import dedup as D
+
+        self._commit.finish_swap(("keys",))
+        self._commit.clean_partial(("keys",), epoch_id)
+        keys = (
+            D.substring_window_positions(
+                batch_df, self.id_col, self.text_col, self.window
+            )
+            .select("wh")
+            .distinct()
+        )
+        # only keys NOT already in the lake are stored — the lake is a
+        # set, so epochs stay disjoint and compaction-free reads never
+        # double-count. Probe direction (batch keys broadcast into the
+        # lake scan) keeps the lake un-shuffled on the trigger path too.
+        existing = self._commit.committed_epoch_dirs("keys")
+        if existing:
+            lake = batch_df.sparkSession.read.parquet(*existing)
+            hits = lake.join(F.broadcast(keys), "wh", "semi").select("wh").distinct()
+            keys = keys.join(F.broadcast(hits), "wh", "left_anti")
+        keys.write.mode("overwrite").parquet(f"{self.path}/keys/epoch={epoch_id}")
+        self._commit.commit(epoch_id)
+
+    def read_keys(self, spark) -> DataFrame:
+        """Serving read: committed epochs only; empty lake → empty
+        frame with the contractual ``wh`` column."""
+        dirs = self._commit.committed_epoch_dirs("keys")
+        if not dirs:
+            return spark.createDataFrame([], "wh bigint")
+        return spark.read.parquet(*dirs)
+
+    def probe_coverage(self, probe_docs: DataFrame) -> DataFrame:
+        """Online span-contamination check: (id, total_tokens,
+        lake_tokens, lake_coverage) for every probe doc against the
+        committed lake — read-only, crash-consistent, identical math
+        to the batch operator (pytested equality)."""
+        from ..operators import dedup as D
+
+        return D.substring_coverage_vs_keys(
+            probe_docs,
+            self.read_keys(probe_docs.sparkSession),
+            self.id_col,
+            self.text_col,
+            self.window,
+        )
+
+    def compact(self, spark, target_files: int = 4) -> None:
+        """Fold committed epoch dirs into one distinct dataset under
+        ``epoch=<max committed>`` (two-rename swap; markers kept so
+        replays stay no-ops; markerless partials dropped first)."""
+        with self._commit.maintenance_guard():
+            self._commit.finish_swap(("keys",))
+            committed = self._commit.drop_partial_epochs(("keys",))
+            if len(committed) <= 1 or not os.path.isdir(f"{self.path}/keys"):
+                return
+            base = max(committed)
+            df = spark.read.parquet(f"{self.path}/keys").drop("epoch").distinct()
+            self._commit.swap_publish(
+                "keys",
+                lambda staging: (
+                    df.coalesce(target_files)
+                    .write.mode("overwrite")
+                    .parquet(f"{staging}/epoch={base}")
+                ),
+            )

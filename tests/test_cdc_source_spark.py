@@ -541,3 +541,69 @@ def test_cdc_stream_feeds_dedup_lake(registered, tmp_path):
     assert 1 in kept and 4 in kept and 5 in kept
     assert 2 not in kept, "exact CDC copy survived"
     assert 3 not in kept, "near-dup CDC payload survived"
+
+
+def test_cdc_stream_feeds_substring_key_lake(registered, tmp_path):
+    """CDC documents stream → SubstringKeyLakeSink under the REAL
+    Structured Streaming engine: window keys accumulate per committed
+    epoch and the online probe flags a doc that verbatim-copies lake
+    content while passing a fresh one."""
+    from gomaxscale_spark.streaming.sinks import SubstringKeyLakeSink
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs_ddl = dict(DDL, table="documents", fields=[
+        {"name": "doc_id", "type": "int"},
+        {"name": "text", "type": "string"},
+    ])
+    payloads = {
+        1: base,
+        2: "entirely different tokens about query planning and shuffles today",
+    }
+    script = [docs_ddl] + [
+        dml(i, doc_id=i, text=payloads[i]) for i in sorted(payloads)
+    ]
+    reg = SchemaRegistry()
+    reg.register(json.dumps(docs_ddl).encode())
+    schema = reg.full_dml_schema("example", "documents")
+    sink = SubstringKeyLakeSink(str(tmp_path / "cdc_sslake"), window=8)
+
+    def fold(batch_df, epoch_id):
+        projected = (
+            batch_df.filter(F.col("kind") == "dml")
+            .select(F.from_json("raw", schema).alias("r"))
+            .select(F.col("r.doc_id").cast("long").alias("doc_id"), "r.text")
+        )
+        sink.apply_batch(projected, epoch_id)
+
+    opts = dict(read_options((None, None)), table="documents")
+    with MockMaxScaleServer(script=script, write_delay=0.05) as addr:
+        opts["host"], opts["port"] = addr[0], str(addr[1])
+        q = (
+            registered.readStream.format("maxscale_cdc")
+            .options(**opts)
+            .load()
+            .writeStream.foreachBatch(fold)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 45
+            while time.time() < deadline:
+                try:
+                    if sink.read_keys(registered).count() >= 20:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+        finally:
+            q.stop()
+
+    probes = registered.createDataFrame(
+        [(100, "xx " + " ".join(base.split()[:10]) + " yy"),
+         (101, "totally novel probe text never seen in the lake corpus")],
+        "doc_id long, text string",
+    )
+    cov = {r["doc_id"]: r for r in sink.probe_coverage(probes).collect()}
+    assert cov[100]["lake_tokens"] == 10  # the copied 10-token prefix
+    assert cov[101]["lake_tokens"] == 0
