@@ -104,6 +104,17 @@ EXTRA = [
     "dedup_substring_span_histogram",
     "decontaminate_substring_overlap",
     "profile_documents_by_source",
+    # r10: the remaining schema-feasible TPC-H shapes (q2/q11/q16/q20
+    # need partsupp, which this testdata doesn't have)
+    "q4_order_priority_check",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q12_linestatus_priority",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity",
 ]
 
 

@@ -498,3 +498,32 @@ def test_text_lake_probe_near_dups_plan(spark, sf_dir, tmp_path):
             f"hash exchange keyed on the band join key ({key}):\n" + p[:2000]
         )
     assert "Scan ExistingRDD" in p  # candidates arrive checkpointed
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    """The EXISTS must be a semi join — an inner join would duplicate
+    orders per matching line and overcount."""
+    p = plan_str(spark, sf_dir, "q4_order_priority_check")
+    assert "LeftSemi" in p
+    assert "Inner" not in p
+
+
+def test_q13_left_join_survives_condition(spark, sf_dir):
+    """Q13's filter lives in the JOIN CONDITION; the optimizer must
+    keep the join LeftOuter (zero-order customers appear as count 0)."""
+    p = plan_str(spark, sf_dir, "q13_customer_order_distribution")
+    assert "LeftOuter" in p
+
+
+def test_q19_part_broadcast_disjunction(spark, sf_dir):
+    p = plan_str(spark, sf_dir, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark, sf_dir):
+    p = plan_str(spark, sf_dir, "q22_global_sales_opportunity")
+    assert "LeftAnti" in p
+    # the 2-number average aggregate broadcasts; the cross join is
+    # broadcast-bounded (1 row), never a CartesianProduct
+    assert "CartesianProduct" not in p
