@@ -2496,3 +2496,106 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("bal_cents") / 100.0, 2).alias("totacctbal"),
         )
     )
+
+
+# ------------------------------------------- event-sequence analytics
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t2
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'view' AS name, (SELECT count(*) FROM v) AS users
+    UNION ALL
+    SELECT 2, 'view>click', (SELECT count(*) FROM c)
+    UNION ALL
+    SELECT 3, 'view>click>purchase', (SELECT count(*) FROM p)
+    """,
+    doc="Event-sequence funnel: users who viewed, then clicked AFTER "
+    "their first view, then purchased after that click — the ORDERED "
+    "conversion funnel (min-timestamp chaining, not mere event-type "
+    "membership). All comparisons in integer epoch-µs (the ts-domain "
+    "rule). Scale: three same-key groupBys + joins — every stage "
+    "co-partitions on user_id, so AQE reuses one exchange lineage; "
+    "stage frames shrink monotonically.",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("t1")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    def stage(n, name, df):
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(n).alias("stage"), F.lit(name).alias("name"), "users"
+        )
+    return (
+        stage(1, "view", v)
+        .unionByName(stage(2, "view>click", c))
+        .unionByName(stage(3, "view>click>purchase", p))
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(epoch_us(ts)) // 604800000000 AS cohort_wk
+      FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT e.user_id, epoch_us(e.ts) // 604800000000 AS wk
+      FROM events e
+    )
+    SELECT f.cohort_wk, a.wk - f.cohort_wk AS weeks_since,
+           count(*) AS n_users
+    FROM active a JOIN firsts f ON f.user_id = a.user_id
+    GROUP BY f.cohort_wk, a.wk - f.cohort_wk
+    """,
+    doc="Retention cohort matrix: users bucketed by first-activity "
+    "week, counted in each subsequent active week — the standard "
+    "cohort-retention report. Weeks are integer epoch-µs divisions "
+    "(no date_trunc — engine week conventions differ; integer "
+    "arithmetic cannot). Scale: two user_id-partitioned aggregations "
+    "+ one co-partitioned join; the matrix is (weeks × weeks) tiny.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wk = F.expr("us div 604800000000")
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    firsts = e.groupBy("user_id").agg(
+        F.expr("min(us) div 604800000000").alias("cohort_wk")
+    )
+    active = e.select("user_id", wk.alias("wk")).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
