@@ -115,6 +115,9 @@ EXTRA = [
     "q15_top_supplier",
     "q19_disjunctive_revenue",
     "q22_global_sales_opportunity",
+    # r10: event-sequence analytics
+    "events_funnel_conversion",
+    "events_retention_cohorts",
 ]
 
 
