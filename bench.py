@@ -118,6 +118,7 @@ EXTRA = [
     # r10: event-sequence analytics
     "events_funnel_conversion",
     "events_retention_cohorts",
+    "events_sessionize",
 ]
 
 

@@ -2599,3 +2599,66 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY epoch_us(ts), event_id)
+                       > 1800000000
+                    OR lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY epoch_us(ts), event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, us,
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
+      FROM seq
+    )
+    SELECT user_id, session_idx,
+           count(*) AS n_events,
+           max(us) - min(us) AS duration_us
+    FROM sess GROUP BY user_id, session_idx
+    """,
+    doc="Batch sessionization (gaps-and-islands): a new session starts "
+    "after a >30-min silence; running-sum window assigns session ids, "
+    "then per-session stats — the batch twin of the streaming "
+    "session-window entry (B14), all in integer epoch-µs. Tie-break "
+    "on event_id makes the lag deterministic under equal timestamps. "
+    "Scale: ONE user_id exchange serves both window functions and the "
+    "final aggregation (same partitioning).",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("us").over(w)
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.when(prev.isNull() | ((F.col("us") - prev) > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sess = seq.select(
+        "user_id", "us", F.sum("is_new").over(w2).alias("session_idx")
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
