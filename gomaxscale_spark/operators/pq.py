@@ -277,3 +277,42 @@ def pq_adc_topk(
         .limit(topk)
         .select(F.col(id_col), F.round("__adc", 6).alias("adc_dist"))
     )
+
+
+def adc_vs_luts(luts: dict, m: int, k: int):
+    """Kernel factory for BATCHED ADC scoring: a pandas_udf
+    ``(query_id, pq_code) → ADC distance`` with one m×k lookup table
+    per query closed over the UDF (driver-computed via ``adc_lut`` —
+    serving batches are small by definition; Q×m×k doubles ≈ KBs).
+
+    Arrow-batched numpy: codes unpack to an (n, m) sub-code matrix in
+    one vectorized divmod, then a fancy-gather + row-sum per distinct
+    query in the batch — the batch analogue of the per-query plan-
+    literal lookup ``adc_score_sql`` emits, for the regime where Q
+    literal CASE dispatches would blow the codegen budget. Query ids
+    are dict-matched on their string form so integer and string id
+    columns both key the same table.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    tensors = {str(q): np.asarray(lut, dtype=np.float64) for q, lut in luts.items()}
+    pow_k = np.array([k ** j for j in range(m)], dtype=np.int64)
+    cols = np.arange(m)
+
+    @pandas_udf("double")
+    def _adc(qids, codes):
+        n = len(codes)
+        if n == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        C = codes.to_numpy(dtype=np.int64)
+        sub = (C[:, None] // pow_k[None, :]) % k  # (n, m) sub-codes
+        out = np.empty(n, dtype=np.float64)
+        qarr = qids.astype(str).to_numpy()
+        for q in np.unique(qarr):
+            idx = np.nonzero(qarr == q)[0]
+            out[idx] = tensors[q][cols[None, :], sub[idx]].sum(axis=1)
+        return pd.Series(out)
+
+    return _adc

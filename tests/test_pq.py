@@ -198,3 +198,57 @@ def test_ivf_pq_index_probe_adc(spark, emb, tmp_path):
     idx.add(extra)
     add_dirs = idx._committed_add_dirs()
     assert add_dirs and "pq_code" in spark.read.parquet(add_dirs[0]).columns
+
+
+def test_probe_adc_batch_matches_sequential_and_exact(spark, emb, tmp_path):
+    """probe_adc_batch ≡ per-query probe_adc on (id, score, adc_dist)
+    at identical parameters; with a cell-covering shortlist the
+    re-ranked answer also equals the exact probe(). Also: empty query
+    set → empty frame with the contractual schema; string query ids
+    key the LUTs fine; the ADC leg's scan is column-pruned."""
+    from gomaxscale_spark.operators.ivf_index import IVFIndex
+
+    books = PQ.train_pq_codebooks(emb, n_iters=2)
+    idx = IVFIndex(str(tmp_path / "ivfpq_batch"), codebooks=books)
+    idx.build(emb, n_iters=1)
+
+    qdf = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    got = idx.probe_adc_batch(qdf, k=5, n_probe=2, shortlist=10_000)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r.vec_id, r.score, r.adc_dist))
+    assert set(by_q) == {r.query_id for r in qdf.select("query_id").collect()}
+    for qrow in qdf.collect():
+        seq = idx.probe_adc(
+            spark, [float(x) for x in qrow.embedding], k=5, n_probe=2,
+            shortlist=10_000,
+        ).collect()
+        want = [(r.vec_id, r.score, r.adc_dist) for r in seq]
+        batch = sorted(
+            by_q[qrow.query_id], key=lambda t: (-t[1] if t[1] == t[1] else 2, t[0])
+        )
+        assert sorted(batch) == sorted(want), (qrow.query_id, batch, want)
+        exact = idx.probe(
+            spark, [float(x) for x in qrow.embedding], k=5, n_probe=2
+        ).collect()
+        assert sorted((r.vec_id, r.score) for r in exact) == sorted(
+            (v, s) for v, s, _ in batch
+        )
+
+    # empty input → empty frame, contractual schema
+    empty = idx.probe_adc_batch(qdf.filter(F.lit(False)), k=5)
+    assert empty.columns == ["query_id", "vec_id", "score", "adc_dist"]
+    assert empty.count() == 0
+
+    # string query ids
+    sq = qdf.select(
+        F.concat(F.lit("q"), F.col("query_id").cast("string")).alias("query_id"),
+        "embedding",
+    )
+    srows = idx.probe_adc_batch(sq, k=3, n_probe=2).collect()
+    assert srows and all(r.query_id.startswith("q") for r in srows)
