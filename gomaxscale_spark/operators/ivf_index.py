@@ -566,7 +566,13 @@ class IVFIndex:
         qvecs = queries.select(
             F.col(query_id_col), F.col(query_vec_col).alias("__qvec")
         )
-        rerank = (
+        from .materialize import materialize_once
+
+        # materialized: the (Q × shortlist)-row frame feeds BOTH the
+        # salted top-k and the adc_dist join-back — without this its
+        # lineage (pruned scan + ADC kernel + re-rank kernel) executes
+        # twice per call
+        rerank = materialize_once(
             pruned.select(self.id_col, self.vec_col)
             .join(F.broadcast(short), self.id_col)
             .join(F.broadcast(qvecs), query_id_col)
