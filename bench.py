@@ -119,6 +119,8 @@ EXTRA = [
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_sessionize",
+    # r10: the three-modality contamination release gate
+    "contamination_report",
 ]
 
 

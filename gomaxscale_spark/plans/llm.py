@@ -3323,3 +3323,150 @@ def profile_documents_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+# ---------------- composite contamination report (three modalities) --
+
+@query(
+    "contamination_report",
+    oracle="WITH "
+    + _portable_lsh_pairs_ctes(threshold=0.8)
+    + ", "
+    + _substring_win_ctes(8, "doc_id % 10 = 0", "n")
+    + ", "
+    + _substring_win_ctes(8, "doc_id % 10 <> 0", "h")
+    + """, hk AS (
+      SELECT DISTINCT wh FROM hwin
+    ), smat AS (
+      SELECT n.doc_id, n.pos FROM nwin n WHERE n.wh IN (SELECT wh FROM hk)
+    ), scov AS (
+      SELECT doc_id, count(DISTINCT tpos) AS cov FROM (
+        SELECT doc_id, pos + u AS tpos
+        FROM (SELECT doc_id, pos, unnest(range(8)) AS u FROM smat)
+      ) GROUP BY doc_id
+    ), span_sig AS (
+      SELECT t.doc_id, 'span_coverage' AS method,
+             round(CAST(coalesce(c.cov, 0) AS DOUBLE) / len(t.toks), 6) AS evidence
+      FROM ntoks t LEFT JOIN scov c USING (doc_id)
+    ), ngt AS (
+      SELECT doc_id, doc_id % 10 = 0 AS is_probe,
+             list_distinct(list_transform(range(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS ng
+      FROM toks WHERE len(toks) >= 4
+    ), pgr AS (
+      SELECT doc_id, unnest(ng) AS g FROM ngt WHERE is_probe
+    ), cgr AS (
+      SELECT DISTINCT unnest(ng) AS g FROM ngt WHERE NOT is_probe
+    ), ngram_sig AS (
+      SELECT p.doc_id, 'ngram_overlap' AS method,
+             round(CAST(count(c.g) AS DOUBLE) / count(*), 6) AS evidence
+      FROM pgr p LEFT JOIN cgr c ON p.g = c.g
+      GROUP BY p.doc_id
+    ), cross_pairs AS (
+      SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS doc_id, jaccard
+      FROM pairs
+      WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
+    ), jac_sig AS (
+      SELECT doc_id, 'near_dup_jaccard' AS method,
+             round(max(jaccard), 6) AS evidence
+      FROM cross_pairs GROUP BY doc_id
+    ), signals AS (
+      SELECT * FROM span_sig WHERE evidence IS NOT NULL
+      UNION ALL SELECT * FROM ngram_sig
+      UNION ALL SELECT * FROM jac_sig
+    ), scaffold AS (
+      SELECT d.doc_id, m.method
+      FROM documents d,
+           (VALUES ('ngram_overlap'), ('span_coverage'), ('near_dup_jaccard'))
+             AS m(method)
+      WHERE d.doc_id % 10 = 0
+    )
+    SELECT s.doc_id, s.method, coalesce(g.evidence, 0.0) AS evidence
+    FROM scaffold s LEFT JOIN signals g
+      ON g.doc_id = s.doc_id AND g.method = s.method
+    """,
+    doc="Composite contamination REPORT: every probe doc (doc_id % 10 "
+    "= 0, the eval stand-in) scored by ALL THREE leakage modalities "
+    "against the remaining corpus — distinct-4-gram overlap fraction "
+    "(GPT-3 appendix-C style; set-intersection math is direction-"
+    "free), verbatim span coverage (8-token windows, the Lee et al. "
+    "positional signal), and max verified near-dup jaccard at the "
+    "0.8 serving threshold (pairs below it report 0 — the LSH "
+    "contract). One (probe × method) row each, zeros kept: the "
+    "release-gate artifact a training pipeline publishes per eval "
+    "suite. Scale: each leg keeps its own audited shape (broadcast "
+    "gram/key sets, banded candidates — nothing all-pairs); the "
+    "scaffold join is probe-sized.",
+)
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    probes = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+
+    # --- n-gram overlap (probe-direction: corpus grams scanned, the
+    # probe gram set broadcast; hits broadcast back)
+    pg = probes.select(
+        F.col("doc_id"), F.explode(D.word_shingles(F.col("text"), 4)).alias("g")
+    )
+    probe_gram_set = pg.select("g").distinct()
+    hits_set = (
+        corpus.select(F.explode(D.word_shingles(F.col("text"), 4)).alias("g"))
+        .join(F.broadcast(probe_gram_set), "g", "semi")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    ngram_sig = (
+        pg.join(F.broadcast(hits_set), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("evidence")
+        )
+        .select("doc_id", F.lit("ngram_overlap").alias("method"), "evidence")
+    )
+
+    # --- span coverage (the decontaminate_substring_overlap leg)
+    span_sig = D.incremental_substring_coverage(
+        probes, corpus, "doc_id", "text", window=8
+    ).select(
+        "doc_id",
+        F.lit("span_coverage").alias("method"),
+        F.col("lake_coverage").alias("evidence"),
+    )
+
+    # --- max verified near-dup jaccard across the split
+    cands = D.minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2, portable=True
+    )
+    pairs = D.verify_candidates_jaccard(
+        d, cands, "doc_id", "text", threshold=0.8, shingle_n=2
+    )
+    cross = pairs.filter(
+        (F.col("id_a") % 10 == 0) != (F.col("id_b") % 10 == 0)
+    ).select(
+        F.when(F.col("id_a") % 10 == 0, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("doc_id"),
+        "jaccard",
+    )
+    jac_sig = (
+        cross.groupBy("doc_id")
+        .agg(F.round(F.max("jaccard"), 6).alias("evidence"))
+        .select("doc_id", F.lit("near_dup_jaccard").alias("method"), "evidence")
+    )
+
+    signals = ngram_sig.unionByName(span_sig).unionByName(jac_sig)
+    scaffold = probes.select("doc_id").crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [("ngram_overlap",), ("span_coverage",), ("near_dup_jaccard",)],
+                "method string",
+            )
+        )
+    )
+    return scaffold.join(signals, ["doc_id", "method"], "left").select(
+        "doc_id", "method", F.coalesce("evidence", F.lit(0.0)).alias("evidence")
+    )
