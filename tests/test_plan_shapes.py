@@ -527,3 +527,15 @@ def test_q22_anti_join_and_broadcast_scalar(spark, sf_dir):
     # the 2-number average aggregate broadcasts; the cross join is
     # broadcast-bounded (1 row), never a CartesianProduct
     assert "CartesianProduct" not in p
+
+
+def test_contamination_report_plan(spark, sf_dir):
+    """The composite report keeps each leg's audited contract: no
+    CartesianProduct, raw document text in NO exchange, and the only
+    nested-loop join is the 3-row method-scaffold crossJoin (broadcast-
+    bounded by construction)."""
+    p = plan_str(spark, sf_dir, "contamination_report")
+    assert "CartesianProduct" not in p
+    exchanges = [seg.splitlines()[0] for seg in p.split("Exchange")[1:]]
+    assert all("text" not in e for e in exchanges), [e for e in exchanges if "text" in e]
+    assert p.count("BroadcastNestedLoopJoin") == 1
