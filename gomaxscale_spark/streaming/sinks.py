@@ -1119,3 +1119,49 @@ class SubstringKeyLakeSink:
                     .parquet(f"{staging}/epoch={base}")
                 ),
             )
+
+
+def contamination_report_online(
+    lsh_lake: IncrementalLSHDedupSink,
+    key_lake: SubstringKeyLakeSink,
+    probe_docs: DataFrame,
+    check_ids: bool = True,
+) -> DataFrame:
+    """The ONLINE twin of the batch ``contamination_report`` catalog
+    entry: score a probe set (an eval suite) against the two STREAMING
+    contamination surfaces — max verified near-dup jaccard from the
+    text LSH lake (``probe_near_dups``) and verbatim span coverage
+    from the substring-key lake (``probe_coverage``) — as one
+    (probe × method) artifact with zeros kept, without touching raw
+    corpus text (both probes read committed-epoch index state only).
+
+    The n-gram-overlap modality has no lake (its gram SETS are what
+    the key lake already stores at window granularity), so the online
+    report carries the two lake-backed signals; run the batch entry
+    for the three-way audit. Scale: both probes are plan-pinned
+    lake-never-shuffled; the report join is probe-sized.
+    """
+    id_c = key_lake.id_col
+    jac = (
+        lsh_lake.probe_near_dups(probe_docs, check_ids=check_ids)
+        .groupBy(F.col(f"probe_{lsh_lake.id_col}").alias(id_c))
+        .agg(F.round(F.max("jaccard"), 6).alias("evidence"))
+        .select(id_c, F.lit("near_dup_jaccard").alias("method"), "evidence")
+    )
+    span = key_lake.probe_coverage(probe_docs).select(
+        F.col(id_c),
+        F.lit("span_coverage").alias("method"),
+        F.col("lake_coverage").alias("evidence"),
+    )
+    signals = jac.unionByName(span)
+    spark = probe_docs.sparkSession
+    scaffold = probe_docs.select(id_c).crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [("near_dup_jaccard",), ("span_coverage",)], "method string"
+            )
+        )
+    )
+    return scaffold.join(signals, [id_c, "method"], "left").select(
+        id_c, "method", F.coalesce("evidence", F.lit(0.0)).alias("evidence")
+    )

@@ -128,3 +128,42 @@ def test_probe_never_shuffles_the_lake(spark, tmp_path):
     ]
     assert len(wh_exchanges) <= 2, wh_exchanges
     assert p.count("BroadcastHashJoin") >= 2  # lake-semi + hits-semi
+
+
+def test_contamination_report_online(spark, tmp_path):
+    """The online composite over both lakes: a verbatim-copy probe
+    reports jaccard 1.0 AND span coverage 1.0; a fresh probe reports
+    zeros on both methods; every (probe × method) row is present."""
+    from gomaxscale_spark.streaming.sinks import (
+        IncrementalLSHDedupSink,
+        contamination_report_online,
+    )
+
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog while the cat watches"),
+            (2, "completely different content about distributed query engines today"),
+        ],
+    )
+    lsh = IncrementalLSHDedupSink(str(tmp_path / "lsh_lake"), threshold=0.8)
+    lsh.apply_batch(corpus, 0)
+    keys = SubstringKeyLakeSink(str(tmp_path / "key_lake"), window=W)
+    keys.apply_batch(corpus, 0)
+
+    probes = _docs(
+        spark,
+        [
+            (100, "the quick brown fox jumps over the lazy dog while the cat watches"),
+            (101, "totally novel probe text never seen anywhere in the lake"),
+        ],
+    )
+    rep = {
+        (r["doc_id"], r["method"]): r["evidence"]
+        for r in contamination_report_online(lsh, keys, probes).collect()
+    }
+    assert len(rep) == 4  # 2 probes x 2 methods, zeros kept
+    assert rep[(100, "near_dup_jaccard")] == 1.0
+    assert rep[(100, "span_coverage")] == 1.0
+    assert rep[(101, "near_dup_jaccard")] == 0.0
+    assert rep[(101, "span_coverage")] == 0.0
