@@ -31,18 +31,31 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     obvious `slice(toks, i, n)` formulation copies an array per shingle
     (O(tokens²) work + allocations; measured ~5× slower at sf0.1).
     Documents shorter than n tokens produce no shingles.
+
+    The token array is BOUND ONCE per row as an outer lambda variable
+    (transform over a one-element array): referencing ``tokenize(text)``
+    directly from the inner ``element_at`` lookups re-inlines — and
+    re-EVALUATES — the split+filter subtree per lookup (the r5
+    chained-projection lesson at expression level; measured 302 → 8.7 s
+    building the corpus 4-gram stream at the x30 replica, SCALING.md
+    r10). The binding trick keeps this a pure Column function, so every
+    caller gets the fix without projecting a token column first.
     """
-    toks = tokenize(text)
 
-    def shingle_at(k: Column) -> Column:
-        return F.concat_ws(" ", *[F.element_at(toks, k + i) for i in range(n)])
+    def build(toks: Column) -> Column:
+        def shingle_at(k: Column) -> Column:
+            return F.concat_ws(
+                " ", *[F.element_at(toks, k + i) for i in range(n)]
+            )
 
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1), shingle_at)
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        return F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1), shingle_at)
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokenize(text)), build), 1)
 
 
 def shingle_hash_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
