@@ -252,3 +252,34 @@ def test_probe_adc_batch_matches_sequential_and_exact(spark, emb, tmp_path):
     )
     srows = idx.probe_adc_batch(sq, k=3, n_probe=2).collect()
     assert srows and all(r.query_id.startswith("q") for r in srows)
+
+
+def test_adc_vs_luts_kernel_matches_python_gather(spark):
+    """The batched ADC kernel's unpack+gather equals a pure-Python
+    recompute for mixed queries in one Arrow batch (int and string ids
+    key the same tables via their string form)."""
+    import numpy as np
+
+    books = PQ.pq_codebooks_lcg(dim=8, m=4, k=4)
+    vecs = [[(i * 7 + j) % 5 - 2.0 for j in range(8)] for i in range(6)]
+    codes_df = PQ.pq_encode(
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+        ),
+        books,
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+    rows = {r["vec_id"]: r["pq_code"] for r in codes_df.collect()}
+    q0, q1 = [0.5] * 8, [-1.0] * 8
+    luts = {"7": PQ.adc_lut(q0, books), "q7": PQ.adc_lut(q1, books)}
+    kern = PQ.adc_vs_luts(luts, m=4, k=4)
+    pairs = [(qid, int(rows[i])) for qid in ("7", "q7") for i in rows]
+    df = spark.createDataFrame(pairs, "qid string, pq_code long").select(
+        "qid", "pq_code", kern(F.col("qid"), F.col("pq_code")).alias("d")
+    )
+    got = {(r["qid"], r["pq_code"]): r["d"] for r in df.collect()}
+    for qid, code in pairs:
+        sub = [(code // (4 ** j)) % 4 for j in range(4)]
+        want = sum(luts[qid][j][sub[j]] for j in range(4))
+        assert abs(got[(qid, code)] - want) < 1e-12, (qid, code)
