@@ -266,22 +266,12 @@ def dsir_log_weights(
     pass each read the corpus once — the two-pass shape the DSIR paper
     itself uses.
     """
-    from .dedup import MINHASH_P  # portable token-hash base (md5-60-bit)
-
-    rows = (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""),
-                    lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10)
-                    .cast("long")
-                    % F.lit(n_buckets),
-                )
-            ).alias("bucket"),
-            target.cast("long").alias("__t"),
-        )
-    )
+    # target must be evaluated in the SAME select as the explode (its
+    # source columns don't survive the token-bucket projection)
+    rows = dsir_token_buckets(
+        df.withColumn("__t0", target.cast("long")), id_col, text_col, n_buckets,
+        carry=("__t0",),
+    ).withColumnRenamed("__t0", "__t")
     # materialize the (≤ n_buckets)-row LM once: totals, llr, and the
     # score pass all consume it — without this the token explode+md5
     # lineage re-executes per consumer (3 corpus scans; measured 31 s
@@ -293,19 +283,60 @@ def dsir_log_weights(
             F.count(F.lit(1)).alias("rc"), F.sum("__t").alias("tc")
         )
     )
-    totals = bstats.agg(
-        F.sum("rc").alias("rt"), F.sum("tc").alias("tt")
+    return dsir_score_against_lm(df, bstats, id_col, text_col, n_buckets)
+
+
+def dsir_token_buckets(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, bucket[, *carry]) rows — one per token instance, portable
+    md5-60-bit buckets (the oracle-replayable hash family). ``carry``
+    names per-doc columns to keep alongside (e.g. a target flag)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""),
+                lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10)
+                .cast("long")
+                % F.lit(n_buckets),
+            )
+        ).alias("bucket"),
+        *[F.col(c) for c in carry],
     )
+
+
+def dsir_score_against_lm(
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Score ``docs`` against an EXTERNAL hashed-unigram LM — a
+    (bucket, rc, tc) count table, e.g. the streaming
+    ``IncrementalLMSink``'s aggregated lake state or the bstats a
+    batch run materialized: identical llr/µ-nat arithmetic to
+    ``dsir_log_weights`` (which now delegates here), so lake-scored
+    and batch-scored weights are bit-equal on the same counts.
+    Buckets absent from the LM fall out of the LEFT join as count 0 —
+    add-1 smoothing handles them in the same expression.
+
+    Scale: the LM is ≤ ``n_buckets`` rows whatever the corpus fed it —
+    the llr table broadcasts; one scan of ``docs``.
+    """
+    totals = lm.agg(F.sum("rc").alias("rt"), F.sum("tc").alias("tt"))
     llr = (
-        bstats.crossJoin(F.broadcast(totals))
+        lm.crossJoin(F.broadcast(totals))
         .select(
             "bucket",
             F.round(
                 (
                     F.log(F.col("tc") + 1)
-                    - F.log(F.col("tt") + n_buckets)
+                    - F.log(F.coalesce(F.col("tt"), F.lit(0)) + n_buckets)
                     - F.log(F.col("rc") + 1)
-                    + F.log(F.col("rt") + n_buckets)
+                    + F.log(F.coalesce(F.col("rt"), F.lit(0)) + n_buckets)
                 )
                 * 1e6,
                 0,
@@ -314,12 +345,27 @@ def dsir_log_weights(
             .alias("llr_micro"),
         )
     )
+    rows = dsir_token_buckets(docs, id_col, text_col, n_buckets).crossJoin(
+        F.broadcast(totals)
+    )
+    # bucket unseen by the LM (possible only with an external LM): both
+    # conditionals smooth to count 0 → llr = ln(rt+B) − ln(tt+B)
+    unseen = (
+        F.round(
+            (
+                F.log(F.coalesce(F.col("rt"), F.lit(0)) + n_buckets)
+                - F.log(F.coalesce(F.col("tt"), F.lit(0)) + n_buckets)
+            )
+            * 1e6,
+            0,
+        ).cast("long")
+    )
     return (
-        rows.join(F.broadcast(llr), "bucket")
+        rows.join(F.broadcast(llr), "bucket", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("llr_micro").alias("weight_micro"),
+            F.sum(F.coalesce(F.col("llr_micro"), unseen)).alias("weight_micro"),
         )
     )
 
