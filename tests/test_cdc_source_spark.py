@@ -607,3 +607,74 @@ def test_cdc_stream_feeds_substring_key_lake(registered, tmp_path):
     cov = {r["doc_id"]: r for r in sink.probe_coverage(probes).collect()}
     assert cov[100]["lake_tokens"] == 10  # the copied 10-token prefix
     assert cov[101]["lake_tokens"] == 0
+
+
+def test_cdc_stream_feeds_lm_sink(registered, tmp_path):
+    """CDC documents stream → IncrementalLMSink under the REAL engine:
+    count deltas land per committed epoch and the online score ranks a
+    target-like probe above a spam-like one."""
+    from gomaxscale_spark.streaming.lm_sink import IncrementalLMSink
+
+    docs_ddl = dict(DDL, table="documents", fields=[
+        {"name": "doc_id", "type": "int"},
+        {"name": "text", "type": "string"},
+        {"name": "lang", "type": "string"},
+    ])
+    payloads = {
+        1: ("science history theory physics atom cell gene energy", "en"),
+        2: ("click buy cheap deal offer win prize now", "xx"),
+        3: ("theory atom physics science gene cell history energy", "en"),
+    }
+    script = [docs_ddl] + [
+        dml(i, doc_id=i, text=payloads[i][0], lang=payloads[i][1])
+        for i in sorted(payloads)
+    ]
+    reg = SchemaRegistry()
+    reg.register(json.dumps(docs_ddl).encode())
+    schema = reg.full_dml_schema("example", "documents")
+    sink = IncrementalLMSink(
+        str(tmp_path / "cdc_lm"), target_sql="lang = 'en'", n_buckets=512
+    )
+
+    def fold(batch_df, epoch_id):
+        projected = (
+            batch_df.filter(F.col("kind") == "dml")
+            .select(F.from_json("raw", schema).alias("r"))
+            .select(
+                F.col("r.doc_id").cast("long").alias("doc_id"), "r.text", "r.lang"
+            )
+        )
+        sink.apply_batch(projected, epoch_id)
+
+    opts = dict(read_options((None, None)), table="documents")
+    with MockMaxScaleServer(script=script, write_delay=0.05) as addr:
+        opts["host"], opts["port"] = addr[0], str(addr[1])
+        q = (
+            registered.readStream.format("maxscale_cdc")
+            .options(**opts)
+            .load()
+            .writeStream.foreachBatch(fold)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 45
+            while time.time() < deadline:
+                try:
+                    if sink.read_lm(registered).agg(
+                        F.sum("rc")
+                    ).collect()[0][0] or 0 >= 24:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+        finally:
+            q.stop()
+
+    probes = registered.createDataFrame(
+        [(100, "science physics atom theory"), (101, "cheap win prize deal")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["weight_micro"] / r["n_tokens"]
+           for r in sink.score(probes).collect()}
+    assert got[100] > got[101], got
