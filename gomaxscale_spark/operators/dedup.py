@@ -1356,23 +1356,13 @@ def substring_window_positions(
     )
 
 
-def substring_annotate(
-    df: DataFrame, id_col: str, text_col: str, window: int = 8
+def _substring_packed_positions(
+    df: DataFrame, id_col: str, text_col: str, window: int
 ) -> DataFrame:
-    """Window occurrences annotated with their global duplication state:
-    (id, pos, wh, __pk, cnt, canon) where cnt is the corpus-wide
-    occurrence count of the window's content and canon the packed
-    (doc, pos) of its first occurrence (min doc_id, then min pos).
-
-    Scale: ONE exchange, partitioned by the 8-byte window key — count
-    and min ride the same Window frame (no order-by, whole-partition
-    aggregate, no sort). A window whose content occurs k times makes a
-    k-row partition — boilerplate repeated 10⁶ times is a 10⁶-row task,
-    linear, never quadratic (nothing expands pairs). Text never enters
-    the exchange; rows are (long, int, long, long).
-    """
+    """(id, pos, wh, __pk) — window positions with the packed
+    occurrence key. Shared by the skew-safe annotate and its
+    equality-test window twin."""
     pos = substring_window_positions(df, id_col, text_col, window)
-    wspec = W.partitionBy("wh")
     # enforce the documented bound instead of silently corrupting the
     # packed key: a ≥ 2²⁰-token document aborts the job (chunk upstream)
     packed = F.when(
@@ -1386,7 +1376,57 @@ def substring_annotate(
             )
         ).cast("long")
     )
-    return pos.withColumn("__pk", packed).select(
+    return pos.withColumn("__pk", packed)
+
+
+def substring_annotate(
+    df: DataFrame, id_col: str, text_col: str, window: int = 8
+) -> DataFrame:
+    """Window occurrences annotated with their global duplication state:
+    (id, pos, wh, __pk, cnt, canon) where cnt is the corpus-wide
+    occurrence count of the window's content and canon the packed
+    (doc, pos) of its first occurrence (min doc_id, then min pos).
+
+    Scale — the skew-safe form (r11; the r10 `Window.partitionBy(wh)`
+    form put every occurrence of one window key into ONE WindowExec
+    partition, which AQE cannot split — a licence-header window
+    repeated 10⁹-10¹⁰ times at 100 TB serializes tens of GB onto one
+    task). Here the per-key stats come from `groupBy(wh)`: map-side
+    partial aggregation collapses a hot key to one row PER INPUT
+    PARTITION before the exchange, so the skewed reduce side sees
+    n_partitions rows per key, not n_occurrences. The join-back is an
+    equi-join against a 1-row-per-key stats frame — AQE skew-join
+    splitting handles any residual big-side skew (split occurrence
+    blocks each join their replicated stats row). Text never enters
+    any exchange; rows are (long, int, long, long). The position
+    stream feeds both the stats agg and the join probe, so it is
+    materialized once (`materialize_once`) rather than re-running the
+    tokenize+md5 lineage twice.
+    """
+    from .materialize import materialize_once
+
+    ann0 = materialize_once(
+        _substring_packed_positions(df, id_col, text_col, window)
+    )
+    stats = ann0.groupBy("wh").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("__pk").alias("canon")
+    )
+    return ann0.join(stats, "wh").select(
+        F.col(id_col), "pos", "wh", "__pk", "cnt", "canon"
+    )
+
+
+def _substring_annotate_window_form(
+    df: DataFrame, id_col: str, text_col: str, window: int = 8
+) -> DataFrame:
+    """The r10 whole-partition-Window form of `substring_annotate`,
+    kept ONLY as the equality oracle for the skew-safe rewrite
+    (tests/test_substring_dedup.py) — a corpus-wide hot window key
+    lands in one unsplittable WindowExec task at scale. Do not ship
+    plans through this."""
+    ann0 = _substring_packed_positions(df, id_col, text_col, window)
+    wspec = W.partitionBy("wh")
+    return ann0.select(
         F.col(id_col),
         "pos",
         "wh",

@@ -189,3 +189,41 @@ def test_pos_cap_guard_raises_instead_of_corrupting(spark, monkeypatch):
     df = _docs(spark, [(1, "a b c d e f g h i j")])  # positions 0..6 > cap 4
     with pytest.raises(Exception, match="SUBSTRING_POS_CAP"):
         D.substring_annotate(df, "doc_id", "text", window=W).collect()
+
+
+def test_annotate_skew_safe_equals_window_form(spark):
+    """The r11 groupBy+join-back annotate must be row-identical to the
+    r10 whole-partition-Window form, including on a constructed
+    hot-key corpus (one boilerplate window shared by every doc — the
+    exact shape that serialized the Window form onto one task)."""
+    rows = [(i, f"lic hdr tok one two u{i} v{i} w{i}") for i in range(200)]
+    df = _docs(spark, rows)
+    a = D.substring_annotate(df, "doc_id", "text", window=W)
+    b = D._substring_annotate_window_form(df, "doc_id", "text", window=W)
+    sa = sorted(tuple(r) for r in a.collect())
+    sb = sorted(tuple(r) for r in b.collect())
+    assert sa == sb and len(sa) == 200 * 5
+    # the hot windows ("lic hdr tok one" / "hdr tok one two") count 200
+    hot = [t for t in sa if t[4] == 200]
+    assert len(hot) == 400
+
+
+def test_annotate_path_has_no_per_key_window_exec(spark, sf_dir):
+    """Plan pin for the r10→r11 skew fix: no WindowExec partitioned by
+    the corpus-wide window key anywhere on the annotate-consuming
+    paths — per-key stats must come from partial-agg groupBy + join
+    (AQE-splittable), never a whole-partition Window frame (one
+    unsplittable task per hot key). The histogram entry keeps its
+    PER-DOC (doc_id, pos) gaps-and-islands Window — that partitioning
+    is bounded by SUBSTRING_POS_CAP, not corpus-wide."""
+    from gomaxscale_spark.plans import all_queries
+
+    q = all_queries()
+    for name in ("dedup_substring_coverage", "dedup_substring_strip"):
+        p = q[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in p, (name, p[:2000])
+    hist = q["dedup_substring_span_histogram"].fn(spark, sf_dir)
+    ph = hist._jdf.queryExecution().executedPlan().toString()
+    for seg in ph.split("Window")[1:]:
+        head = seg.splitlines()[0]
+        assert "wh" not in head, head  # only the per-doc islands window
