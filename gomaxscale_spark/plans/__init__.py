@@ -91,7 +91,13 @@ _PRIORITY: list[str] = [
     # head, still full-catalog oracle-replayed every suite run).
     "dedup_minhash_lsh_capped",
     "dedup_connected_components_lsh",
-    "dedup_keep_representatives_lsh",
+    # r11 (VERDICT r10 item 3): the exact-substring (positional) dedup
+    # modality gets its hard per-round CORRECTNESS row — it was the
+    # biggest r10 addition with zero gate coverage. Slot funded by
+    # dedup_keep_representatives_lsh (tier-2 head): CC already carries
+    # the LSH-composition shape in the window, and keep-reps is its
+    # downstream variant (same candidates, same verify, one more join).
+    "dedup_substring_coverage",
     "dedup_incremental_batch",
     # B16 similarity (embedding_centroids demoted to tier 2 in r4 — B16
     # keeps three window reps; this slot buys the banded-LSH scale path
@@ -115,18 +121,30 @@ _PRIORITY: list[str] = [
     # scale the derived width coincides with the classic 8 bits, so
     # driver semantics are unchanged. Fixed-width twin lives in tier 2.
     "dedup_embedding_lsh_scaled",
+    # r11 (VERDICT r10 item 3): the PQ/IVF-PQ serving tier gets a gate
+    # row — ADC top-k over literal codebooks, oracle-exact. Funded by
+    # udf_pandas_scalar_log1p (tier-2 head): B18 keeps the three
+    # structurally distinct heavy shapes (applyInPandas, mapInPandas,
+    # UDTF); the scalar pandas_udf shape is the simplest of the five
+    # and stays full-catalog oracle-replayed every suite run.
+    "similarity_pq_adc_topk",
     # B17 text analysis (incl. the benchmark-decontamination capstone)
     "text_tfidf",
     "text_quality_score",
     "text_contamination_ngram",
     # north-star composition: quality-filter → dedup → decontaminate
     "pipeline_training_corpus",
-    # B18 UDF shapes (all five)
-    "udf_pandas_scalar_log1p",
+    # B18 UDF shapes — r11: three window reps (applyInPandas,
+    # mapInPandas, UDTF); the scalar pandas_udf and grouped-agg shapes
+    # moved to tier-2 head to fund the r10-modality promotions
+    # (VERDICT r10 item 3)
     "udf_grouped_zscore",
     "udf_mapinpandas_doc_stats",
-    "udf_grouped_agg_mad",
     "udtf_json_key_values",
+    # r11 (VERDICT r10 item 3): DSIR importance-resampling weights —
+    # the data-selection modality's gate row. Funded by
+    # udf_grouped_agg_mad (tier-2 head, see the B18 note above).
+    "sampling_dsir_weights",
     # data-quality gate
     "dq_referential_orphans",
     # SQL API (correlated subquery)
@@ -143,6 +161,14 @@ _TIER2: list[str] = [
     # line if the gate window widens (VERDICT r4 item 4)
     "timeseries_topk_similar_scaled",
     "dedup_simhash_portable",
+    # r11: demoted from the window to fund the r10-modality promotions
+    # (substring/PQ/DSIR gate rows, VERDICT r10 item 3). All three stay
+    # full-catalog oracle-replayed every suite run; keep-reps remains
+    # the downstream variant of the CC composition that still holds a
+    # window row, and the two UDF shapes are the simplest of B18's five.
+    "dedup_keep_representatives_lsh",
+    "udf_pandas_scalar_log1p",
+    "udf_grouped_agg_mad",
     # r8: demoted from the window — the fixed-width ANN serving forms
     # (probe scan linear in the corpus, SCALING.md r8); their slots now
     # carry the adaptive-width twins. Kept oracle-green as the

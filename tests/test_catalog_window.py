@@ -89,12 +89,31 @@ def test_b14_all_six_streaming_gates_inside_window():
 def test_scale_safe_cc_compositions_hold_the_window_slots():
     """VERDICT r4 item 1: the driver-checked slots must carry the
     bounded LSH compositions; the (lang, len_band)-blocked exact twins
-    DNF'd at 10× data (SCALING.md) and live in tier 2 only."""
+    DNF'd at 10× data (SCALING.md) and live in tier 2 only. r11:
+    keep-representatives moved to tier-2 head to fund the substring
+    promotion (VERDICT r10 item 3) — CC keeps the composition's window
+    row; neither exact twin may ever return."""
     window = list(all_queries())[:WINDOW]
     assert "dedup_connected_components_lsh" in window
-    assert "dedup_keep_representatives_lsh" in window
     assert "dedup_connected_components" not in window
     assert "dedup_keep_representatives" not in window
+    assert "dedup_keep_representatives_lsh" not in window  # tier-2 since r11
+
+
+def test_r10_modalities_hold_gate_rows():
+    """VERDICT r10 item 3: the positional-dedup, PQ-serving, and DSIR
+    data-selection modalities each carry a hard per-round CORRECTNESS
+    row — the driver gate must cover the newest families, not only the
+    r1-era ones. Funded by B18 (5 → 3 shapes: the scalar pandas_udf and
+    grouped-agg forms are tier-2 head) and B15's keep-reps variant."""
+    window = set(list(all_queries())[:WINDOW])
+    assert {
+        "dedup_substring_coverage",
+        "similarity_pq_adc_topk",
+        "sampling_dsir_weights",
+    } <= window
+    assert "udf_pandas_scalar_log1p" not in window
+    assert "udf_grouped_agg_mad" not in window
 
 
 def test_capped_lsh_promoted_alongside_uncapped():
