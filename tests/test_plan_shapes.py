@@ -539,3 +539,66 @@ def test_contamination_report_plan(spark, sf_dir):
     exchanges = [seg.splitlines()[0] for seg in p.split("Exchange")[1:]]
     assert all("text" not in e for e in exchanges), [e for e in exchanges if "text" in e]
     assert p.count("BroadcastNestedLoopJoin") == 1
+
+
+def _hash_exchanges(p: str) -> list[str]:
+    return [
+        seg.splitlines()[0]
+        for seg in p.split("Exchange hashpartitioning")[1:]
+    ]
+
+
+def test_dsir_weights_lm_broadcast_one_corpus_shuffle(spark, sf_dir):
+    """VERDICT r10 item 4 pin, matching the docstring's scale claim:
+    the 4096-row bucket LM BROADCASTS back to the token stream; the
+    only corpus-sized shuffle is the partial-agged groupBy(doc_id).
+    Totals ride a 1-row IdentityBroadcast (the audited scaffold
+    shape), and text enters no exchange."""
+    p = plan_str(spark, sf_dir, "sampling_dsir_weights")
+    assert "BroadcastHashJoin" in p  # llr joins the token stream broadcast
+    hx = _hash_exchanges(p)
+    assert len(hx) == 1 and "doc_id" in hx[0], hx
+    all_exchanges = [seg.splitlines()[0] for seg in p.split("Exchange")[1:]]
+    assert all("text" not in e for e in all_exchanges), all_exchanges
+    # the only nested-loop arms are the 1-row totals broadcasts
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_dsir_select_is_map_plus_top_k(spark, sf_dir):
+    """Gumbel-top-k resampling adds a pure map + TakeOrderedAndProject
+    over the weights plan — no extra shuffle beyond the top-k tree."""
+    p = plan_str(spark, sf_dir, "sampling_dsir_select")
+    assert "TakeOrderedAndProject(limit=100" in p
+    hx = _hash_exchanges(p)
+    assert len(hx) == 1 and "doc_id" in hx[0], hx
+
+
+def test_bigram_perplexity_two_broadcast_lms(spark, sf_dir):
+    """The ≤256² conditional LM and the 256-row context LM both
+    broadcast (broadcastable at ANY corpus size by construction); the
+    score pass is one scan + two broadcast joins + one partial-agg
+    groupBy(doc_id). The second hashpartitioning exchange is the
+    256-row c1 derivation on the LM side, never corpus data."""
+    p = plan_str(spark, sf_dir, "text_bigram_perplexity")
+    assert p.count("BroadcastHashJoin") == 2, p.count("BroadcastHashJoin")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    hx = _hash_exchanges(p)
+    corpus_hx = [e for e in hx if "doc_id" in e]
+    assert len(corpus_hx) == 1 and len(hx) <= 2, hx
+    all_exchanges = [seg.splitlines()[0] for seg in p.split("Exchange")[1:]]
+    assert all("text" not in e for e in all_exchanges), all_exchanges
+
+
+def test_profile_by_source_partial_agg_only(spark, sf_dir):
+    """One-pass dataset-card profile: the countDistinct(lang) rewrite
+    gives exactly two partial-agged exchanges — (source, lang) then
+    (source) — both carrying agg buffers over ~20 sources, never raw
+    text; the scan reads only the four consumed columns."""
+    p = plan_str(spark, sf_dir, "profile_documents_by_source")
+    hx = _hash_exchanges(p)
+    assert len(hx) == 2 and all("source" in e for e in hx), hx
+    all_exchanges = [seg.splitlines()[0] for seg in p.split("Exchange")[1:]]
+    assert all("text" not in e for e in all_exchanges), all_exchanges
+    read_schema = p.split("ReadSchema: ")[1].splitlines()[0]
+    for col in ("doc_id", "url", "ts"):
+        assert col not in read_schema, read_schema
