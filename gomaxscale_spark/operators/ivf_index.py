@@ -60,6 +60,29 @@ from ..streaming.epoch import EpochCommit
 _FOLDED = "_folded_epochs"
 
 
+def require_unique_query_ids(qids) -> None:
+    """Batched probes key per-query state (LUTs, probe tables) by the
+    query id's STRING form — two batch rows with the same id but
+    different vectors would silently collapse to one entry, scoring
+    the other row's candidates against the wrong vector (last-wins).
+    Raise loudly instead; the caller's contract is one row per id
+    (``dropDuplicates(query_id)`` upstream if re-keying is intended).
+    """
+    seen, dupes = set(), set()
+    for q in qids:
+        key = str(q)
+        if key in seen:
+            dupes.add(key)
+        seen.add(key)
+    if dupes:
+        raise ValueError(
+            "batched probe: duplicate query ids "
+            f"{sorted(dupes)[:5]} — per-query LUT/probe keying is by id, "
+            "so duplicates would silently score against the last row's "
+            "vector; make ids unique (or dropDuplicates upstream)"
+        )
+
+
 class IVFIndex:
     def __init__(
         self,
@@ -424,6 +447,7 @@ class IVFIndex:
                     ]
                 ),
             )
+        require_unique_query_ids(r[0] for r in qrows)
         ids, M = self._load_quantizer(spark)
         Mn = np.sqrt(np.einsum("ij,ij->i", M, M))
         probe_pairs = []  # (query_id, cell) — query id kept verbatim
@@ -517,6 +541,7 @@ class IVFIndex:
                     ]
                 ),
             )
+        require_unique_query_ids(r[0] for r in qrows)
         ids, M = self._load_quantizer(spark)
         Mn = np.sqrt(np.einsum("ij,ij->i", M, M))
         probe_pairs, luts = [], {}

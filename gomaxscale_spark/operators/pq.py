@@ -89,16 +89,22 @@ def train_pq_codebooks(
 ) -> list[list[list[float]]]:
     """Per-subspace Lloyd k-means on a modulus SAMPLE (train-on-sample,
     the standard PQ practice — the collect is quantizer-artifact-sized,
-    ≤ ``sample_cap`` rows, never the corpus). Deterministic: sample by
-    ``id % stride == 0``, init each codebook from the sample's first k
-    distinct subvectors, L2 assignment ties to the lowest centroid.
-    Empty clusters keep their previous centroid (standard fix)."""
+    ≤ ``sample_cap`` rows for dense 0-based integer ids, never the
+    corpus; stride is the CEILING of n/sample_cap so the bound holds
+    at every n). Deterministic: sample by ``id % stride == 0``, init
+    each codebook from the sample's first k distinct subvectors (order
+    of first appearance; if the sample holds fewer than k distinct
+    subvectors the init pads with repeats, which collapse — ties go to
+    the lowest index — leaving dead centroids, the honest cap when the
+    data itself has < k distinct values). L2 assignment ties to the
+    lowest centroid. Empty clusters keep their previous centroid
+    (standard fix)."""
     import numpy as np
 
     if dim % m:
         raise ValueError(f"pq: dim {dim} not divisible by m {m}")
     n = embeddings.count()
-    stride = max(1, n // sample_cap)
+    stride = max(1, -(-n // sample_cap))  # ceil: collect stays ≤ cap
     rows = (
         embeddings.filter((F.col(id_col) % stride) == 0)
         .select(id_col, vec_col)
@@ -112,7 +118,14 @@ def train_pq_codebooks(
     books = []
     for j in range(m):
         S = X[:, j * d8 : (j + 1) * d8]
-        C = S[:k].copy()
+        # first k DISTINCT subvectors in order of first appearance —
+        # duplicate initial centroids would collapse clusters from
+        # iteration 1 (ties go to the lowest index)
+        first_idx = np.sort(np.unique(S, axis=0, return_index=True)[1])
+        init = S[first_idx][:k]
+        if len(init) < k:  # < k distinct values: pad (documented cap)
+            init = np.vstack([init, S[: k - len(init)]])
+        C = init.copy()
         for _ in range(n_iters):
             D = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             assign = np.argmin(D, axis=1)  # first min = lowest centroid
@@ -292,6 +305,12 @@ def adc_vs_luts(luts: dict, m: int, k: int):
     literal CASE dispatches would blow the codegen budget. Query ids
     are dict-matched on their string form so integer and string id
     columns both key the same table.
+
+    Preconditions enforced with LOUD errors (ADVICE r10): a NULL
+    ``pq_code`` (possible if an embedding contains NaN — every CASE
+    arm of ``pq_code_layers`` is false) and a query id absent from the
+    LUT dict both raise a message naming the cause, instead of an
+    opaque numpy cast failure mid-executor.
     """
     import numpy as np
     import pandas as pd
@@ -306,13 +325,26 @@ def adc_vs_luts(luts: dict, m: int, k: int):
         n = len(codes)
         if n == 0:
             return pd.Series(np.empty(0, dtype=np.float64))
+        if codes.isna().any():
+            raise ValueError(
+                "adc_vs_luts: NULL pq_code in the scan — a NaN embedding "
+                "encodes to NULL (every pq_code_layers CASE arm false); "
+                "filter or fix the encode path (non-null, non-NaN "
+                "embeddings are the documented precondition)"
+            )
         C = codes.to_numpy(dtype=np.int64)
         sub = (C[:, None] // pow_k[None, :]) % k  # (n, m) sub-codes
         out = np.empty(n, dtype=np.float64)
         qarr = qids.astype(str).to_numpy()
         for q in np.unique(qarr):
+            lut = tensors.get(q)
+            if lut is None:
+                raise ValueError(
+                    f"adc_vs_luts: query id {q!r} has no LUT — the batch "
+                    "LUT dict must cover every query id reaching the scan"
+                )
             idx = np.nonzero(qarr == q)[0]
-            out[idx] = tensors[q][cols[None, :], sub[idx]].sum(axis=1)
+            out[idx] = lut[cols[None, :], sub[idx]].sum(axis=1)
         return pd.Series(out)
 
     return _adc

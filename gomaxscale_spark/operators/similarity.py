@@ -709,10 +709,14 @@ def ivf_topk_adaptive(
         # granularity — ADVICE r9): a last-ulp kernel divergence near
         # a tie then cannot flip cell selection between the numpy,
         # HOF, and oracle paths, because all three rank rounded and
-        # break the tie on centroid_id. Parity below the 6th decimal
-        # (the argmax ASSIGNMENT) remains empirical — gated by the
-        # collected-row equality tests at both oracle scales, not by
-        # construction.
+        # break the tie on centroid_id. Two residual caveats (ADVICE
+        # r10): np.round is half-to-even while F.round/DuckDB round
+        # half-away-from-zero, so an EXACT .5-at-6dp cosine would
+        # still rank differently — unreachable in practice for
+        # double-valued cosines but not excluded by construction; and
+        # parity below the 6th decimal (the argmax ASSIGNMENT)
+        # remains empirical — gated by the collected-row equality
+        # tests at both oracle scales, not by construction.
         order = np.lexsort((np.asarray(cent_ids), -np.round(cs, 6)))
         probe_ids = [int(cent_ids[i]) for i in order[:n_probe]]
         assign = VK.assign_nearest(cent_ids, M, query_vec=query_vec)

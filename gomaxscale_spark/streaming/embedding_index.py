@@ -492,6 +492,26 @@ class IncrementalEmbeddingIndexSink:
         """
         from ..operators import similarity as S
 
+        # per-query ranking keys on query_id — duplicate ids would
+        # interleave two queries' candidates into one ranked set
+        # (VERDICT r10 item 5). The query frame is a serving batch
+        # (small by contract), so the uniqueness probe is cheap.
+        dupes = [
+            r[0]
+            for r in queries.groupBy(query_id_col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > 1)
+            .limit(5)
+            .collect()
+        ]
+        if dupes:
+            raise ValueError(
+                f"topk_batch: duplicate query ids {dupes} — per-query "
+                "ranking is keyed by id, so duplicates would interleave "
+                "two queries' candidates into one top-k; make ids unique "
+                "(or dropDuplicates upstream)"
+            )
+
         id_c, vec = self.id_col, self.vec_col
         kept = self.read_kept(spark := queries.sparkSession)
         band_dirs = self._commit.committed_epoch_dirs("bands")

@@ -661,9 +661,10 @@ def test_cdc_stream_feeds_lm_sink(registered, tmp_path):
             deadline = time.time() + 45
             while time.time() < deadline:
                 try:
-                    if sink.read_lm(registered).agg(
-                        F.sum("rc")
-                    ).collect()[0][0] or 0 >= 24:
+                    if (
+                        sink.read_lm(registered).agg(F.sum("rc")).collect()[0][0]
+                        or 0
+                    ) >= 24:
                         break
                 except Exception:
                     pass

@@ -283,3 +283,60 @@ def test_adc_vs_luts_kernel_matches_python_gather(spark):
         sub = [(code // (4 ** j)) % 4 for j in range(4)]
         want = sum(luts[qid][j][sub[j]] for j in range(4))
         assert abs(got[(qid, code)] - want) < 1e-12, (qid, code)
+
+
+def test_batch_probes_reject_duplicate_query_ids(spark, emb, tmp_path):
+    """VERDICT r10 item 5: LUT/probe-table keying is per query id —
+    duplicates silently collapsed last-wins (wrong distances for the
+    other row's intent). Both batch probes must refuse loudly."""
+    from gomaxscale_spark.operators.ivf_index import IVFIndex
+
+    idx = IVFIndex(str(tmp_path / "ivfpq_dup"), codebooks=PQ.pq_codebooks_lcg())
+    idx.build(emb, n_iters=1)
+    dup = emb.orderBy("vec_id").limit(2).select(
+        F.lit(7).alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="duplicate query ids"):
+        idx.probe_adc_batch(dup, k=3, n_probe=2)
+    with pytest.raises(ValueError, match="duplicate query ids"):
+        idx.probe_batch(dup, k=3, n_probe=2)
+
+
+def test_adc_vs_luts_null_code_and_unknown_qid_raise(spark):
+    """ADVICE r10: a NULL pq_code (NaN embedding → every CASE arm
+    false) and a query id missing from the LUT dict must raise a
+    message naming the cause, not an opaque numpy cast error."""
+    books = PQ.pq_codebooks_lcg(dim=8, m=4, k=4)
+    kern = PQ.adc_vs_luts({"a": PQ.adc_lut([0.5] * 8, books)}, m=4, k=4)
+
+    nulls = spark.createDataFrame([("a", None)], "qid string, pq_code long")
+    with pytest.raises(Exception, match="NULL pq_code"):
+        nulls.select(kern(F.col("qid"), F.col("pq_code")).alias("d")).collect()
+
+    unknown = spark.createDataFrame([("b", 3)], "qid string, pq_code long")
+    with pytest.raises(Exception, match="has no LUT"):
+        unknown.select(kern(F.col("qid"), F.col("pq_code")).alias("d")).collect()
+
+
+def test_train_codebooks_sample_cap_and_distinct_init(spark):
+    """ADVICE r10 ×2: the modulus stride is the CEILING of n/cap (the
+    collect stays ≤ sample_cap for dense ids), and codebook init takes
+    the first k DISTINCT subvectors — leading duplicates must not
+    collapse clusters."""
+    import numpy as np
+
+    # 10 rows, cap 4 → stride ceil(10/4)=3 → ids {0,3,6,9}: 4 ≤ cap.
+    # Rows 0/3 are identical; rows 6/9 differ — with k=2 per subspace a
+    # first-k init would be [v0, v0] (collapsed); distinct init must
+    # recover two separate centroids.
+    base = [1.0] * 8
+    other = [5.0] * 8
+    rows = []
+    for i in range(10):
+        v = base if i in (0, 3) else ([float(i)] * 8 if i not in (6, 9) else other)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = PQ.train_pq_codebooks(df, dim=8, m=4, k=2, n_iters=3, sample_cap=4)
+    for sub in books:
+        c = np.asarray(sub)
+        assert not np.allclose(c[0], c[1]), "init collapsed to duplicate centroids"

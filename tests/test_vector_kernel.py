@@ -375,3 +375,18 @@ def test_portable_minhash_batches_chunking(monkeypatch):
     a = {i: list(m) for i, m in zip(big[0]["doc_id"], big[0]["minhash"])}
     b = {i: list(m) for i, m in zip(small[0]["doc_id"], small[0]["minhash"])}
     assert a == b and len(a) >= 18
+
+
+def test_topk_batch_rejects_duplicate_query_ids(spark, tmp_path):
+    """VERDICT r10 item 5: per-query ranking partitions on query_id —
+    duplicate ids would interleave two queries' candidates into one
+    top-k. The lake's batch probe must refuse loudly."""
+    import pytest
+    from gomaxscale_spark.streaming.embedding_index import IncrementalEmbeddingIndexSink
+
+    sink = IncrementalEmbeddingIndexSink(str(tmp_path / "eidx_dup"), threshold=0.3)
+    queries = spark.createDataFrame(
+        [(1, [0.1] * 64), (1, [0.9] * 64)], "query_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="duplicate query ids"):
+        sink.topk_batch(queries, k=3)
