@@ -1165,3 +1165,51 @@ def contamination_report_online(
     return scaffold.join(signals, [id_c, "method"], "left").select(
         id_c, "method", F.coalesce("evidence", F.lit(0.0)).alias("evidence")
     )
+
+
+def release_report_online(
+    lsh_lake: IncrementalLSHDedupSink,
+    key_lake: SubstringKeyLakeSink,
+    lm_lake,
+    probe_docs: DataFrame,
+    check_ids: bool = True,
+) -> DataFrame:
+    """The full online RELEASE gate (VERDICT r10 item 6): the two
+    contamination signals of ``contamination_report_online`` PLUS the
+    quality/target-likeness signal from the streaming DSIR LM lake
+    (``IncrementalLMSink.score``), as one (probe × method) artifact —
+    a release decision reads one frame to answer both "is this doc
+    leaked eval content?" (near_dup_jaccard, span_coverage) and "is
+    it target-like?" (dsir_logweight_per_token).
+
+    The LM evidence is the per-token DSIR log importance weight in
+    NATS (weight_micro / 1e6 / n_tokens, 6dp) — length-normalized so
+    probe docs of different sizes compare on one scale; positive ⇒
+    more target-like than the lake's raw mix, 0 ⇒ neutral (and
+    exactly 0 on an empty LM lake, the sink's documented smoothing).
+    All three signals read COMMITTED epoch state only — the LSH lake's
+    band index, the key lake's window-key store, and the LM lake's
+    count deltas; no raw corpus text is ever re-read. Zero-token probe
+    docs (which the score's token explode drops) re-enter through the
+    scaffold with evidence 0.
+    """
+    id_c = key_lake.id_col
+    base = contamination_report_online(
+        lsh_lake, key_lake, probe_docs, check_ids=check_ids
+    )
+    method = "dsir_logweight_per_token"
+    lm = lm_lake.score(probe_docs).select(
+        F.col(lm_lake.id_col).alias(id_c),
+        F.lit(method).alias("method"),
+        F.round(
+            F.col("weight_micro")
+            / 1e6
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("evidence"),
+    )
+    scaffold = probe_docs.select(F.col(id_c), F.lit(method).alias("method"))
+    lm_full = scaffold.join(lm, [id_c, "method"], "left").select(
+        id_c, "method", F.coalesce("evidence", F.lit(0.0)).alias("evidence")
+    )
+    return base.unionByName(lm_full)

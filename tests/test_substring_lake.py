@@ -167,3 +167,60 @@ def test_contamination_report_online(spark, tmp_path):
     assert rep[(100, "span_coverage")] == 1.0
     assert rep[(101, "near_dup_jaccard")] == 0.0
     assert rep[(101, "span_coverage")] == 0.0
+
+
+def test_release_report_online_adds_lm_modality(spark, tmp_path):
+    """VERDICT r10 item 6: the release gate composes the two
+    contamination signals with the streaming DSIR LM score — one
+    (probe × method) artifact, committed-epoch reads only. A verbatim
+    English probe reads leak evidence 1.0 on both contamination
+    methods AND a higher per-token DSIR weight than an off-target
+    probe; every probe carries all three method rows (zeros kept)."""
+    from gomaxscale_spark.streaming.lm_sink import IncrementalLMSink
+    from gomaxscale_spark.streaming.sinks import (
+        IncrementalLSHDedupSink,
+        release_report_online,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog while the cat watches", "en"),
+            (2, "zzq wwk qqv bbn mmx vvc kkl ppo iiu yyt rre wwz", "xx"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    lsh = IncrementalLSHDedupSink(str(tmp_path / "lsh_lake"), threshold=0.8)
+    lsh.apply_batch(corpus.select("doc_id", "text"), 0)
+    keys = SubstringKeyLakeSink(str(tmp_path / "key_lake"), window=W)
+    keys.apply_batch(corpus.select("doc_id", "text"), 0)
+    lm = IncrementalLMSink(str(tmp_path / "lm_lake"), target_sql="lang = 'en'")
+    lm.apply_batch(corpus, 0)
+
+    probes = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog while the cat watches"),
+            (101, "zzq wwk qqv bbn mmx vvc kkl ppo iiu yyt rre wwz"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = {
+        (r["doc_id"], r["method"]): r["evidence"]
+        for r in release_report_online(lsh, keys, lm, probes).collect()
+    }
+    assert len(rep) == 6  # 2 probes x 3 methods
+    assert rep[(100, "near_dup_jaccard")] == 1.0
+    assert rep[(100, "span_coverage")] == 1.0
+    # the English probe is more target-like than the off-target one
+    assert (
+        rep[(100, "dsir_logweight_per_token")]
+        > rep[(101, "dsir_logweight_per_token")]
+    )
+
+    # empty LM lake → LM evidence exactly 0, contamination rows intact
+    lm_empty = IncrementalLMSink(str(tmp_path / "lm_empty"))
+    rep0 = {
+        (r["doc_id"], r["method"]): r["evidence"]
+        for r in release_report_online(lsh, keys, lm_empty, probes).collect()
+    }
+    assert rep0[(100, "dsir_logweight_per_token")] == 0.0
+    assert rep0[(100, "span_coverage")] == 1.0
