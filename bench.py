@@ -121,6 +121,9 @@ EXTRA = [
     "events_sessionize",
     # r10: the three-modality contamination release gate
     "contamination_report",
+    # r11: Gopher char-mass n-gram repetition + the rule battery
+    "text_ngram_char_repetition",
+    "text_gopher_rules",
 ]
 
 

@@ -127,6 +127,152 @@ def repetition_stats(df, id_col: str, text_col: str):
     )
 
 
+def ngram_char_repetition(df, id_col: str, text_col: str, ns=(2, 3, 5, 8)):
+    """Char-mass n-gram repetition signals per (document, n) — the
+    CHARACTER-level half of Gopher's repetition battery (Rae et al.
+    2021 §A1.1; `repetition_stats` covers the token-level half):
+
+    - ``top_gram_char_frac`` — the largest character mass any single
+      n-gram's occurrences cover, / the doc's total gram-occurrence
+      char mass (Gopher thresholds the "most frequent n-gram" — we
+      rank by char mass c·len directly, which is tie-stable across
+      engines and is the quantity the filter actually cares about);
+    - ``dup_gram_char_frac`` — char mass of all DUPLICATED n-grams'
+      occurrences / total gram-occurrence char mass (the
+      occurrence-mass form of Gopher's duplicated-n-gram fraction —
+      exact, no overlap-merging pass).
+
+    A gram's char length counts token characters only (no separators);
+    docs shorter than n tokens emit no row for that n (same on the
+    oracle side). Scale: token text is hashed ONCE per token; grams
+    for every n come off one projected (hash, len) struct array via
+    O(1) element_at lookups (the shingle_hash_rows lesson — never a
+    slice copy, never re-tokenizing); the exploded stream carries
+    (doc_id, n, 8-byte gram hash, int char len) — gram STRINGS never
+    exist at all — through two partial-agged hash aggregations. At
+    100 TB: same shape as `repetition_stats`, one row per distinct
+    (doc, n, gram) after the map-side combine.
+    """
+    from .dedup import parallelize_narrow_input
+
+    base = parallelize_narrow_input(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.col(id_col),
+        F.transform(
+            tokenize(F.col(text_col)),
+            lambda t: F.struct(
+                F.xxhash64(t).alias("h"), F.length(t).alias("l")
+            ),
+        ).alias("__th"),
+    )
+    th = F.col("__th")
+    gram_t = "array<struct<n:int,gh:bigint,clen:int>>"
+
+    def gram_at(n):
+        # closure factory, NOT a default-arg lambda: a two-parameter
+        # lambda would make PySpark pass the transform INDEX as the
+        # second argument
+        def build(k):
+            return F.struct(
+                F.lit(n).alias("n"),
+                F.xxhash64(
+                    *[F.element_at(th, k + i)["h"] for i in range(n)]
+                ).alias("gh"),
+                sum(
+                    [F.element_at(th, k + i)["l"] for i in range(1, n)],
+                    F.element_at(th, k)["l"],
+                ).alias("clen"),
+            )
+
+        return build
+
+    per_n = []
+    for n in ns:
+        per_n.append(
+            F.when(
+                F.size(th) >= n,
+                F.transform(F.sequence(F.lit(1), F.size(th) - n + 1), gram_at(n)),
+            ).otherwise(F.array().cast(gram_t))
+        )
+    rows = base.select(
+        F.col(id_col), F.explode(F.flatten(F.array(*per_n))).alias("g")
+    ).select(F.col(id_col), F.col("g.n"), F.col("g.gh"), F.col("g.clen"))
+    cnt = rows.groupBy(id_col, "n", "gh").agg(
+        F.count(F.lit(1)).alias("c"), F.max("clen").alias("clen")
+    )
+    mass = F.sum(F.col("c") * F.col("clen"))
+    return cnt.groupBy(id_col, "n").agg(
+        F.sum("c").alias("n_grams"),
+        F.round(F.max(F.col("c") * F.col("clen")).cast("double") / mass, 6).alias(
+            "top_gram_char_frac"
+        ),
+        F.round(
+            F.sum(
+                F.when(F.col("c") >= 2, F.col("c") * F.col("clen")).otherwise(0)
+            ).cast("double")
+            / mass,
+            6,
+        ).alias("dup_gram_char_frac"),
+    )
+
+
+#: Gopher rule battery literals (Rae et al. 2021 §A1.1 adapted):
+#: thresholds are PLAN LITERALS so the oracle replays the same rules.
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN = 3.0, 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_rules(df, id_col: str, text_col: str):
+    """Gopher quality-rule battery per document (Rae et al. 2021
+    §A1.1, the thresholds adapted to this corpus's scale): word count
+    in [50, 100k], mean word length in [3, 10], ≥80% of words contain
+    an alphabetic character, ≥2 stopword hits. Emits the measured
+    signals plus per-rule booleans and the conjunction ``passes`` —
+    the shape a filtering pipeline joins on or aggregates for a
+    dataset card. Pure map: one projection, zero shuffle at any
+    corpus size.
+    """
+    toks = tokenize(F.col(text_col))
+    n_words = F.size(toks)
+    mean_len = F.round(
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+        ).cast("double")
+        / n_words,
+        4,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+        / n_words,
+        6,
+    )
+    stop_hits = F.size(
+        F.filter(
+            toks, lambda t: F.lower(t).isin(*GOPHER_STOPWORDS)
+        )
+    )
+    r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_len = (mean_len >= GOPHER_MIN_MEAN_LEN) & (mean_len <= GOPHER_MAX_MEAN_LEN)
+    r_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    r_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        r_words.alias("rule_word_count"),
+        r_len.alias("rule_mean_len"),
+        r_alpha.alias("rule_alpha_frac"),
+        r_stop.alias("rule_stopwords"),
+        (r_words & r_len & r_alpha & r_stop).alias("passes"),
+    )
+
+
 FINGERPRINT_MOD = 2_147_483_647  # 2³¹−1 (Mersenne prime) — keeps the fold in long range
 
 

@@ -1659,6 +1659,85 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_ngram_char_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id, ns.n,
+             unnest(list_transform(range(1, len(tk) - ns.n + 2),
+                    k -> array_to_string(tk[k:k+ns.n-1], ' '))) AS gram
+      FROM toks CROSS JOIN (VALUES (2),(3),(5),(8)) ns(n)
+      WHERE len(tk) >= ns.n
+    ), cnt AS (
+      SELECT doc_id, n, gram, count(*) AS c,
+             length(gram) - (n - 1) AS clen
+      FROM g GROUP BY doc_id, n, gram
+    )
+    SELECT doc_id, n,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           round(CAST(max(c * clen) AS DOUBLE)
+                 / CAST(sum(c * clen) AS DOUBLE), 6) AS top_gram_char_frac,
+           round(CAST(sum(CASE WHEN c >= 2 THEN c * clen ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(c * clen) AS DOUBLE), 6) AS dup_gram_char_frac
+    FROM cnt GROUP BY doc_id, n
+    """,
+    doc="B17 Gopher char-mass n-gram repetition (Rae et al. 2021 "
+    "§A1.1, the character-level half — text_repetition_stats is the "
+    "token-level half): per (doc, n∈{2,3,5,8}) the top single-gram "
+    "char-mass fraction and the duplicated-gram char-mass fraction. "
+    "Scale: tokens hashed once; all four n values come off ONE "
+    "projected (hash,len) array via O(1) element_at; the exploded "
+    "stream carries (doc_id, n, 8-byte gram hash, int len) — gram "
+    "strings never exist — through two partial-agged aggregations "
+    "(the oracle groups the literal gram strings; counts agree).",
+)
+def text_ngram_char_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return TX.ngram_char_repetition(d, "doc_id", "text")
+
+
+@query(
+    "text_gopher_rules",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             round(CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+                   / len(tk), 4) AS mean_word_len,
+             round(CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))
+                        AS DOUBLE) / len(tk), 6) AS alpha_word_frac,
+             CAST(len(list_filter(tk, t -> lower(t) IN
+                  ('the','a','of','to','and','in','is'))) AS BIGINT) AS stop_hits
+      FROM s
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stop_hits,
+           n_words BETWEEN 50 AND 100000 AS rule_word_count,
+           mean_word_len BETWEEN 3.0 AND 10.0 AS rule_mean_len,
+           alpha_word_frac >= 0.8 AS rule_alpha_frac,
+           stop_hits >= 2 AS rule_stopwords,
+           (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND alpha_word_frac >= 0.8 AND stop_hits >= 2 AS passes
+    FROM m
+    """,
+    doc="B17 Gopher quality-rule battery (Rae et al. 2021 §A1.1, "
+    "thresholds as plan literals): word count, mean word length, "
+    "alphabetic-word fraction, stopword hits — measured signals + "
+    "per-rule booleans + the conjunction. Pure map, one projection, "
+    "zero shuffle at any corpus size.",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return TX.gopher_rules(d, "doc_id", "text")
+
+
+@query(
     "sampling_hash_split",
     oracle="""
     SELECT doc_id,

@@ -783,3 +783,64 @@ def test_release_bounds_persist_disk_accumulation(spark, monkeypatch):
     out2 = connected_components(hub)
     assert out2.filter(F.col("cluster_id") != 0).count() == 0
     assert pinned() - base2 <= 2, "min-label loop leaked persisted generations"
+
+
+def test_ngram_char_repetition_hand_computed(spark):
+    """Char-mass fractions on a hand-computable doc: 'ab ab ab cd'
+    has 2-grams ('ab ab')×2 and ('ab cd')×1 — clen 4 each, mass 12,
+    top 8, dup 8 → both fractions 8/12. A clean doc reports dup 0."""
+    from gomaxscale_spark.operators.text import ngram_char_repetition
+
+    d = spark.createDataFrame(
+        [(1, "ab ab ab cd"), (2, "pq rs tu vw")], "doc_id long, text string"
+    )
+    rows = {
+        (r.doc_id, r.n): r
+        for r in ngram_char_repetition(d, "doc_id", "text", ns=(2,)).collect()
+    }
+    r1 = rows[(1, 2)]
+    assert r1.n_grams == 3
+    assert r1.top_gram_char_frac == round(8 / 12, 6)
+    assert r1.dup_gram_char_frac == round(8 / 12, 6)
+    r2 = rows[(2, 2)]
+    assert r2.dup_gram_char_frac == 0.0
+    assert r2.top_gram_char_frac == round(4 / 12, 6)
+
+
+def test_ngram_char_repetition_short_docs_emit_no_rows(spark):
+    from gomaxscale_spark.operators.text import ngram_char_repetition
+
+    d = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    ns_seen = {
+        r.n for r in ngram_char_repetition(d, "doc_id", "text").collect()
+    }
+    assert ns_seen == {2}  # 2 tokens: only the 2-gram row exists
+
+
+def test_ngram_char_repetition_exchanges_carry_hashes_not_grams(spark, sf_dir):
+    """The gram stream must shuffle (doc_id, n, 8-byte hash, len) —
+    gram strings never exist, token text never enters an exchange."""
+    from gomaxscale_spark.plans import all_queries
+
+    df = all_queries()["text_ngram_char_repetition"].fn(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    exchanges = [seg.splitlines()[0] for seg in p.split("Exchange")[1:]]
+    assert exchanges
+    assert all("text" not in e and "gram" not in e for e in exchanges), exchanges
+
+
+def test_gopher_rules_battery(spark):
+    from gomaxscale_spark.operators.text import gopher_rules
+
+    good = "the and " + " ".join(f"word{i}" for i in range(60))  # 62 words, 2 stop hits
+    short = "the quick brown fox is a dog"  # 7 words: fails word count
+    no_stop = " ".join(f"zz{i}" for i in range(60))  # no stopwords
+    d = spark.createDataFrame(
+        [(1, good), (2, short), (3, no_stop)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in gopher_rules(d, "doc_id", "text").collect()}
+    assert rows[1].passes and rows[1].rule_stopwords and rows[1].rule_word_count
+    assert not rows[2].passes and not rows[2].rule_word_count
+    assert rows[2].rule_stopwords  # 'the', 'is', 'a' ≥ 2 hits
+    assert not rows[3].passes and not rows[3].rule_stopwords
+    assert rows[3].rule_alpha_frac  # zzN words contain alpha chars
