@@ -124,6 +124,8 @@ EXTRA = [
     # r11: Gopher char-mass n-gram repetition + the rule battery
     "text_ngram_char_repetition",
     "text_gopher_rules",
+    # r11: the four-modality batch release gate (contamination + DSIR)
+    "release_report",
 ]
 
 

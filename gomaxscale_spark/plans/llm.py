@@ -3549,3 +3549,134 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaffold.join(signals, ["doc_id", "method"], "left").select(
         "doc_id", "method", F.coalesce("evidence", F.lit(0.0)).alias("evidence")
     )
+
+
+@query(
+    "release_report",
+    oracle="WITH "
+    + _portable_lsh_pairs_ctes(threshold=0.8)
+    + ", "
+    + _substring_win_ctes(8, "doc_id % 10 = 0", "n")
+    + ", "
+    + _substring_win_ctes(8, "doc_id % 10 <> 0", "h")
+    + """, hk AS (
+      SELECT DISTINCT wh FROM hwin
+    ), smat AS (
+      SELECT n.doc_id, n.pos FROM nwin n WHERE n.wh IN (SELECT wh FROM hk)
+    ), scov AS (
+      SELECT doc_id, count(DISTINCT tpos) AS cov FROM (
+        SELECT doc_id, pos + u AS tpos
+        FROM (SELECT doc_id, pos, unnest(range(8)) AS u FROM smat)
+      ) GROUP BY doc_id
+    ), span_sig AS (
+      SELECT t.doc_id, 'span_coverage' AS method,
+             round(CAST(coalesce(c.cov, 0) AS DOUBLE) / len(t.toks), 6) AS evidence
+      FROM ntoks t LEFT JOIN scov c USING (doc_id)
+    ), ngt AS (
+      SELECT doc_id, doc_id % 10 = 0 AS is_probe,
+             list_distinct(list_transform(range(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS ng
+      FROM toks WHERE len(toks) >= 4
+    ), pgr AS (
+      SELECT doc_id, unnest(ng) AS g FROM ngt WHERE is_probe
+    ), cgr AS (
+      SELECT DISTINCT unnest(ng) AS g FROM ngt WHERE NOT is_probe
+    ), ngram_sig AS (
+      SELECT p.doc_id, 'ngram_overlap' AS method,
+             round(CAST(count(c.g) AS DOUBLE) / count(*), 6) AS evidence
+      FROM pgr p LEFT JOIN cgr c ON p.g = c.g
+      GROUP BY p.doc_id
+    ), cross_pairs AS (
+      SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS doc_id, jaccard
+      FROM pairs
+      WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
+    ), jac_sig AS (
+      SELECT doc_id, 'near_dup_jaccard' AS method,
+             round(max(jaccard), 6) AS evidence
+      FROM cross_pairs GROUP BY doc_id
+    ), rrws AS (
+      SELECT doc_id, doc_id % 10 = 0 AS is_probe,
+             unnest(list_transform(
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
+               t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 4096)) AS bucket,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t
+      FROM documents
+    ), rbst AS (
+      SELECT bucket, count(*) AS rc, sum(t) AS tc
+      FROM rrws WHERE NOT is_probe GROUP BY bucket
+    ), rtot AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM rbst),
+    rllr AS (
+      SELECT bucket,
+             CAST(round((ln(tc + 1) - ln(tt + 4096)
+                         - ln(rc + 1) + ln(rt + 4096)) * 1e6) AS BIGINT)
+               AS llr_micro
+      FROM rbst, rtot
+    ), lm_sig AS (
+      SELECT r.doc_id, 'dsir_logweight_per_token' AS method,
+             round(CAST(sum(coalesce(l.llr_micro,
+                    CAST(round((ln(rt + 4096) - ln(tt + 4096)) * 1e6) AS BIGINT)))
+                  AS DOUBLE) / 1e6 / greatest(count(*), 1), 6) AS evidence
+      FROM rrws r LEFT JOIN rllr l USING (bucket), rtot
+      WHERE r.is_probe
+      GROUP BY r.doc_id
+    ), signals AS (
+      SELECT * FROM span_sig WHERE evidence IS NOT NULL
+      UNION ALL SELECT * FROM ngram_sig
+      UNION ALL SELECT * FROM jac_sig
+      UNION ALL SELECT * FROM lm_sig
+    ), scaffold AS (
+      SELECT d.doc_id, m.method
+      FROM documents d,
+           (VALUES ('ngram_overlap'), ('span_coverage'), ('near_dup_jaccard'),
+                   ('dsir_logweight_per_token')) AS m(method)
+      WHERE d.doc_id % 10 = 0
+    )
+    SELECT s.doc_id, s.method, coalesce(g.evidence, 0.0) AS evidence
+    FROM scaffold s LEFT JOIN signals g
+      ON g.doc_id = s.doc_id AND g.method = s.method
+    """,
+    doc="The full batch RELEASE gate (the batch twin of the streaming "
+    "release_report_online, VERDICT r10 item 6 closed both ways): the "
+    "three contamination modalities of contamination_report PLUS the "
+    "DSIR target-likeness signal — per-token log importance weight in "
+    "nats against a hashed-unigram LM built from the HISTORICAL slice "
+    "(doc_id % 10 <> 0, target lang='en'), exactly what the online "
+    "twin reads from the LM lake. One (probe × 4 methods) artifact, "
+    "zeros kept. Scale: each contamination leg keeps its audited "
+    "shape; the LM leg adds one corpus-slice stats pass (4096-row LM, "
+    "materialized once, broadcast back) + one probe-sized scan — the "
+    "DSIR paper's own two-pass shape.",
+)
+def release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import dsir_score_against_lm, dsir_token_buckets
+
+    base = contamination_report(spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    probes = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    rows = dsir_token_buckets(
+        corpus.withColumn("__t", (F.col("lang") == "en").cast("long")),
+        "doc_id",
+        "text",
+        4096,
+        carry=("__t",),
+    )
+    bstats = materialize_once(
+        rows.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("rc"), F.sum("__t").alias("tc")
+        )
+    )
+    method = "dsir_logweight_per_token"
+    lm_sig = dsir_score_against_lm(probes, bstats, "doc_id", "text", 4096).select(
+        "doc_id",
+        F.lit(method).alias("method"),
+        F.round(
+            F.col("weight_micro") / 1e6 / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("evidence"),
+    )
+    scaffold = probes.select("doc_id").withColumn("method", F.lit(method))
+    lm_full = scaffold.join(lm_sig, ["doc_id", "method"], "left").select(
+        "doc_id", "method", F.coalesce("evidence", F.lit(0.0)).alias("evidence")
+    )
+    return base.unionByName(lm_full)
