@@ -162,6 +162,19 @@ def _subdist_sql(idx, centroid: Sequence[float], offset: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+#: Subspaces packed per BIGINT code word. 8 codes × log₂k bits stays
+#: far inside a long for any k ≤ 256 (8 × 8 bits = 2⁶⁴-safe at 2⁵⁶).
+PQ_WORD = 8
+
+
+def pq_word_cols(m: int) -> list[str]:
+    """Code column names for an m-subspace layout: the single
+    ``pq_code`` for m ≤ PQ_WORD (the original 8-byte layout — nothing
+    downstream changes), else ``pq_code_0 … pq_code_{w-1}``."""
+    n = -(-m // PQ_WORD)
+    return ["pq_code"] if n == 1 else [f"pq_code_{w}" for w in range(n)]
+
+
 def pq_code_layers(
     idx, codebooks: Sequence[Sequence[Sequence[float]]]
 ) -> list[list[tuple[str, str]]]:
@@ -190,9 +203,18 @@ def pq_code_layers(
         for j in range(m)
     ]
     # BIGINT cast per term: k^7 = 2²⁸ and code·k^j overflows an INT32
-    # multiply in DuckDB (Spark widens implicitly; DuckDB raises)
-    packed = " + ".join(f"CAST(__code{j} AS BIGINT) * {k ** j}" for j in range(m))
-    l4 = [("pq_code", f"CAST({packed} AS BIGINT)")]
+    # multiply in DuckDB (Spark widens implicitly; DuckDB raises).
+    # m > PQ_WORD packs into ⌈m/PQ_WORD⌉ words (pq_code_0, pq_code_1,
+    # …) — the two-word layout that unlocks m = 16 (finer subspaces,
+    # the recall escalation SCALING.md r10 recorded as not-yet-built);
+    # m ≤ PQ_WORD keeps the single `pq_code` BIGINT unchanged.
+    l4 = []
+    for w, col in enumerate(pq_word_cols(m)):
+        js = range(w * PQ_WORD, min((w + 1) * PQ_WORD, m))
+        packed = " + ".join(
+            f"CAST(__code{j} AS BIGINT) * {k ** (j - w * PQ_WORD)}" for j in js
+        )
+        l4.append((col, f"CAST({packed} AS BIGINT)"))
     return [l1, l2, l3, l4]
 
 
@@ -212,13 +234,17 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, pq_code): each vector quantized to one packed BIGINT —
-    the ingest-time map. One narrow projection chain, no shuffle."""
+    """(id, pq_code[, pq_code_1 …]): each vector quantized to packed
+    BIGINT word(s) — the ingest-time map. One narrow projection chain,
+    no shuffle; m > PQ_WORD subspaces emit one column per 8-subspace
+    word (the m=16 layout is 16 B/vector — still a 16× scan cut)."""
     out = parallelize_narrow_input(df.select(F.col(id_col), F.col(vec_col)))
     layers = pq_code_layers(_spark_idx(vec_col), codebooks)
     for layer in layers:
         out = out.select("*", *[F.expr(sql).alias(a) for a, sql in layer])
-    return out.select(F.col(id_col), F.col("pq_code"))
+    return out.select(
+        F.col(id_col), *[F.col(c) for c in pq_word_cols(len(codebooks))]
+    )
 
 
 def adc_lut(
@@ -252,18 +278,28 @@ def adc_score_sql(
     code_col: str = "pq_code",
 ) -> str:
     """Σ_j LUT[j][code_j] as one Spark SQL expression over the packed
-    code column: m literal k-element DOUBLE arrays (driver-computed,
+    code column(s): m literal k-element DOUBLE arrays (driver-computed,
     see ``adc_lut``) indexed by the unpacked code — the whole rank
-    cost per row is m integer unpacks + m array lookups."""
-    k = len(codebooks[0])
+    cost per row is m integer unpacks + m array lookups. For
+    m > PQ_WORD layouts, ``code_col`` is the column PREFIX: subspace j
+    unpacks from word j // PQ_WORD at local position j % PQ_WORD
+    (``{code_col}_0``, ``{code_col}_1``, …)."""
+    m, k = len(codebooks), len(codebooks[0])
+    words = pq_word_cols(m)
     lut = adc_lut(query_vec, codebooks)
     lookups = []
-    for j in range(len(codebooks)):
+    for j in range(m):
         arr = "array(" + ", ".join(
             f"CAST({v!r} AS DOUBLE)" for v in lut[j]
         ) + ")"
+        word_col = (
+            code_col
+            if len(words) == 1
+            else f"{code_col}_{j // PQ_WORD}"
+        )
         lookups.append(
-            f"element_at({arr}, CAST({pq_unpack_sql(code_col, j, k)} AS INT) + 1)"
+            "element_at("
+            f"{arr}, CAST({pq_unpack_sql(word_col, j % PQ_WORD, k)} AS INT) + 1)"
         )
     return " + ".join(lookups)
 

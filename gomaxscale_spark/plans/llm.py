@@ -2779,30 +2779,39 @@ def _pq_books():
     return PQ.pq_codebooks_lcg(dim=64, m=8, k=16, seed=99)
 
 
-def _pq_codes_ctes(vec_ref: str = "e.embedding") -> str:
+def _pq_books16():
+    from ..operators import pq as PQ
+
+    return PQ.pq_codebooks_lcg(dim=64, m=16, k=16, seed=99)
+
+
+def _pq_codes_ctes(vec_ref: str = "e.embedding", books=None) -> str:
     """The encode pipeline's four chained projection layers as CTEs —
     the same (alias, sql) layers the Spark plan projects, rendered over
     DuckDB's 1-based list indexing. Chained CTEs keep every distance
     evaluated once (the r5 lesson: a CASE arm referencing an inline
-    least() re-evaluates all 16 distance subtrees per arm)."""
+    least() re-evaluates all 16 distance subtrees per arm). ``books``
+    defaults to the m=8 single-word layout; the m=16 books render the
+    two-word (pq_code_0, pq_code_1) layer the same way."""
     from ..operators import pq as PQ
 
-    layers = PQ.pq_code_layers(PQ._duck_idx(vec_ref), _pq_books())
+    layers = PQ.pq_code_layers(PQ._duck_idx(vec_ref), books or _pq_books())
     l1, l2, l3, l4 = layers
     return f"""
     pq1 AS (SELECT e.vec_id, {", ".join(f'{sql} AS {a}' for a, sql in l1)}
             FROM embeddings e),
     pq2 AS (SELECT *, {", ".join(f'{sql} AS {a}' for a, sql in l2)} FROM pq1),
     pq3 AS (SELECT *, {", ".join(f'{sql} AS {a}' for a, sql in l3)} FROM pq2),
-    pqc AS (SELECT vec_id, {l4[0][1]} AS pq_code FROM pq3)"""
+    pqc AS (SELECT vec_id, {", ".join(f'{sql} AS {a}' for a, sql in l4)} FROM pq3)"""
 
 
-def _pq_adc_oracle(topk: int = 10) -> str:
+def _pq_adc_oracle(topk: int = 10, books=None) -> str:
     from ..operators import pq as PQ
 
-    books = _pq_books()
+    books = books or _pq_books()
     m, k = len(books), len(books[0])
     d8 = len(books[0][0])
+    words = PQ.pq_word_cols(m)
     lut_cols = ", ".join(
         f"{PQ._subdist_sql(PQ._duck_idx('q.qv'), books[j][c], j * d8)} AS __l{j}_{c}"
         for j in range(m)
@@ -2810,12 +2819,13 @@ def _pq_adc_oracle(topk: int = 10) -> str:
     )
     lookups = " + ".join(
         f"list_value({', '.join(f'__l{j}_{c}' for c in range(k))})"
-        f"[CAST({PQ.pq_unpack_sql('c.pq_code', j, k)} AS INT) + 1]"
+        f"[CAST({PQ.pq_unpack_sql('c.' + words[j // PQ.PQ_WORD], j % PQ.PQ_WORD, k)}"
+        f" AS INT) + 1]"
         for j in range(m)
     )
     return f"""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-    {_pq_codes_ctes()},
+    {_pq_codes_ctes(books=books)},
     lut AS (SELECT {lut_cols} FROM q),
     scored AS (
       SELECT c.vec_id, ({lookups}) AS __adc FROM pqc c CROSS JOIN lut
@@ -2870,6 +2880,28 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).head().embedding]
     return PQ.pq_adc_topk(e, q, _pq_books(), topk=10)
+
+
+@query(
+    "similarity_pq16_adc_topk",
+    oracle=_pq_adc_oracle(topk=10, books=_pq_books16()),
+    doc="B16 PQ ADC top-k at m=16 — the TWO-WORD code layout "
+    "(pq_code_0, pq_code_1; 16 B/vector, still a 16× scan cut): "
+    "twice the subspaces halves each quantization cell's "
+    "dimensionality (4-d subvectors), the finer-cells recall "
+    "escalation SCALING.md r10 recorded as the m=8 weak-margin fix. "
+    "Same exactness contract as the m=8 entry: literal codebooks, "
+    "CAST-disciplined left-assoc distance arithmetic, DuckDB replays "
+    "codes AND ranks bit-for-bit. Scale shape unchanged: encode is "
+    "one narrow projection chain (ingest-time in prod), the rank "
+    "scan reads (id, 2×8-byte words), TakeOrdered, never a sort.",
+)
+def similarity_pq16_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq as PQ
+
+    e = t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).head().embedding]
+    return PQ.pq_adc_topk(e, q, _pq_books16(), topk=10)
 
 
 @query(

@@ -340,3 +340,55 @@ def test_train_codebooks_sample_cap_and_distinct_init(spark):
     for sub in books:
         c = np.asarray(sub)
         assert not np.allclose(c[0], c[1]), "init collapsed to duplicate centroids"
+
+
+def test_pq16_two_word_layout_roundtrip_and_finer_cells(spark, emb):
+    """The m=16 two-word layout (VERDICT/SCALING r10's recorded
+    escalation): codes round-trip through both words, and doubling the
+    subspaces strictly lowers mean reconstruction error vs m=8 at
+    equal k (finer 4-d cells) — for BOTH the literal-LCG and trained
+    codebooks. ADC distances under m=16 must also order the corpus at
+    least as faithfully: the trained-m16 ADC top-50 shortlist recall
+    of the exact top-10 is ≥ the trained-m8 recall."""
+    import numpy as np
+
+    vecs = _vecs(emb)
+
+    def decode_wide(row, books):
+        m, k = len(books), len(books[0])
+        words = PQ.pq_word_cols(m)
+        out = []
+        for j in range(m):
+            code = int(row[words[j // PQ.PQ_WORD]])
+            c = (code // (k ** (j % PQ.PQ_WORD))) % k
+            out.extend(books[j][c])
+        return np.asarray(out)
+
+    def mean_err(books):
+        rows = {r.vec_id: r for r in PQ.pq_encode(emb, books).collect()}
+        return sum(
+            float(((vecs[v] - decode_wide(rows[v], books)) ** 2).sum())
+            for v in vecs
+        ) / len(vecs)
+
+    lcg8, lcg16 = PQ.pq_codebooks_lcg(), PQ.pq_codebooks_lcg(m=16)
+    assert mean_err(lcg16) < mean_err(lcg8)
+
+    tr8 = PQ.train_pq_codebooks(emb, n_iters=5)
+    tr16 = PQ.train_pq_codebooks(emb, m=16, n_iters=5)
+    assert mean_err(tr16) < mean_err(tr8)
+
+    qid = min(vecs)
+    q = [float(x) for x in vecs[qid]]
+    exact = sorted(
+        ((float(((v - vecs[qid]) ** 2).sum()), vid) for vid, v in vecs.items())
+    )
+    exact10 = {vid for _, vid in exact[:10]}
+
+    def recall(books):
+        ids = {r.vec_id for r in PQ.pq_adc_topk(emb, q, books, topk=50).collect()}
+        return len(ids & exact10) / 10
+
+    r8, r16 = recall(tr8), recall(tr16)
+    assert r16 >= r8, (r8, r16)
+    assert r16 >= 0.8
