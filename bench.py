@@ -126,6 +126,8 @@ EXTRA = [
     "text_gopher_rules",
     # r11: the four-modality batch release gate (contamination + DSIR)
     "release_report",
+    # r11: the two-word (m=16) PQ layout — finer cells, measured recall
+    "similarity_pq16_adc_topk",
 ]
 
 
