@@ -564,16 +564,18 @@ class IVFIndex:
             ),
         )
         adc = PQ.adc_vs_luts(luts, m_sub, k_sub)
+        word_cols = PQ.pq_word_cols(m_sub)  # ["pq_code"] or pq_code_0/1
         pruned = self._read_vectors(spark).filter(F.col("centroid_id").isin(cells))
         scored = (
-            pruned.select(self.id_col, "pq_code", "centroid_id")
+            pruned.select(self.id_col, *word_cols, "centroid_id")
             .join(F.broadcast(ptab), "centroid_id")
             .select(
                 query_id_col,
                 self.id_col,
-                adc(F.col(query_id_col).cast("string"), F.col("pq_code")).alias(
-                    "__adc"
-                ),
+                adc(
+                    F.col(query_id_col).cast("string"),
+                    *[F.col(c) for c in word_cols],
+                ).alias("__adc"),
             )
         )
         # the salted selector returns (id, key, quality) only — recover

@@ -353,23 +353,33 @@ def adc_vs_luts(luts: dict, m: int, k: int):
     from pyspark.sql.functions import pandas_udf
 
     tensors = {str(q): np.asarray(lut, dtype=np.float64) for q, lut in luts.items()}
-    pow_k = np.array([k ** j for j in range(m)], dtype=np.int64)
+    n_words = -(-m // PQ_WORD)
+    word_lens = [min(PQ_WORD, m - w * PQ_WORD) for w in range(n_words)]
+    pows = [
+        np.array([k ** j for j in range(wl)], dtype=np.int64) for wl in word_lens
+    ]
     cols = np.arange(m)
 
     @pandas_udf("double")
-    def _adc(qids, codes):
-        n = len(codes)
+    def _adc(qids, *code_words):
+        # one code column per packed word (m ≤ 8 → the single pq_code;
+        # m = 16 → pq_code_0, pq_code_1) — the caller passes
+        # pq_word_cols(m) in order
+        n = len(qids)
         if n == 0:
             return pd.Series(np.empty(0, dtype=np.float64))
-        if codes.isna().any():
-            raise ValueError(
-                "adc_vs_luts: NULL pq_code in the scan — a NaN embedding "
-                "encodes to NULL (every pq_code_layers CASE arm false); "
-                "filter or fix the encode path (non-null, non-NaN "
-                "embeddings are the documented precondition)"
-            )
-        C = codes.to_numpy(dtype=np.int64)
-        sub = (C[:, None] // pow_k[None, :]) % k  # (n, m) sub-codes
+        subs = []
+        for w, codes in enumerate(code_words):
+            if codes.isna().any():
+                raise ValueError(
+                    "adc_vs_luts: NULL pq_code in the scan — a NaN embedding "
+                    "encodes to NULL (every pq_code_layers CASE arm false); "
+                    "filter or fix the encode path (non-null, non-NaN "
+                    "embeddings are the documented precondition)"
+                )
+            C = codes.to_numpy(dtype=np.int64)
+            subs.append((C[:, None] // pows[w][None, :]) % k)
+        sub = np.concatenate(subs, axis=1)  # (n, m) sub-codes
         out = np.empty(n, dtype=np.float64)
         qarr = qids.astype(str).to_numpy()
         for q in np.unique(qarr):

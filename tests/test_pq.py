@@ -392,3 +392,34 @@ def test_pq16_two_word_layout_roundtrip_and_finer_cells(spark, emb):
     r8, r16 = recall(tr8), recall(tr16)
     assert r16 >= r8, (r8, r16)
     assert r16 >= 0.8
+
+
+def test_ivf_pq16_index_probes(spark, emb, tmp_path):
+    """The IVF-PQ index composes with the m=16 two-word layout:
+    build stores both code words, probe_adc ranks off them, and
+    probe_adc_batch equals per-query probe_adc — same contract the
+    m=8 suite pins, now on the wide layout."""
+    from gomaxscale_spark.operators.ivf_index import IVFIndex
+
+    books = PQ.pq_codebooks_lcg(m=16)
+    idx = IVFIndex(str(tmp_path / "ivfpq16"), codebooks=books)
+    idx.build(emb, n_iters=1)
+    stored = spark.read.parquet(f"{idx.path}/vectors")
+    assert {"pq_code_0", "pq_code_1"} <= set(stored.columns)
+
+    qdf = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    got = idx.probe_adc_batch(qdf, k=5, n_probe=2, shortlist=10_000)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r.vec_id, r.score, r.adc_dist))
+    for qrow in qdf.collect():
+        seq = idx.probe_adc(
+            spark, [float(x) for x in qrow.embedding], k=5, n_probe=2,
+            shortlist=10_000,
+        ).collect()
+        want = sorted((r.vec_id, r.score, r.adc_dist) for r in seq)
+        assert sorted(by_q[qrow.query_id]) == want, qrow.query_id
