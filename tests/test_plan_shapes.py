@@ -602,3 +602,13 @@ def test_profile_by_source_partial_agg_only(spark, sf_dir):
     read_schema = p.split("ReadSchema: ")[1].splitlines()[0]
     for col in ("doc_id", "url", "ts"):
         assert col not in read_schema, read_schema
+
+
+def test_q21_semi_anti_on_orderkey_supplier_broadcast(spark, sf_dir):
+    """Q21's correlated EXISTS/NOT-EXISTS must plan as semi + anti
+    joins (never a correlated re-scan per row), and the supplier ×
+    nation dim side must broadcast."""
+    p = plan_str(spark, sf_dir, "q21_suppliers_kept_waiting")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
