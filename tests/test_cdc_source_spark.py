@@ -679,3 +679,113 @@ def test_cdc_stream_feeds_lm_sink(registered, tmp_path):
     got = {r["doc_id"]: r["weight_micro"] / r["n_tokens"]
            for r in sink.score(probes).collect()}
     assert got[100] > got[101], got
+
+
+def test_cdc_stream_feeds_release_gate(registered, tmp_path):
+    """The full serving loop under the REAL engine (r11): ONE CDC
+    documents stream folds into all three release-gate lakes (LSH
+    text dedup, substring keys, DSIR LM) in the same foreachBatch,
+    then `release_report_online` answers over the committed lake
+    state: a verbatim-copy probe flags both contamination methods at
+    1.0, a fresh probe reads zeros, and the target-like probe scores
+    a higher LM weight than the spam-like one."""
+    from gomaxscale_spark.streaming.lm_sink import IncrementalLMSink
+    from gomaxscale_spark.streaming.sinks import (
+        IncrementalLSHDedupSink,
+        SubstringKeyLakeSink,
+        release_report_online,
+    )
+
+    base = ("science history theory physics atom cell gene energy "
+            "matter field force motion light wave charge spin")
+    spam = "click buy cheap deal offer win prize now sale coupon"
+    docs_ddl = dict(DDL, table="documents", fields=[
+        {"name": "doc_id", "type": "int"},
+        {"name": "text", "type": "string"},
+        {"name": "lang", "type": "string"},
+    ])
+    payloads = {1: (base, "en"), 2: (spam, "xx")}
+    script = [docs_ddl] + [
+        dml(i, doc_id=i, text=payloads[i][0], lang=payloads[i][1])
+        for i in sorted(payloads)
+    ]
+    reg = SchemaRegistry()
+    reg.register(json.dumps(docs_ddl).encode())
+    schema = reg.full_dml_schema("example", "documents")
+
+    lsh = IncrementalLSHDedupSink(str(tmp_path / "rg_lsh"), threshold=0.8)
+    keys = SubstringKeyLakeSink(str(tmp_path / "rg_keys"), window=8)
+    lm = IncrementalLMSink(
+        str(tmp_path / "rg_lm"), target_sql="lang = 'en'", n_buckets=512
+    )
+
+    def fold(batch_df, epoch_id):
+        projected = (
+            batch_df.filter(F.col("kind") == "dml")
+            .select(F.from_json("raw", schema).alias("r"))
+            .select(
+                F.col("r.doc_id").cast("long").alias("doc_id"),
+                "r.text",
+                "r.lang",
+            )
+        )
+        lsh.apply_batch(projected.select("doc_id", "text"), epoch_id)
+        keys.apply_batch(projected.select("doc_id", "text"), epoch_id)
+        lm.apply_batch(projected, epoch_id)
+
+    opts = dict(read_options((None, None)), table="documents")
+    with MockMaxScaleServer(script=script, write_delay=0.05) as addr:
+        opts["host"], opts["port"] = addr[0], str(addr[1])
+        q = (
+            registered.readStream.format("maxscale_cdc")
+            .options(**opts)
+            .load()
+            .writeStream.foreachBatch(fold)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                try:
+                    ready = (
+                        keys.read_keys(registered).count() >= 10
+                        and (
+                            lm.read_lm(registered)
+                            .agg(F.sum("rc"))
+                            .collect()[0][0]
+                            or 0
+                        )
+                        >= 20
+                        and lsh.read_kept(registered).count() >= 2
+                    )
+                    if ready:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+        finally:
+            q.stop()
+
+    probes = registered.createDataFrame(
+        [
+            (100, base),                                   # verbatim lake copy
+            (101, "entirely novel probe tokens unseen anywhere today ok"),
+            (102, spam),                                   # off-target copy
+        ],
+        "doc_id long, text string",
+    )
+    rep = {
+        (r["doc_id"], r["method"]): r["evidence"]
+        for r in release_report_online(lsh, keys, lm, probes).collect()
+    }
+    assert len(rep) == 9  # 3 probes × 3 methods, zeros kept
+    assert rep[(100, "near_dup_jaccard")] == 1.0
+    assert rep[(100, "span_coverage")] == 1.0
+    assert rep[(101, "near_dup_jaccard")] == 0.0
+    assert rep[(101, "span_coverage")] == 0.0
+    # target-likeness orders the probes: lake-en copy > novel > spam copy
+    assert (
+        rep[(100, "dsir_logweight_per_token")]
+        > rep[(102, "dsir_logweight_per_token")]
+    )
