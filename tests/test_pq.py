@@ -407,6 +407,19 @@ def test_ivf_pq16_index_probes(spark, emb, tmp_path):
     stored = spark.read.parquet(f"{idx.path}/vectors")
     assert {"pq_code_0", "pq_code_1"} <= set(stored.columns)
 
+    # the m=16 ADC leg stays column-pruned: both code words + id, but
+    # never the raw vector (16 B/vector scanned, the 16× cut)
+    q0 = [float(x) for x in emb.orderBy("vec_id").limit(1).head().embedding]
+    score_sql = PQ.adc_score_sql(q0, books)
+    adc_leg = (
+        idx._read_vectors(spark)
+        .filter(F.col("centroid_id").isin(idx._probe_cells(spark, q0, 2)))
+        .select("vec_id", F.expr(score_sql).alias("__adc"))
+    )
+    plan = adc_leg._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan_lines and all("embedding" not in ln for ln in scan_lines), plan
+
     qdf = (
         emb.orderBy("vec_id")
         .limit(3)
