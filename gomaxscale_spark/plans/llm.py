@@ -3712,3 +3712,63 @@ def release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "method", F.coalesce("evidence", F.lit(0.0)).alias("evidence")
     )
     return base.unionByName(lm_full)
+
+
+@query(
+    "text_vocab_top_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ), cnt AS (
+      SELECT tok, count(*) AS c FROM tok GROUP BY tok
+    ), tot AS (SELECT sum(c) AS n FROM cnt),
+    ranked AS (
+      SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rank
+      FROM cnt
+    )
+    SELECT CAST(rank AS INT) AS rank, tok, CAST(c AS BIGINT) AS c,
+           round(CAST(c AS DOUBLE) / n, 6) AS frac,
+           round(CAST(sum(c) OVER (ORDER BY rank) AS DOUBLE) / n, 6) AS cum_frac
+    FROM ranked, tot WHERE rank <= 100
+    """,
+    doc="LLM-pipeline dataset card: corpus vocabulary heavy hitters — "
+    "the top-100 tokens with corpus frequency and cumulative coverage "
+    "(the Zipf head a tokenizer/stopword decision reads). Scale: one "
+    "partial-agged token count (map-side combine means the shuffle "
+    "carries ≤ n_partitions rows per distinct token — a skewed token "
+    "never concentrates raw rows), a 1-row total broadcast, a top-100 "
+    "TakeOrdered, and the cumulative window runs over 100 rows on one "
+    "task. Lowercased whitespace tokens, ties broken on the token.",
+)
+def text_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    cnt = (
+        d.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.agg(F.sum("c").alias("n"))
+    top = (
+        cnt.orderBy(F.desc("c"), "tok")
+        .limit(100)
+        .withColumn("rank", F.row_number().over(W.orderBy(F.desc("c"), "tok")))
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        F.col("rank").cast("int").alias("rank"),
+        "tok",
+        F.col("c").cast("long").alias("c"),
+        F.round(F.col("c").cast("double") / F.col("n"), 6).alias("frac"),
+        F.round(
+            F.sum("c").over(W.orderBy("rank")).cast("double") / F.col("n"), 6
+        ).alias("cum_frac"),
+    )
