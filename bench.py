@@ -128,6 +128,9 @@ EXTRA = [
     "release_report",
     # r11: the two-word (m=16) PQ layout — finer cells, measured recall
     "similarity_pq16_adc_topk",
+    # r11: TPC-H q21 shape + the corpus vocabulary heavy hitters
+    "q21_suppliers_kept_waiting",
+    "text_vocab_top_tokens",
 ]
 
 
