@@ -612,3 +612,24 @@ def test_q21_semi_anti_on_orderkey_supplier_broadcast(spark, sf_dir):
     assert "LeftSemi" in p and "LeftAnti" in p
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_release_report_plan(spark, sf_dir):
+    """The four-modality batch release gate keeps every leg's audited
+    shape: no cartesian product, raw document text in no exchange, and
+    the DSIR leg's LM rides broadcasts (its only nested-loop arms are
+    the 1-3-row method/totals scaffolds)."""
+    p = plan_str(spark, sf_dir, "release_report")
+    assert "CartesianProduct" not in p
+    exchanges = [seg.splitlines()[0] for seg in p.split("Exchange")[1:]]
+    assert all("text" not in e for e in exchanges), [
+        e for e in exchanges if "text" in e
+    ]
+    assert "BroadcastHashJoin" in p
+
+
+def test_gopher_rules_zero_shuffle(spark, sf_dir):
+    """The rule battery is one projection — an exchange anywhere means
+    someone broke the pure-map contract."""
+    p = plan_str(spark, sf_dir, "text_gopher_rules")
+    assert "Exchange" not in p, p[:1500]
