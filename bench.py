@@ -131,6 +131,8 @@ EXTRA = [
     # r11: TPC-H q21 shape + the corpus vocabulary heavy hitters
     "q21_suppliers_kept_waiting",
     "text_vocab_top_tokens",
+    # r11: cross-source duplication matrix (digest self-join forensics)
+    "dedup_cross_source_matrix",
 ]
 
 

@@ -3772,3 +3772,36 @@ def text_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").over(W.orderBy("rank")).cast("double") / F.col("n"), 6
         ).alias("cum_frac"),
     )
+
+
+@query(
+    "dedup_cross_source_matrix",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT md5(text) AS th, source FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_texts
+    FROM h a JOIN h b ON a.th = b.th AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    doc="LLM-pipeline corpus forensics: the cross-source duplication "
+    "matrix — for every source pair, how many distinct document texts "
+    "appear verbatim in BOTH (which mirrors/scrapes feed each other). "
+    "Scale: the self-join runs on DISTINCT (16-byte text digest, "
+    "source) rows — raw text never joins — so a duplicated family "
+    "contributes ≤ n_sources rows per side and the pair fan-out is "
+    "bounded by n_sources² per digest, never document-count²; the "
+    "report is ≤ n_sources² rows.",
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    h = d.select(F.md5(F.col("text")).alias("th"), "source").distinct()
+    a = h.select(F.col("th"), F.col("source").alias("source_a"))
+    b = h.select(F.col("th"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, "th")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_texts"))
+    )
