@@ -78,9 +78,16 @@ _PRIORITY: list[str] = [
     # (r5, per VERDICT r4): the (lang, len_band)-blocked exact twins
     # DNF'd at 10× data (SCALING.md) and now sit in tier 2 as
     # small-block exact semantics.
-    "dedup_exact_documents",
+    # r12 (VERDICT r11 item 1): dedup_exact_documents demoted to tier-2
+    # head — its md5-digest twin dedup_exact_hashed stays oracle-replayed
+    # every suite run and the exact-dedup semantics also run inside the
+    # capstone pipeline_training_corpus, which holds a window row. Slot
+    # funds the release_report promotion.
     "text_language_id",
-    "dedup_minhash_lsh",
+    # r12 (VERDICT r11 item 1): the uncapped MinHash-LSH form demoted to
+    # tier-2 head — standing policy says the gate carries the scale-safe
+    # twin, and dedup_minhash_lsh_capped (count-first bucket cap) IS that
+    # twin and keeps its row below. Slot funds the Gopher promotion.
     # r7 (VERDICT r6 item 6): the capped form joins the window alongside
     # the uncapped one — no measured DNF this time (uncapped held 2.8×
     # wall for 3× data at x30), but the count-first bucket cap is the
@@ -122,18 +129,29 @@ _PRIORITY: list[str] = [
     # driver semantics are unchanged. Fixed-width twin lives in tier 2.
     "dedup_embedding_lsh_scaled",
     # r11 (VERDICT r10 item 3): the PQ/IVF-PQ serving tier gets a gate
-    # row — ADC top-k over literal codebooks, oracle-exact. Funded by
-    # udf_pandas_scalar_log1p (tier-2 head): B18 keeps the three
-    # structurally distinct heavy shapes (applyInPandas, mapInPandas,
-    # UDTF); the scalar pandas_udf shape is the simplest of the five
-    # and stays full-catalog oracle-replayed every suite run.
-    "similarity_pq_adc_topk",
+    # row — ADC top-k over literal codebooks, oracle-exact. r12 (VERDICT
+    # r11 item 1): the slot swaps to the m=16 two-word layout — the
+    # recall-winning variant (recall@10 0.56→0.92 at x30 top-500,
+    # SCALING.md r11) and the structurally harder shape (two code words,
+    # varargs-LUT ADC); the m=8 twin moves to tier-2 head, still
+    # full-catalog oracle-replayed every suite run.
+    "similarity_pq16_adc_topk",
     # B17 text analysis (incl. the benchmark-decontamination capstone)
     "text_tfidf",
     "text_quality_score",
     "text_contamination_ngram",
+    # r12 (VERDICT r11 item 1): the Gopher char-mass n-gram repetition
+    # battery — r11's biggest text addition (four n-gram orders off ONE
+    # (hash,len) struct array) — gets its hard per-round CORRECTNESS
+    # row. Funded by the uncapped dedup_minhash_lsh demotion above.
+    "text_ngram_char_repetition",
     # north-star composition: quality-filter → dedup → decontaminate
     "pipeline_training_corpus",
+    # r12 (VERDICT r11 item 1): the four-modality release gate — the
+    # composition that chains the audited contamination legs + DSIR into
+    # one release verdict — joins the window. Funded by the
+    # dedup_exact_documents demotion above.
+    "release_report",
     # B18 UDF shapes — r11: three window reps (applyInPandas,
     # mapInPandas, UDTF); the scalar pandas_udf and grouped-agg shapes
     # moved to tier-2 head to fund the r10-modality promotions
@@ -169,6 +187,16 @@ _TIER2: list[str] = [
     "dedup_keep_representatives_lsh",
     "udf_pandas_scalar_log1p",
     "udf_grouped_agg_mad",
+    # r12: demoted from the window to fund the r11-modality promotions
+    # (Gopher battery / release_report / m=16 PQ, VERDICT r11 item 1).
+    # All three stay full-catalog oracle-replayed every suite run: the
+    # uncapped LSH's scale-safe capped twin holds the window row, exact
+    # dedup's md5-digest twin is below and the capstone exercises the
+    # semantics in-window, and the m=8 PQ layout is the coarser variant
+    # of the promoted two-word form.
+    "dedup_minhash_lsh",
+    "dedup_exact_documents",
+    "similarity_pq_adc_topk",
     # r8: demoted from the window — the fixed-width ANN serving forms
     # (probe scan linear in the corpus, SCALING.md r8); their slots now
     # carry the adaptive-width twins. Kept oracle-green as the

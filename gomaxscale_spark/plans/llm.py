@@ -3735,18 +3735,24 @@ def release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="LLM-pipeline dataset card: corpus vocabulary heavy hitters — "
     "the top-100 tokens with corpus frequency and cumulative coverage "
-    "(the Zipf head a tokenizer/stopword decision reads). Scale: one "
-    "partial-agged token count (map-side combine means the shuffle "
+    "(the Zipf head a tokenizer/stopword decision reads). Scale: ONE "
+    "tokenize+count pass over the corpus (partial-agged, so the shuffle "
     "carries ≤ n_partitions rows per distinct token — a skewed token "
-    "never concentrates raw rows), a 1-row total broadcast, a top-100 "
-    "TakeOrdered, and the cumulative window runs over 100 rows on one "
-    "task. Lowercased whitespace tokens, ties broken on the token.",
+    "never concentrates raw rows), materialized once because two "
+    "consumers need it (top-100 and the grand total — without the "
+    "materialization the 100 TB corpus is tokenized twice); then a "
+    "1-row total broadcast, a top-100 TakeOrdered, and the cumulative "
+    "window runs over 100 rows on one task (bounded by the limit). "
+    "Lowercased whitespace tokens, ties broken on the token. Plan "
+    "pinned at tests/test_plan_shapes.py::test_vocab_top_tokens_plan.",
 )
 def text_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from ..operators.materialize import materialize_once
+
     d = t(spark, sf_dir, "documents")
-    cnt = (
+    cnt = materialize_once(
         d.select(
             F.explode(
                 F.filter(
@@ -3792,7 +3798,8 @@ def text_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source) rows — raw text never joins — so a duplicated family "
     "contributes ≤ n_sources rows per side and the pair fan-out is "
     "bounded by n_sources² per digest, never document-count²; the "
-    "report is ≤ n_sources² rows.",
+    "report is ≤ n_sources² rows. Plan pinned at "
+    "tests/test_plan_shapes.py::test_cross_source_matrix_digest_only_join.",
 )
 def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")

@@ -39,8 +39,11 @@ FAMILY_REPRESENTATIVES = {
         "streaming_sliding_availablenow",
         "streaming_stream_stream_join",
     ],
-    "B15 dedup": ["dedup_exact_documents", "dedup_minhash_lsh",
-                  "dedup_connected_components_lsh", "dedup_keep_representatives_lsh"],
+    # r12 window swap: the scale-safe capped LSH form is B15's MinHash
+    # slot-holder (uncapped + exact demoted to tier-2 head to fund the
+    # r11-modality promotions, VERDICT r11 item 1)
+    "B15 dedup": ["dedup_minhash_lsh_capped", "dedup_connected_components_lsh",
+                  "dedup_substring_coverage", "dedup_incremental_batch"],
     # r8 window swap: the ADAPTIVE serving twins hold the B16 slots
     # (fixed-width forms demoted to tier-2) — the pin names the live
     # slot-holders so a future reshuffle that drops them fails here
@@ -107,22 +110,43 @@ def test_r10_modalities_hold_gate_rows():
     r1-era ones. Funded by B18 (5 → 3 shapes: the scalar pandas_udf and
     grouped-agg forms are tier-2 head) and B15's keep-reps variant."""
     window = set(list(all_queries())[:WINDOW])
+    # r12: the PQ modality's row is now the m=16 two-word layout — the
+    # family keeps its gate coverage through the promoted twin.
     assert {
         "dedup_substring_coverage",
-        "similarity_pq_adc_topk",
+        "similarity_pq16_adc_topk",
         "sampling_dsir_weights",
     } <= window
     assert "udf_pandas_scalar_log1p" not in window
     assert "udf_grouped_agg_mad" not in window
 
 
-def test_capped_lsh_promoted_alongside_uncapped():
-    """VERDICT r6 item 6: the count-first-capped MinHash-LSH twin — the
-    form that survives a boilerplate hot band key at 100 TB — holds a
-    driver window row alongside the uncapped headline form."""
+def test_capped_lsh_holds_the_minhash_window_slot():
+    """VERDICT r6 item 6 established the count-first-capped MinHash-LSH
+    twin — the form that survives a boilerplate hot band key at 100 TB —
+    in the window; r12 (VERDICT r11 item 1) completed the standing
+    scale-safe-twin policy by demoting the uncapped form to tier-2 head
+    to fund the Gopher promotion. The capped form must keep the slot."""
     window = list(all_queries())[:WINDOW]
-    assert "dedup_minhash_lsh" in window
     assert "dedup_minhash_lsh_capped" in window
+    assert "dedup_minhash_lsh" not in window
+
+
+def test_r11_modalities_hold_gate_rows():
+    """VERDICT r11 item 1: each round's biggest additions earn hard
+    per-round CORRECTNESS rows — the Gopher repetition battery, the
+    four-modality release gate, and the m=16 two-word PQ layout. Funded
+    by dedup_minhash_lsh (capped twin keeps B15's MinHash row),
+    dedup_exact_documents (hashed twin in tier 2; semantics in-window
+    via the capstone), and the m=8 PQ layout (coarser variant)."""
+    window = set(list(all_queries())[:WINDOW])
+    assert {
+        "text_ngram_char_repetition",
+        "release_report",
+        "similarity_pq16_adc_topk",
+    } <= window
+    assert "similarity_pq_adc_topk" not in window
+    assert "dedup_exact_documents" not in window
 
 
 def test_scale_safe_embedding_lsh_holds_the_window_slot():
@@ -146,6 +170,37 @@ def test_at_most_one_no_oracle_query_total():
     # justification; we hold ourselves to 1 (dedup_simhash)
     no_oracle = sorted(n for n, q in all_queries().items() if q.oracle is None)
     assert no_oracle == ["dedup_simhash"], no_oracle
+
+
+def test_doc_banners_match_live_registry():
+    """VERDICT r11 item 7: the SURVEY.md / README.md headline banners
+    drifted (still said 181 two rounds later) because nothing enforced
+    them. Parse the catalog-size claims out of both banners and pin them
+    to the live registry — adding a query now REQUIRES bumping the
+    banners in the same commit."""
+    import re
+
+    qs = all_queries()
+    total, with_oracle = len(qs), sum(1 for q in qs.values() if q.oracle is not None)
+
+    root = Path(__file__).resolve().parents[1]
+    survey = (root / "SURVEY.md").read_text()
+    m = re.search(r"(\d+) catalog queries, (\d+) DuckDB-oracle-checked", survey)
+    assert m, "SURVEY.md banner lost its catalog-count sentence"
+    assert (int(m.group(1)), int(m.group(2))) == (total, with_oracle), (
+        f"SURVEY.md banner says {m.groups()}, registry is {(total, with_oracle)}"
+    )
+
+    readme = (root / "README.md").read_text()
+    m = re.search(
+        r"catalog of (\d+) `\(spark, sf_dir\).*?operators,\n\s+(\d+) of them",
+        readme,
+        re.DOTALL,
+    )
+    assert m, "README.md banner lost its catalog-count sentence"
+    assert (int(m.group(1)), int(m.group(2))) == (total, with_oracle), (
+        f"README.md banner says {m.groups()}, registry is {(total, with_oracle)}"
+    )
 
 
 def test_spark_entry_preserves_priority_order():

@@ -628,6 +628,56 @@ def test_release_report_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in p
 
 
+def test_vocab_top_tokens_plan(spark, sf_dir):
+    """VERDICT r11 item 3: pin the docstring's scale claims. The corpus
+    token count is materialized ONCE (the final plan reads the
+    checkpointed artifact — zero parquet scans, so the 100 TB tokenize
+    never runs twice), the top-100 is a TakeOrderedAndProject (never a
+    global sort), and the cumulative window sits ABOVE the limit — it
+    sorts 100 rows, not the vocabulary."""
+    p = plan_str(spark, sf_dir, "text_vocab_top_tokens")
+    assert "FileScan parquet" not in p, "token count not materialized — corpus scanned twice"
+    assert "TakeOrderedAndProject(limit=100" in p
+    # plan prints top-down: every Window must appear above (before) the
+    # TakeOrdered, i.e. it only ever sees the post-limit 100 rows
+    take_at = p.index("TakeOrderedAndProject")
+    assert "Window" in p and p.rindex("Window") < take_at, (
+        "a Window runs below the limit — it would sort the full vocabulary"
+    )
+    # the only shuffle the final plan may add is the 1-row grand-total
+    # SinglePartition agg; the per-token count already happened in the
+    # materialization job
+    assert not _hash_exchanges(p), _hash_exchanges(p)
+
+
+def test_cross_source_matrix_digest_only_join(spark, sf_dir):
+    """VERDICT r11 item 3: pin the docstring's scale claims. The
+    self-join runs on DISTINCT (digest, source) rows — both arms
+    aggregate to distinct before any join — and raw document text rides
+    no exchange (only the 16-byte digest does), so a duplicated family
+    fans out at most n_sources² per digest, never document-count²."""
+    import re
+
+    p = plan_str(spark, sf_dir, "dedup_cross_source_matrix")
+    assert "CartesianProduct" not in p
+    # every exchange carries the digest/source/pair columns, never text
+    for seg in p.split("Exchange")[1:]:
+        line = seg.splitlines()[0]
+        assert not re.search(r"(?<![A-Za-z_])text#", line), line
+    # both join arms deduplicate to distinct (th, source) BEFORE joining:
+    # the distinct aggregates keyed on the digest outnumber none, and the
+    # join condition itself is on the digest column
+    join_lines = [
+        ln for ln in p.splitlines() if "Join" in ln and "BuildRight" in ln or "SortMergeJoin" in ln
+    ]
+    assert join_lines and all("th#" in ln for ln in join_lines), join_lines
+    distinct_aggs = [
+        ln for ln in p.splitlines()
+        if "HashAggregate" in ln and "functions=[]" in ln and "th#" in ln
+    ]
+    assert len(distinct_aggs) >= 2, distinct_aggs
+
+
 def test_gopher_rules_zero_shuffle(spark, sf_dir):
     """The rule battery is one projection — an exchange anywhere means
     someone broke the pure-map contract."""
