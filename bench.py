@@ -275,25 +275,39 @@ def main() -> None:
         materialize(registry["pipeline_training_corpus"].fn(spark, sf_dir))
         cap_best = min(cap_best, time.perf_counter() - start)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "extra_queries": extra,
-                "calibration": calibration,
-                "sf": sf,
-                "capstone_docs_per_sec": round(n_docs / cap_best, 0),
-                # best-of-2: same noise-resistance as the queries
-                "cdc_ingest_events_per_sec": max(
-                    cdc_ingest_events_per_sec() for _ in range(2)
-                ),
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "extra_queries": extra,
+        "calibration": calibration,
+        "sf": sf,
+        "capstone_docs_per_sec": round(n_docs / cap_best, 0),
+        # best-of-2: same noise-resistance as the queries
+        "cdc_ingest_events_per_sec": max(
+            cdc_ingest_events_per_sec() for _ in range(2)
+        ),
+    }
+    print(json.dumps(payload))
+    # Self-sufficient record (VERDICT r11 item 6): the driver wrapper
+    # stores only the LAST ~2k chars of stdout, which truncates the
+    # headline head out of BENCH_r{N}.json every round. Persist the
+    # complete record ourselves so round-over-round totals never depend
+    # on the wrapper tail; tools/bench_compare.py reads this file
+    # directly (it is the raw one-line format). The close protocol
+    # commits it as BENCH_LOCAL_r{N}.json.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
     )
+    try:
+        with open(out_path, "w") as f:
+            json.dump(payload, f)
+            f.write("\n")
+    except OSError as exc:  # a read-only checkout must not fail the bench
+        print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
     spark.stop()
 
 
