@@ -133,6 +133,8 @@ EXTRA = [
     "text_vocab_top_tokens",
     # r11: cross-source duplication matrix (digest self-join forensics)
     "dedup_cross_source_matrix",
+    # r12: OPQ — plan-literal rotation before the subspace split
+    "similarity_opq_adc_topk",
 ]
 
 

@@ -20,6 +20,15 @@ the rest); the LUT is an O(m·k) plan literal; composed with the
 cells, ADC-rank inside them, exact-re-rank the short list from the
 raw vectors (`pq_adc_topk(..., refine=N)` does the last step).
 
+OPQ (Ge et al., "Optimized Product Quantization", CVPR 2013) is the
+rotation escalation on top: an orthonormal R applied BEFORE the
+subspace split (``opq_encode`` — a plan-literal projection layer at
+ingest; probes rotate only the query, driver-side) so correlated /
+unevenly-spread dimensions stop landing in the same quantization cell.
+``train_opq`` is the production alternating optimization
+(k-means ↔ orthogonal Procrustes); ``opq_rotation_lcg`` is the
+fixed-seed orthonormal literal the oracle gate replays bit-for-bit.
+
 Two codebook sources, honestly separated:
 
 - ``pq_codebooks_lcg`` — fixed-seed plan LITERALS (the hyperplane
@@ -77,32 +86,16 @@ def pq_codebooks_lcg(
     return books
 
 
-def train_pq_codebooks(
-    embeddings: DataFrame,
-    dim: int = 64,
-    m: int = 8,
-    k: int = 16,
-    n_iters: int = 5,
-    sample_cap: int = 4096,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> list[list[list[float]]]:
-    """Per-subspace Lloyd k-means on a modulus SAMPLE (train-on-sample,
-    the standard PQ practice — the collect is quantizer-artifact-sized,
-    ≤ ``sample_cap`` rows for dense 0-based integer ids, never the
-    corpus; stride is the CEILING of n/sample_cap so the bound holds
-    at every n). Deterministic: sample by ``id % stride == 0``, init
-    each codebook from the sample's first k distinct subvectors (order
-    of first appearance; if the sample holds fewer than k distinct
-    subvectors the init pads with repeats, which collapse — ties go to
-    the lowest index — leaving dead centroids, the honest cap when the
-    data itself has < k distinct values). L2 assignment ties to the
-    lowest centroid. Empty clusters keep their previous centroid
-    (standard fix)."""
+def _sample_matrix(
+    embeddings: DataFrame, sample_cap: int, id_col: str, vec_col: str
+):
+    """Modulus sample collected driver-side as an (n_sample, dim)
+    float64 matrix — the quantizer-artifact-sized collect both training
+    paths share (≤ ``sample_cap`` rows for dense 0-based integer ids;
+    stride is the ceiling of n/sample_cap so the bound holds at every
+    n)."""
     import numpy as np
 
-    if dim % m:
-        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
     n = embeddings.count()
     stride = max(1, -(-n // sample_cap))  # ceil: collect stays ≤ cap
     rows = (
@@ -111,11 +104,27 @@ def train_pq_codebooks(
         .orderBy(id_col)
         .collect()
     )
-    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    if len(X) < k:
-        raise ValueError(f"pq: sample of {len(X)} rows < k={k}")
+    return np.array([list(r[1]) for r in rows], dtype=np.float64)
+
+
+def _lloyd_subspaces(X, m: int, k: int, n_iters: int):
+    """Per-subspace Lloyd k-means over an (n, dim) sample: the shared
+    kernel of ``train_pq_codebooks`` and ``train_opq``. Deterministic:
+    init each codebook from the sample's first k distinct subvectors
+    (order of first appearance; < k distinct pads with repeats, which
+    collapse — ties go to the lowest index — leaving dead centroids,
+    the honest cap when the data itself has < k distinct values). L2
+    assignment ties to the lowest centroid. Empty clusters keep their
+    previous centroid (standard fix). Returns (books, reconstruction)
+    — the reconstruction assigns against the FINAL centroids (one
+    extra assignment pass), which is what the OPQ Procrustes step
+    needs."""
+    import numpy as np
+
+    dim = X.shape[1]
     d8 = dim // m
     books = []
+    recon = np.empty_like(X)
     for j in range(m):
         S = X[:, j * d8 : (j + 1) * d8]
         # first k DISTINCT subvectors in order of first appearance —
@@ -133,8 +142,81 @@ def train_pq_codebooks(
                 members = S[assign == c]
                 if len(members):
                     C[c] = members.mean(axis=0)
+        final = np.argmin(
+            ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1
+        )
+        recon[:, j * d8 : (j + 1) * d8] = C[final]
         books.append([[float(x) for x in row] for row in C])
+    return books, recon
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 5,
+    sample_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd k-means on a modulus SAMPLE (train-on-sample,
+    the standard PQ practice — the collect is quantizer-artifact-sized,
+    never the corpus). Determinism and tie/empty-cluster rules in
+    ``_lloyd_subspaces``."""
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    X = _sample_matrix(embeddings, sample_cap, id_col, vec_col)
+    if len(X) < k:
+        raise ValueError(f"pq: sample of {len(X)} rows < k={k}")
+    books, _ = _lloyd_subspaces(X, m, k, n_iters)
     return books
+
+
+def train_opq(
+    embeddings: DataFrame,
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 8,
+    kmeans_iters: int = 3,
+    sample_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Non-parametric OPQ (Ge et al., "Optimized Product Quantization",
+    CVPR 2013): learn an ORTHONORMAL rotation R so the subspace split
+    happens in a basis where quantization error is minimal, by
+    alternating (a) per-subspace Lloyd k-means on the rotated sample
+    with (b) the orthogonal-Procrustes solve
+    ``A* = U·Vᵀ, (U, S, Vᵀ) = svd(Xᵀ·X̂)`` for the rotation that best
+    aligns the data with its current reconstruction. Driver-side numpy
+    on the same modulus sample ``train_pq_codebooks`` uses — the
+    artifact is (dim² + m·k·dim/m) floats, never corpus-sized.
+
+    Returns ``(R, codebooks)`` where row i of R is the i-th rotated
+    component (``rotated[i] = R[i]·x``) — feed both straight into
+    ``opq_encode`` / ``opq_adc_topk``. Deterministic for fixed input
+    (numpy SVD and the k-means tie rules are deterministic)."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    X = _sample_matrix(embeddings, sample_cap, id_col, vec_col)
+    if len(X) < k:
+        raise ValueError(f"pq: sample of {len(X)} rows < k={k}")
+    A = np.eye(dim)  # y_row = x_row @ A  (A = Rᵀ)
+    books: list[list[list[float]]] = []
+    for _ in range(n_iters):
+        Y = X @ A
+        books, Yhat = _lloyd_subspaces(Y, m, k, kmeans_iters)
+        U, _, Vt = np.linalg.svd(X.T @ Yhat)
+        A = U @ Vt
+    # final codebooks under the final rotation (one more k-means pass —
+    # the alternation above trained them against the PREVIOUS rotation)
+    books, _ = _lloyd_subspaces(X @ A, m, k, kmeans_iters)
+    R = [[float(x) for x in row] for row in A.T]
+    return R, books
 
 
 # ---------------------------------------------------------------- SQL
@@ -160,6 +242,89 @@ def _subdist_sql(idx, centroid: Sequence[float], offset: int) -> str:
         lit = f"CAST({repr(float(c))} AS DOUBLE)"
         terms.append(f"(({e}) - {lit}) * (({e}) - {lit})")
     return "(" + " + ".join(terms) + ")"
+
+
+#: Terms per parenthesized group in the rotation inner product — keeps
+#: the left-assoc fold shallow enough for DuckDB's ~128-frame binder
+#: (a flat 64-term chain binds ~6 frames/op and dies; see the CW-fold
+#: lesson) while pinning ONE summation order both engines and the
+#: Python query-side mirror reproduce bit-for-bit.
+ROT_GROUP = 8
+
+
+def rot_sql(idx, row: Sequence[float], group: int = ROT_GROUP) -> str:
+    """One rotated component ``Σ_t v[t]·R[i][t]`` as SQL: grouped
+    left-associated sums of CAST-disciplined products (same contract as
+    ``_subdist_sql`` — element and literal both pinned to DOUBLE, the
+    grouping identical in Spark, DuckDB, and ``rotate_query``, so the
+    double result is bit-identical everywhere)."""
+    terms = [
+        f"(CAST({idx(t + 1)} AS DOUBLE) * CAST({repr(float(c))} AS DOUBLE))"
+        for t, c in enumerate(row)
+    ]
+    groups = [
+        "(" + " + ".join(terms[g : g + group]) + ")"
+        for g in range(0, len(terms), group)
+    ]
+    return "(" + " + ".join(groups) + ")"
+
+
+def rotate_query(
+    R: Sequence[Sequence[float]], vec: Sequence[float], group: int = ROT_GROUP
+) -> list[float]:
+    """The query-side rotation, computed in pure Python with EXACTLY the
+    grouped left-assoc order ``rot_sql`` emits — the ADC LUT is built
+    from this rotated query, and IEEE determinism of the identical
+    operation sequence keeps Spark's plan literals and the oracle's SQL
+    derivation bit-equal."""
+    out = []
+    for row in R:
+        gsums = []
+        for g in range(0, len(row), group):
+            acc = None
+            for t in range(g, min(g + group, len(row))):
+                term = float(vec[t]) * float(row[t])
+                acc = term if acc is None else acc + term
+            gsums.append(acc)
+        total = None
+        for gv in gsums:
+            total = gv if total is None else total + gv
+        out.append(total)
+    return out
+
+
+def opq_rotation_lcg(dim: int = 64, seed: int = 77) -> list[list[float]]:
+    """Fixed-seed ORTHONORMAL rotation as plan literals — the exactness
+    gate's rotation source (same honest split as the codebooks: the
+    trained path is ``train_opq``). An LCG matrix orthonormalized by
+    modified Gram-Schmidt in pure Python floats: deterministic, and
+    every entry ``repr``-round-trips through both engines' double
+    parsers. Orthonormality makes it a true isometry, so rotated-space
+    L2 (what the codes quantize) equals original-space L2 — a random
+    rotation is also the published "PQ+RR" baseline OPQ improves on."""
+    state = seed & 0x7FFFFFFF
+    M = []
+    for _ in range(dim):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            row.append(state / 0x40000000 - 1.0)
+        M.append(row)
+    R: list[list[float]] = []
+    for i in range(dim):
+        v = list(M[i])
+        for u in R:  # modified Gram-Schmidt: subtract projections
+            dot = 0.0
+            for t in range(dim):
+                dot += v[t] * u[t]
+            for t in range(dim):
+                v[t] -= dot * u[t]
+        norm = 0.0
+        for t in range(dim):
+            norm += v[t] * v[t]
+        norm = norm**0.5
+        R.append([x / norm for x in v])
+    return R
 
 
 #: Subspaces packed per BIGINT code word. 8 codes × log₂k bits stays
@@ -320,6 +485,125 @@ def pq_adc_topk(
     lowest id. Returns (id, adc_dist rounded 6dp)."""
     codes = pq_encode(embeddings, codebooks, id_col, vec_col)
     score = adc_score_sql(query_vec, codebooks)
+    return (
+        codes.select(F.col(id_col), F.expr(score).alias("__adc"))
+        .orderBy(F.asc("__adc"), F.col(id_col))
+        .limit(topk)
+        .select(F.col(id_col), F.round("__adc", 6).alias("adc_dist"))
+    )
+
+
+def opq_rotate_kernel(R: Sequence[Sequence[float]], group: int = ROT_GROUP):
+    """Arrow-batched rotation kernel: ``embedding → array<double>`` of
+    rotated components, computed in vectorized numpy with EXACTLY the
+    grouped left-assoc operation sequence ``rot_sql`` / ``rotate_query``
+    pin (elementwise IEEE ops over float64 — bit-identical to the SQL
+    literals; the bit-equality of all three forms is pytested).
+
+    Why a kernel at all: the plan-literal rotation is 64 expressions of
+    ~190 float ops each, and Janino refuses the fused stage ("Code
+    grows beyond 64 KB"), leaving Spark to RE-ATTEMPT the compile on
+    every action and run interpreted (~µs/op) — the r6 codegen-ceiling
+    lesson hit head-on. The kernel is one ArrowEvalPython node; the
+    distance chain downstream reads ``element_at(__rot, i)`` — the
+    same compiled shape plain PQ runs on the raw embedding. This is
+    also the r9 numpy-kernel precedent (IVF assignment 23.9×)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    Rn = np.asarray(R, dtype=np.float64)
+    n_comp, dim = Rn.shape
+
+    @pandas_udf("array<double>")
+    def _rot(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array(vecs.tolist(), dtype=np.float64)  # float32 promotes exactly
+        out = np.empty((X.shape[0], n_comp), dtype=np.float64)
+        for i in range(n_comp):
+            terms = X * Rn[i][None, :]  # elementwise == CAST(e)·CAST(lit)
+            gparts = []
+            for g in range(0, dim, group):
+                acc = terms[:, g].copy()
+                for t in range(g + 1, min(g + group, dim)):
+                    acc = acc + terms[:, t]  # left-assoc within the group
+                gparts.append(acc)
+            tot = gparts[0]
+            for gp in gparts[1:]:
+                tot = tot + gp  # left-assoc across groups
+            out[:, i] = tot
+        return pd.Series(list(out))
+
+    return _rot
+
+
+def opq_encode(
+    df: DataFrame,
+    R: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kernel: str = "numpy",
+) -> DataFrame:
+    """OPQ encode: rotate (``rotated[i] = R[i]·x``) THEN product-
+    quantize the rotated components through the unchanged
+    ``pq_code_layers`` chain. Same scale shape as ``pq_encode``: an
+    ingest-time map, no shuffle — the rotation runs once per vector at
+    ingest; probes never touch it (they rotate only the query,
+    driver-side).
+
+    ``kernel="numpy"`` (default, the execution path): the rotation is
+    one Arrow-batched vectorized kernel (``opq_rotate_kernel`` — same
+    bits, compiles, see its docstring for why). ``kernel="sql"`` is the
+    plan-literal reference form the DuckDB oracle twin replays — kept
+    selectable because it IS the exactness contract, but at dim = 64
+    it exceeds Janino's 64 KB method ceiling and runs interpreted."""
+    dim = len(R)
+    out = parallelize_narrow_input(df.select(F.col(id_col), F.col(vec_col)))
+    if kernel == "numpy":
+        out = out.select(
+            F.col(id_col), opq_rotate_kernel(R)(F.col(vec_col)).alias("__rot")
+        )
+        layers = pq_code_layers(_spark_idx("__rot"), codebooks)
+    elif kernel == "sql":
+        out = out.select(
+            F.col(id_col),
+            *[
+                F.expr(rot_sql(_spark_idx(vec_col), R[i])).alias(f"__r{i + 1}")
+                for i in range(dim)
+            ],
+        )
+        layers = pq_code_layers(lambda i: f"__r{i}", codebooks)
+    else:
+        raise ValueError(f"opq_encode: unknown kernel {kernel!r}")
+    for layer in layers:
+        out = out.select("*", *[F.expr(sql).alias(a) for a, sql in layer])
+    return out.select(
+        F.col(id_col), *[F.col(c) for c in pq_word_cols(len(codebooks))]
+    )
+
+
+def opq_adc_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    R: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kernel: str = "numpy",
+) -> DataFrame:
+    """OPQ ADC top-k: encode under the rotation (ingest-time in
+    production — composed here so the catalog entry is self-contained),
+    rotate the QUERY driver-side with the bit-identical ``rotate_query``
+    mirror, and rank by the standard ADC LUT over the rotated query.
+    The scan side still reads only (id, code word(s)) — the rotation
+    adds ZERO probe-time cost; R is orthonormal so ADC distances remain
+    estimates of original-space L2. Ascending distance, ties to the
+    lowest id."""
+    codes = opq_encode(embeddings, R, codebooks, id_col, vec_col, kernel=kernel)
+    score = adc_score_sql(rotate_query(R, query_vec), codebooks)
     return (
         codes.select(F.col(id_col), F.expr(score).alias("__adc"))
         .orderBy(F.asc("__adc"), F.col(id_col))

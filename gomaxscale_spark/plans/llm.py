@@ -2785,6 +2785,75 @@ def _pq_books16():
     return PQ.pq_codebooks_lcg(dim=64, m=16, k=16, seed=99)
 
 
+_OPQ_ROT_CACHE: list | None = None
+
+
+def _opq_rot():
+    """Fixed-seed orthonormal rotation literals (built once — the pure-
+    Python Gram-Schmidt is ~50 ms and both the oracle string and the
+    Spark fn need the same object)."""
+    global _OPQ_ROT_CACHE
+    if _OPQ_ROT_CACHE is None:
+        from ..operators import pq as PQ
+
+        _OPQ_ROT_CACHE = PQ.opq_rotation_lcg(dim=64, seed=77)
+    return _OPQ_ROT_CACHE
+
+
+def _opq_adc_oracle(topk: int = 10, books=None) -> str:
+    """OPQ ADC oracle: rotate corpus AND query in SQL with the identical
+    grouped left-assoc literal inner products ``rot_sql`` emits, then
+    replay the unchanged encode/LUT/rank pipeline over the rotated
+    components."""
+    from ..operators import pq as PQ
+
+    R = _opq_rot()
+    books = books or _pq_books()
+    m, k = len(books), len(books[0])
+    d8 = len(books[0][0])
+    dim = len(R)
+    words = PQ.pq_word_cols(m)
+
+    def ridx(i: int) -> str:
+        return f"__r{i}"
+
+    rot_corpus = ", ".join(
+        f"{PQ.rot_sql(PQ._duck_idx('e.embedding'), R[i])} AS __r{i + 1}"
+        for i in range(dim)
+    )
+    rot_query = ", ".join(
+        f"{PQ.rot_sql(PQ._duck_idx('q.qv'), R[i])} AS __r{i + 1}"
+        for i in range(dim)
+    )
+    l1, l2, l3, l4 = PQ.pq_code_layers(ridx, books)
+    lut_cols = ", ".join(
+        f"{PQ._subdist_sql(ridx, books[j][c], j * d8)} AS __l{j}_{c}"
+        for j in range(m)
+        for c in range(k)
+    )
+    lookups = " + ".join(
+        f"list_value({', '.join(f'__l{j}_{c}' for c in range(k))})"
+        f"[CAST({PQ.pq_unpack_sql('c.' + words[j // PQ.PQ_WORD], j % PQ.PQ_WORD, k)}"
+        f" AS INT) + 1]"
+        for j in range(m)
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    rq AS (SELECT {rot_query} FROM q),
+    rot AS (SELECT e.vec_id, {rot_corpus} FROM embeddings e),
+    pq1 AS (SELECT vec_id, {", ".join(f'{sql} AS {a}' for a, sql in l1)} FROM rot),
+    pq2 AS (SELECT *, {", ".join(f'{sql} AS {a}' for a, sql in l2)} FROM pq1),
+    pq3 AS (SELECT *, {", ".join(f'{sql} AS {a}' for a, sql in l3)} FROM pq2),
+    pqc AS (SELECT vec_id, {", ".join(f'{sql} AS {a}' for a, sql in l4)} FROM pq3),
+    lut AS (SELECT {lut_cols} FROM rq),
+    scored AS (
+      SELECT c.vec_id, ({lookups}) AS __adc FROM pqc c CROSS JOIN lut
+    )
+    SELECT vec_id, round(__adc, 6) AS adc_dist FROM scored
+    ORDER BY __adc, vec_id LIMIT {topk}
+    """
+
+
 def _pq_codes_ctes(vec_ref: str = "e.embedding", books=None) -> str:
     """The encode pipeline's four chained projection layers as CTEs —
     the same (alias, sql) layers the Spark plan projects, rendered over
@@ -2902,6 +2971,36 @@ def similarity_pq16_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).head().embedding]
     return PQ.pq_adc_topk(e, q, _pq_books16(), topk=10)
+
+
+@query(
+    "similarity_opq_adc_topk",
+    oracle=_opq_adc_oracle(topk=10),
+    doc="B16 OPQ ADC top-k (Ge et al. CVPR 2013 — the rotation "
+    "escalation SCALING.md r10/r11 recorded as not-yet-built): an "
+    "orthonormal rotation R rides as plan LITERALS in one projection "
+    "layer BEFORE the subspace split (grouped left-assoc inner "
+    "products, rot_sql's CAST discipline — the same exactness contract "
+    "as pq_code_layers), then the unchanged encode/ADC pipeline ranks "
+    "the rotated codes; the query rotates driver-side through the "
+    "bit-identical rotate_query mirror. The oracle replays rotation, "
+    "codes AND ranks bit-for-bit. Rotation here is the fixed-seed "
+    "orthonormal literal (opq_rotation_lcg — the PQ+RR baseline "
+    "shape); train_opq (alternating k-means ↔ orthogonal Procrustes) "
+    "is the production path, pytested for reconstruction-error and "
+    "recall lift vs plain trained PQ (tools/ab_opq.py measures the "
+    "replica curves). Scale: the rotation is ingest-time (once per "
+    "vector, fused into the narrow encode projection chain — no "
+    "shuffle); probes read only (id, 8-byte code) exactly as PQ — "
+    "rotation adds ZERO probe-time scan cost; R orthonormal keeps ADC "
+    "an original-space L2 estimate.",
+)
+def similarity_opq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq as PQ
+
+    e = t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).head().embedding]
+    return PQ.opq_adc_topk(e, q, _opq_rot(), _pq_books(), topk=10)
 
 
 @query(

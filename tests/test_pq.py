@@ -436,3 +436,145 @@ def test_ivf_pq16_index_probes(spark, emb, tmp_path):
         ).collect()
         want = sorted((r.vec_id, r.score, r.adc_dist) for r in seq)
         assert sorted(by_q[qrow.query_id]) == want, qrow.query_id
+
+
+# --------------------------------------------------------------- OPQ (r12)
+
+def test_opq_rotation_lcg_orthonormal_and_literal_roundtrip():
+    """The fixed-seed rotation is a true isometry (R·Rᵀ = I to float
+    precision — rotated-space L2 equals original-space L2, the property
+    that keeps ADC meaningful) and every entry repr-round-trips, the
+    plan-literal exactness precondition."""
+    R = np.asarray(PQ.opq_rotation_lcg(dim=64, seed=77))
+    assert abs(R @ R.T - np.eye(64)).max() < 1e-12
+    for row in R.tolist():
+        for x in row:
+            assert float(repr(x)) == x
+
+
+def test_opq_rotation_three_forms_bitexact(spark, emb):
+    """The three rotation forms — rot_sql plan literals (what the
+    DuckDB oracle replays), rotate_query (the driver-side query mirror
+    the ADC LUT is built from), and opq_rotate_kernel (the Arrow-
+    batched execution path) — must agree BIT-FOR-BIT, or codes/LUT
+    drift off the oracle's."""
+    import struct
+
+    R = PQ.opq_rotation_lcg(dim=64, seed=77)
+    rows = emb.orderBy("vec_id").limit(8).collect()
+    sql_got = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            "vec_id",
+            *[
+                F.expr(PQ.rot_sql(PQ._spark_idx("embedding"), R[i])).alias(f"r{i}")
+                for i in range(64)
+            ],
+        )
+        .collect()
+    )
+    kern_got = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select("vec_id", PQ.opq_rotate_kernel(R)(F.col("embedding")).alias("rot"))
+        .collect()
+    )
+    sql_by_id = {r.vec_id: [r[f"r{i}"] for i in range(64)] for r in sql_got}
+    kern_by_id = {r.vec_id: list(r.rot) for r in kern_got}
+    for row in rows:
+        py = PQ.rotate_query(R, [float(x) for x in row.embedding])
+        for i in range(64):
+            want = struct.pack("<d", py[i])
+            assert want == struct.pack("<d", sql_by_id[row.vec_id][i]), (
+                "sql", row.vec_id, i,
+            )
+            assert want == struct.pack("<d", kern_by_id[row.vec_id][i]), (
+                "kernel", row.vec_id, i,
+            )
+
+
+def test_opq_encode_kernels_agree(spark, emb):
+    """kernel="numpy" (execution) and kernel="sql" (the oracle's
+    reference form) produce IDENTICAL packed codes on the whole
+    corpus."""
+    R = PQ.opq_rotation_lcg(dim=64, seed=77)
+    books = PQ.pq_codebooks_lcg()
+    a = {r.vec_id: r.pq_code for r in PQ.opq_encode(emb, R, books).collect()}
+    b = {
+        r.vec_id: r.pq_code
+        for r in PQ.opq_encode(emb, R, books, kernel="sql").collect()
+    }
+    assert a == b
+
+
+def test_opq_encode_matches_numpy_reference(spark, emb):
+    """OPQ codes = plain PQ codes of the rotated vectors: unpack every
+    packed word and compare against a numpy argmin over the
+    rotate_query-exact rotated sample (ties to the lowest code), for
+    the single-word m=8 and two-word m=16 layouts."""
+    vecs = _vecs(emb)
+    R = PQ.opq_rotation_lcg(dim=64, seed=77)
+    for m in (8, 16):
+        books = PQ.pq_codebooks_lcg(m=m)
+        k = len(books[0])
+        d8 = len(books[0][0])
+        C = [np.asarray(books[j]) for j in range(m)]
+        cols = PQ.pq_word_cols(m)
+        got = {
+            r[0]: [r[c] for c in cols]
+            for r in PQ.opq_encode(emb, R, books).collect()
+        }
+        for vid in list(vecs)[:25]:
+            rv = np.asarray(PQ.rotate_query(R, [float(x) for x in vecs[vid]]))
+            for j in range(m):
+                d = ((rv[j * d8 : (j + 1) * d8][None, :] - C[j]) ** 2).sum(axis=1)
+                word, local = j // PQ.PQ_WORD, j % PQ.PQ_WORD
+                unpacked = (got[vid][word] // k**local) % k
+                assert unpacked == int(np.argmin(d)), (m, vid, j)
+
+
+def test_train_opq_beats_plain_pq_on_reconstruction_error(spark, emb):
+    """The trained rotation earns its keep: mean reconstruction error
+    under (R, books) = train_opq is strictly below plain trained PQ's
+    on the same sample. R orthonormal ⇒ ‖v − Rᵀŷ‖² = ‖Rv − ŷ‖², so the
+    rotated-space error IS the original-space error."""
+    vecs = _vecs(emb)
+    plain = PQ.train_pq_codebooks(emb, n_iters=3)
+    R, books = PQ.train_opq(emb, n_iters=5, kmeans_iters=3)
+    Rn = np.asarray(R)
+    assert abs(Rn @ Rn.T - np.eye(64)).max() < 1e-9  # Procrustes keeps it orthonormal
+
+    def mean_err(codes_books, rot=None):
+        codes, bks = codes_books
+        return sum(
+            float(
+                (
+                    (
+                        (rot @ vecs[vid] if rot is not None else vecs[vid])
+                        - _decode(codes[vid], bks)
+                    )
+                    ** 2
+                ).sum()
+            )
+            for vid in vecs
+        ) / len(vecs)
+
+    plain_codes = {r.vec_id: r.pq_code for r in PQ.pq_encode(emb, plain).collect()}
+    opq_codes = {r.vec_id: r.pq_code for r in PQ.opq_encode(emb, R, books).collect()}
+    e_plain = mean_err((plain_codes, plain))
+    e_opq = mean_err((opq_codes, books), rot=Rn)
+    assert e_opq < e_plain, (e_opq, e_plain)
+
+
+def test_opq_adc_topk_contract(spark, emb):
+    """Catalog-entry contract: self-match ranks first, distances come
+    back ascending, ties to the lowest id (the oracle replays values —
+    this pins the frame shape on the trained path too)."""
+    row = emb.orderBy("vec_id").limit(1).head()
+    q = [float(x) for x in row.embedding]
+    R, books = PQ.train_opq(emb, n_iters=3, kmeans_iters=2)
+    got = PQ.opq_adc_topk(emb, q, R, books, topk=20).collect()
+    assert got[0].vec_id == row.vec_id
+    dists = [r.adc_dist for r in got]
+    assert dists == sorted(dists)
