@@ -90,17 +90,30 @@ class IVFIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         codebooks=None,
+        rotation=None,
     ) -> None:
         """``codebooks`` (optional, from ``pq.train_pq_codebooks`` /
         ``pq.pq_codebooks_lcg``) turns the index into IVF-PQ: build/add
         store an 8-byte ``pq_code`` next to each vector and
         ``probe_adc`` ranks probed cells reading ONLY (id, pq_code) —
         the column-pruned 32×-less-I/O scan — before an exact re-rank
-        of the shortlist from the raw vectors."""
+        of the shortlist from the raw vectors.
+
+        ``rotation`` (optional, with ``codebooks``; from
+        ``pq.train_opq`` / ``pq.opq_rotation_lcg``) makes it IVF-OPQ:
+        codes quantize the ROTATED vector (Arrow-batched kernel at
+        build/add — ingest-time only) and ADC probes rotate the query
+        driver-side through the bit-identical ``rotate_query`` mirror.
+        The coarse quantizer stays in the original space — R is
+        orthonormal, so cell geometry and the exact re-rank are
+        unchanged; only the code layer moves to the rotated basis."""
+        if rotation is not None and codebooks is None:
+            raise ValueError("IVFIndex: rotation requires codebooks (IVF-OPQ)")
         self.path = path
         self.id_col = id_col
         self.vec_col = vec_col
         self.codebooks = codebooks
+        self.rotation = rotation
         self._ec = EpochCommit(path)
         #: cached coarse quantizer (ids, matrix) — collected once per
         #: instance; probes/adds reuse it (re-collecting the parquet on
@@ -164,16 +177,44 @@ class IVFIndex:
 
     def _with_code(self, df: DataFrame) -> DataFrame:
         """Append the packed ``pq_code`` column (IVF-PQ mode) via the
-        chained-projection encode layers; a no-op without codebooks."""
+        chained-projection encode layers; a no-op without codebooks.
+        IVF-OPQ mode rotates first (vectorized kernel — the literal
+        rotation exceeds the codegen method ceiling, see
+        ``opq_rotate_kernel``) and quantizes the rotated components."""
         if self.codebooks is None:
             return df
         from . import pq as PQ
 
-        layers = PQ.pq_code_layers(PQ._spark_idx(self.vec_col), self.codebooks)
         out = df
+        if self.rotation is not None:
+            out = out.select(
+                "*",
+                PQ.opq_rotate_kernel(self.rotation)(F.col(self.vec_col)).alias(
+                    "__rot"
+                ),
+            )
+            layers = PQ.pq_code_layers(PQ._spark_idx("__rot"), self.codebooks)
+        else:
+            layers = PQ.pq_code_layers(
+                PQ._spark_idx(self.vec_col), self.codebooks
+            )
         for layer in layers:
             out = out.select("*", *[F.expr(sql).alias(a) for a, sql in layer])
-        return out.drop(*[a for layer in layers[:-1] for a, _ in layer])
+        drop = [a for layer in layers[:-1] for a, _ in layer]
+        if self.rotation is not None:
+            drop.append("__rot")
+        return out.drop(*drop)
+
+    def _query_in_code_space(self, query_vec):
+        """The vector the ADC LUT must be built from: rotated through
+        the bit-identical driver-side mirror in IVF-OPQ mode, the raw
+        query otherwise."""
+        q = [float(x) for x in query_vec]
+        if self.rotation is None:
+            return q
+        from . import pq as PQ
+
+        return PQ.rotate_query(self.rotation, q)
 
     # ------------------------------------------------------------ build
 
@@ -383,7 +424,9 @@ class IVFIndex:
 
         shortlist = shortlist or 5 * k
         cells = self._probe_cells(spark, query_vec, n_probe)
-        score_sql = PQ.adc_score_sql([float(x) for x in query_vec], self.codebooks)
+        score_sql = PQ.adc_score_sql(
+            self._query_in_code_space(query_vec), self.codebooks
+        )
         pruned = self._read_vectors(spark).filter(F.col("centroid_id").isin(cells))
         short = (
             pruned.select(self.id_col, F.expr(score_sql).alias("__adc"))
@@ -552,7 +595,9 @@ class IVFIndex:
                 scores = (M @ q) / (Mn * np.sqrt((q * q).sum()))
             order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))
             probe_pairs += [(r[0], int(ids[i])) for i in order[:n_probe]]
-            luts[str(r[0])] = PQ.adc_lut(list(r[1]), self.codebooks)
+            luts[str(r[0])] = PQ.adc_lut(
+                self._query_in_code_space(list(r[1])), self.codebooks
+            )
         cells = sorted({c for _, c in probe_pairs})
         ptab = spark.createDataFrame(
             probe_pairs,

@@ -578,3 +578,51 @@ def test_opq_adc_topk_contract(spark, emb):
     assert got[0].vec_id == row.vec_id
     dists = [r.adc_dist for r in got]
     assert dists == sorted(dists)
+
+
+def test_ivf_opq_index_probes(spark, emb, tmp_path):
+    """IVF-OPQ: the index composes the rotation into its code layer —
+    stored codes equal opq_encode's, probe_adc ranks off the rotated
+    query's LUT (self-match first), probe_adc_batch equals per-query
+    probe_adc, and the coarse quantizer / exact re-rank stay in the
+    original space (R orthonormal ⇒ same geometry)."""
+    from gomaxscale_spark.operators.ivf_index import IVFIndex
+
+    R = PQ.opq_rotation_lcg(dim=64, seed=77)
+    books = PQ.pq_codebooks_lcg()
+    with pytest.raises(ValueError, match="rotation requires codebooks"):
+        IVFIndex(str(tmp_path / "bad"), rotation=R)
+
+    idx = IVFIndex(str(tmp_path / "ivfopq"), codebooks=books, rotation=R)
+    idx.build(emb, n_iters=1)
+    stored = {
+        r.vec_id: r.pq_code
+        for r in spark.read.parquet(f"{idx.path}/vectors")
+        .select("vec_id", "pq_code")
+        .collect()
+    }
+    want = {r.vec_id: r.pq_code for r in PQ.opq_encode(emb, R, books).collect()}
+    assert stored == want
+
+    qrow = emb.orderBy("vec_id").limit(1).head()
+    q = [float(x) for x in qrow.embedding]
+    got = idx.probe_adc(spark, q, k=5, n_probe=4, shortlist=10_000).collect()
+    assert got[0].vec_id == qrow.vec_id  # self-match survives the rotation
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+    qdf = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    by_q = {}
+    for r in idx.probe_adc_batch(qdf, k=5, n_probe=2, shortlist=10_000).collect():
+        by_q.setdefault(r["query_id"], []).append((r.vec_id, r.score, r.adc_dist))
+    for qrow in qdf.collect():
+        seq = idx.probe_adc(
+            spark, [float(x) for x in qrow.embedding], k=5, n_probe=2,
+            shortlist=10_000,
+        ).collect()
+        want = sorted((r.vec_id, r.score, r.adc_dist) for r in seq)
+        assert sorted(by_q[qrow.query_id]) == want, qrow.query_id
