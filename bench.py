@@ -135,6 +135,8 @@ EXTRA = [
     "dedup_cross_source_matrix",
     # r12: OPQ — plan-literal rotation before the subspace split
     "similarity_opq_adc_topk",
+    # r12: cluster-balanced prototype subsampling (embedding-space quota)
+    "sampling_cluster_balanced",
 ]
 
 

@@ -3038,6 +3038,96 @@ def sampling_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sampling_cluster_balanced",
+    oracle=f"""
+    WITH c AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cluster_id,
+             embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cluster_id, {_cos_sql("e.embedding", "c.cvec")} AS s
+      FROM embeddings e, c
+    ),
+    assigned AS (
+      SELECT vec_id, cluster_id, s,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, cluster_id) AS rn
+      FROM scored
+    ),
+    quota AS (
+      SELECT vec_id, cluster_id, s,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY s DESC, vec_id) AS rnk
+      FROM assigned WHERE rn = 1
+    )
+    SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           round(s, 6) AS proto_score
+    FROM quota WHERE rnk <= 20
+    """,
+    doc="LLM-pipeline diversity/data-selection: CLUSTER-BALANCED "
+    "subsampling over the embedding space — assign every vector to "
+    "its nearest of 16 deterministic centroids (id-ordered sample, "
+    "argmax cosine, ties to the lowest cluster), keep the 20 most "
+    "PROTOTYPICAL members per cluster (highest centroid similarity, "
+    "ties to the lowest id). The embedding-space analogue of "
+    "sampling_domain_cap: a quota per semantic region instead of per "
+    "crawl domain, so one dominant content cluster cannot monopolize "
+    "the training mix (SemDeDup-adjacent prototype selection). Scale: "
+    "the centroid table is O(n_centroids) → broadcast; the N×16 "
+    "scored rows reduce to N via the per-vec argmax (the struct-max "
+    "partial-agg groupBy of similarity_ivf_topk_scaled is the "
+    "escalation when the window form's N×16 exchange bites); the "
+    "quota window shuffles (id, cluster, score) only — vectors ride "
+    "no exchange — and a pathologically hot cluster follows the "
+    "domain_cap_salted two-phase escalation. Output ≤ 16×20 rows at "
+    "any corpus size. Oracle replays sample → assign → rank with "
+    "identical tie-breaks.",
+)
+def sampling_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "embeddings")
+    centroids = (
+        e.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.row_number().over(W.orderBy("vec_id")).alias("cluster_id"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    scored = e.join(F.broadcast(centroids)).select(
+        "vec_id",
+        "cluster_id",
+        S.cosine(F.col("embedding"), F.col("cvec")).alias("s"),
+    )
+    assigned = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.desc("s"), "cluster_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        assigned.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("cluster_id").orderBy(F.desc("s"), "vec_id")
+            ),
+        )
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "vec_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.round("s", 6).alias("proto_score"),
+        )
+    )
+
+
+@query(
     "sampling_domain_cap_salted",
     oracle="""
     WITH ranked AS (
