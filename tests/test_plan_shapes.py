@@ -678,6 +678,17 @@ def test_cross_source_matrix_digest_only_join(spark, sf_dir):
     assert len(distinct_aggs) >= 2, distinct_aggs
 
 
+def test_cluster_balanced_no_vector_exchange(spark, sf_dir):
+    """sampling_cluster_balanced's docstring claims vectors ride no
+    exchange: the centroid table broadcasts, and both windows shuffle
+    only (id, cluster, score). Pin it — and the broadcast."""
+    p = plan_str(spark, sf_dir, "sampling_cluster_balanced")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    for seg in p.split("Exchange hashpartitioning")[1:]:
+        line = seg.splitlines()[0]
+        assert "embedding" not in line and "cvec" not in line, line
+
+
 def test_gopher_rules_zero_shuffle(spark, sf_dir):
     """The rule battery is one projection — an exchange anywhere means
     someone broke the pure-map contract."""
