@@ -130,13 +130,14 @@ def _argmax_cosine(A: np.ndarray, An: np.ndarray, M: np.ndarray, Mn: np.ndarray)
                 upd = (s > best_s) | (np.isnan(s) & ~np.isnan(best_s))
                 best_j = np.where(upd, j + lo, best_j)
                 best_s = np.where(upd, s, best_s)
-    return best_j
+    return best_j, best_s
 
 
 def assign_nearest(
     centroid_ids: Sequence[int],
     centroid_matrix: np.ndarray,
     query_vec: Sequence[float] | None = None,
+    with_score: bool = False,
 ):
     """Argmax-cosine assignment kernel: vec → struct(centroid_id
     [, qscore]) in ONE Arrow pass — the replacement for the N×k
@@ -174,6 +175,26 @@ def assign_nearest(
         )
     Mn = np.sqrt(np.einsum("ij,ij->i", M, M))
 
+    if with_score:
+        if query_vec is not None:
+            raise ValueError("assign_nearest: with_score excludes query_vec")
+
+        @pandas_udf("struct<centroid_id: bigint, score: double>")
+        def _assign_s(xs: pd.Series) -> pd.DataFrame:
+            if len(xs) == 0:
+                return pd.DataFrame(
+                    {
+                        "centroid_id": np.empty(0, dtype=np.int64),
+                        "score": np.empty(0, dtype=np.float64),
+                    }
+                )
+            A = _stack(xs)
+            An = np.sqrt(np.einsum("ij,ij->i", A, A))
+            j, s = _argmax_cosine(A, An, M, Mn)
+            return pd.DataFrame({"centroid_id": ids[j], "score": s})
+
+        return _assign_s
+
     if query_vec is None:
 
         @pandas_udf("struct<centroid_id: bigint>")
@@ -182,7 +203,7 @@ def assign_nearest(
                 return pd.DataFrame({"centroid_id": np.empty(0, dtype=np.int64)})
             A = _stack(xs)
             An = np.sqrt(np.einsum("ij,ij->i", A, A))
-            return pd.DataFrame({"centroid_id": ids[_argmax_cosine(A, An, M, Mn)]})
+            return pd.DataFrame({"centroid_id": ids[_argmax_cosine(A, An, M, Mn)[0]]})
 
         return _assign
 
@@ -203,7 +224,7 @@ def assign_nearest(
         with np.errstate(divide="ignore", invalid="ignore"):
             qs = (A @ q) / (An * qn)
         return pd.DataFrame(
-            {"centroid_id": ids[_argmax_cosine(A, An, M, Mn)], "qscore": qs}
+            {"centroid_id": ids[_argmax_cosine(A, An, M, Mn)[0]], "qscore": qs}
         )
 
     return _assign_q

@@ -3056,13 +3056,13 @@ def sampling_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     ),
     quota AS (
-      SELECT vec_id, cluster_id, s,
+      SELECT vec_id, cluster_id, round(s, 6) AS ps,
              row_number() OVER (PARTITION BY cluster_id
-                                ORDER BY s DESC, vec_id) AS rnk
+                                ORDER BY round(s, 6) DESC, vec_id) AS rnk
       FROM assigned WHERE rn = 1
     )
     SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
-           round(s, 6) AS proto_score
+           ps AS proto_score
     FROM quota WHERE rnk <= 20
     """,
     doc="LLM-pipeline diversity/data-selection: CLUSTER-BALANCED "
@@ -3074,55 +3074,84 @@ def sampling_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sampling_domain_cap: a quota per semantic region instead of per "
     "crawl domain, so one dominant content cluster cannot monopolize "
     "the training mix (SemDeDup-adjacent prototype selection). Scale: "
-    "the centroid table is O(n_centroids) → broadcast; the N×16 "
-    "scored rows reduce to N via the per-vec argmax (the struct-max "
-    "partial-agg groupBy of similarity_ivf_topk_scaled is the "
-    "escalation when the window form's N×16 exchange bites); the "
-    "quota window shuffles (id, cluster, score) only — vectors ride "
-    "no exchange — and a pathologically hot cluster follows the "
-    "domain_cap_salted two-phase escalation. Output ≤ 16×20 rows at "
-    "any corpus size. Oracle replays sample → assign → rank with "
-    "identical tie-breaks.",
+    "assignment is ONE Arrow-batched assign_nearest map (the r9 "
+    "kernel — no N×16 fan-out rows, no per-vector window; the HOF "
+    "broadcast-join twin rides as kernel='hof', equality pytested); "
+    "the quota window shuffles (id, cluster, rounded score) only — "
+    "vectors ride no exchange (plan-pinned) — and a pathologically "
+    "hot cluster follows the domain_cap_salted two-phase escalation. "
+    "Quota ranks on the 6dp-ROUNDED score (the output contract's own "
+    "granularity, tie→vec_id) so a last-ulp kernel divergence cannot "
+    "flip membership — the ivf_topk_scaled rounding contract. Output "
+    "≤ 16×20 rows at any corpus size. Oracle replays sample → assign "
+    "→ rank with identical tie-breaks.",
 )
 def sampling_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cluster_balanced(spark, sf_dir, kernel="numpy")
+
+
+def _cluster_balanced(
+    spark: SparkSession, sf_dir: str, kernel: str = "numpy"
+) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = t(spark, sf_dir, "embeddings")
-    centroids = (
-        e.orderBy("vec_id")
-        .limit(16)
-        .select(
-            F.row_number().over(W.orderBy("vec_id")).alias("cluster_id"),
-            F.col("embedding").alias("cvec"),
+    if kernel == "numpy":
+        import numpy as np
+
+        from ..operators import vector_kernel as VK
+        from ..operators.bucketing import parallelize_narrow_input
+
+        crows = e.orderBy("vec_id").limit(16).select("embedding").collect()
+        M = np.array([list(r.embedding) for r in crows], dtype=np.float64)
+        assign = VK.assign_nearest(list(range(1, len(M) + 1)), M, with_score=True)
+        assigned = (
+            parallelize_narrow_input(e.select("vec_id", "embedding"))
+            .select("vec_id", assign(F.col("embedding")).alias("__a"))
+            .select(
+                "vec_id",
+                F.col("__a.centroid_id").alias("cluster_id"),
+                F.round(F.col("__a.score"), 6).alias("ps"),
+            )
         )
-    )
-    scored = e.join(F.broadcast(centroids)).select(
-        "vec_id",
-        "cluster_id",
-        S.cosine(F.col("embedding"), F.col("cvec")).alias("s"),
-    )
-    assigned = (
-        scored.withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(F.desc("s"), "cluster_id")
-            ),
+    elif kernel == "hof":
+        centroids = (
+            e.orderBy("vec_id")
+            .limit(16)
+            .select(
+                F.row_number().over(W.orderBy("vec_id")).alias("cluster_id"),
+                F.col("embedding").alias("cvec"),
+            )
         )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+        scored = e.join(F.broadcast(centroids)).select(
+            "vec_id",
+            "cluster_id",
+            S.cosine(F.col("embedding"), F.col("cvec")).alias("s"),
+        )
+        assigned = (
+            scored.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("vec_id").orderBy(F.desc("s"), "cluster_id")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster_id", F.round("s", 6).alias("ps"))
+        )
+    else:
+        raise ValueError(f"_cluster_balanced: unknown kernel {kernel!r}")
     return (
         assigned.withColumn(
             "rnk",
             F.row_number().over(
-                W.partitionBy("cluster_id").orderBy(F.desc("s"), "vec_id")
+                W.partitionBy("cluster_id").orderBy(F.desc("ps"), "vec_id")
             ),
         )
         .filter(F.col("rnk") <= 20)
         .select(
             "vec_id",
             F.col("cluster_id").cast("long").alias("cluster_id"),
-            F.round("s", 6).alias("proto_score"),
+            F.col("ps").alias("proto_score"),
         )
     )
 

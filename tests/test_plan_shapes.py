@@ -679,11 +679,13 @@ def test_cross_source_matrix_digest_only_join(spark, sf_dir):
 
 
 def test_cluster_balanced_no_vector_exchange(spark, sf_dir):
-    """sampling_cluster_balanced's docstring claims vectors ride no
-    exchange: the centroid table broadcasts, and both windows shuffle
-    only (id, cluster, score). Pin it — and the broadcast."""
+    """sampling_cluster_balanced's docstring claims: assignment is ONE
+    Arrow-batched assign_nearest map (no N×16 fan-out join in the
+    plan), and vectors ride no exchange — the quota window shuffles
+    (id, cluster, rounded score) only."""
     p = plan_str(spark, sf_dir, "sampling_cluster_balanced")
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "ArrowEvalPython" in p, p[:1200]
+    assert "BroadcastNestedLoopJoin" not in p and "Join" not in p
     for seg in p.split("Exchange hashpartitioning")[1:]:
         line = seg.splitlines()[0]
         assert "embedding" not in line and "cvec" not in line, line

@@ -116,7 +116,7 @@ def test_chunked_argmax_large_k_matches_unchunked():
     Mn = np.sqrt(np.einsum("ij,ij->i", M, M))
     with np.errstate(divide="ignore", invalid="ignore"):
         ref = np.argmax((A @ M.T) / (An[:, None] * Mn[None, :]), axis=1)
-    got = VK._argmax_cosine(A, An, M, Mn)
+    got, got_s = VK._argmax_cosine(A, An, M, Mn)
     assert np.array_equal(got, ref)
     assert (got[:32] == 5).all()     # tie → lowest index, across blocks
     assert (got[40:44] == 0).all()   # all-NaN row → first index
@@ -136,7 +136,7 @@ def test_chunked_argmax_nan_first_occurrence_across_blocks(monkeypatch):
     Mn = np.sqrt(np.einsum("ij,ij->i", M, M))
     with np.errstate(divide="ignore", invalid="ignore"):
         ref = np.argmax((A @ M.T) / (An[:, None] * Mn[None, :]), axis=1)
-    got = VK._argmax_cosine(A, An, M, Mn)
+    got, got_s = VK._argmax_cosine(A, An, M, Mn)
     assert np.array_equal(got, ref)
     assert (got == 6).all()
 
@@ -390,3 +390,19 @@ def test_topk_batch_rejects_duplicate_query_ids(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate query ids"):
         sink.topk_batch(queries, k=3)
+
+
+def test_cluster_balanced_kernel_parity(spark, sf_dir):
+    """sampling_cluster_balanced's assign_nearest(with_score=True) path
+    returns the identical quota selection as the HOF broadcast-join
+    twin — membership AND rounded scores (the rank orders on the
+    6dp-rounded score precisely so a last-ulp kernel divergence cannot
+    flip it)."""
+    from gomaxscale_spark.plans.llm import _cluster_balanced
+
+    hof = _cluster_balanced(spark, sf_dir, kernel="hof").collect()
+    np_ = _cluster_balanced(spark, sf_dir, kernel="numpy").collect()
+    assert sorted(map(tuple, hof)) == sorted(map(tuple, np_))
+    assert hof, "fixture must select rows"
+    with pytest.raises(ValueError, match="unknown kernel"):
+        _cluster_balanced(spark, sf_dir, kernel="blas")
