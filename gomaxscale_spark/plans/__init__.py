@@ -179,6 +179,12 @@ _TIER2: list[str] = [
     # line if the gate window widens (VERDICT r4 item 4)
     "timeseries_topk_similar_scaled",
     "dedup_simhash_portable",
+    # r12: the round's new modalities — OPQ (rotation before the
+    # subspace split, oracle replays rotation+codes+ranks) and
+    # cluster-balanced prototype sampling (Arrow argmax kernel,
+    # 28× the HOF window form at x100, SCALING.md r12)
+    "similarity_opq_adc_topk",
+    "sampling_cluster_balanced",
     # r11: demoted from the window to fund the r10-modality promotions
     # (substring/PQ/DSIR gate rows, VERDICT r10 item 3). All three stay
     # full-catalog oracle-replayed every suite run; keep-reps remains
