@@ -691,6 +691,19 @@ def test_cluster_balanced_no_vector_exchange(spark, sf_dir):
         assert "embedding" not in line and "cvec" not in line, line
 
 
+def test_opq_adc_topk_plan(spark, sf_dir):
+    """similarity_opq_adc_topk's scale claims: the rotation is ONE
+    Arrow-batched kernel node (never the interpreted 64-expression
+    literal chain — that form exceeds the codegen method ceiling), the
+    rank is a TakeOrdered (never a global sort), and nothing shuffles
+    on a hash key (encode is a narrow map; the only exchange is the
+    round-robin input spread)."""
+    p = plan_str(spark, sf_dir, "similarity_opq_adc_topk")
+    assert "ArrowEvalPython" in p, p[:1200]
+    assert "TakeOrderedAndProject" in p
+    assert not _hash_exchanges(p), _hash_exchanges(p)
+
+
 def test_gopher_rules_zero_shuffle(spark, sf_dir):
     """The rule battery is one projection — an exchange anywhere means
     someone broke the pure-map contract."""
