@@ -287,6 +287,7 @@ def lsh_near_duplicates_adaptive(
     target_bucket: int = 64,
     wide_sigs: DataFrame | None = None,
     kernel: str = "hof",
+    sig_kernel: str = "hof",
 ) -> DataFrame:
     """``lsh_near_duplicates`` with an ADAPTIVE signature width — the
     fix for the fixed-2⁸-bucket blocker the 30× replica study exposed
@@ -324,6 +325,14 @@ def lsh_near_duplicates_adaptive(
     pairs from the interpreted HOF fold (~3 µs/64-dim pair) to the
     Arrow-batched numpy kernel (vector_kernel.cosine_pairs) — same
     raw-threshold predicate, same 6dp projection.
+
+    ``sig_kernel="numpy"`` (r12) swaps the SIGNATURE stage — the
+    compositions' measured wall (SCALING.md r9 named it; r12 measured
+    the HOF folds at 21.98 s x30 / 67.94 s x100 vs 0.68 / 0.93 s for
+    the Arrow matmul+pack kernel, packed values IDENTICAL at every
+    scale tried). Sign parity is empirical-but-exact-so-far: a flip
+    needs |dot| inside last-ulp noise; gated by collected-signature
+    equality tests and the oracle replay at both SFs.
     """
     all_planes = hyperplanes(dim, n_bands * planes_per_band, seed)
     with_norm = embeddings.select(
@@ -343,7 +352,18 @@ def lsh_near_duplicates_adaptive(
         sig_src = wide_sigs.select(
             F.col(id_col).alias("vid"), *[f"s{b}" for b in range(n_bands)]
         )
-    else:
+    elif sig_kernel == "numpy":
+        # r12: the signature stage was the compositions' measured wall
+        # (21.98 s at x30 / 67.94 s at x100 for the HOF per-plane
+        # folds); the Arrow matmul+pack kernel reads 0.68 / 0.93 s with
+        # packed values IDENTICAL at every scale tried (SCALING.md r12)
+        from . import vector_kernel as VK
+
+        sigk = VK.sign_band_signatures(all_planes, planes_per_band, n_bands)
+        sig_src = with_norm.select("vid", sigk(F.col("vec")).alias("__s")).select(
+            "vid", *[F.col(f"__s.s{b}").alias(f"s{b}") for b in range(n_bands)]
+        )
+    elif sig_kernel == "hof":
         band_sigs = [
             F.expr(
                 lsh_signature_sql("vec", all_planes[b * planes_per_band : (b + 1) * planes_per_band])
@@ -351,6 +371,10 @@ def lsh_near_duplicates_adaptive(
             for b in range(n_bands)
         ]
         sig_src = with_norm.select("vid", *band_sigs)
+    else:
+        raise ValueError(
+            f"lsh_near_duplicates_adaptive: unknown sig_kernel {sig_kernel!r}"
+        )
     sigs = (
         sig_src
         .crossJoin(F.broadcast(nn))
@@ -417,14 +441,35 @@ def wide_band_signatures(
     planes_per_band: int = 16,
     n_bands: int = 4,
     seed: int = 42,
+    kernel: str = "hof",
 ) -> DataFrame:
     """(id, s0..s{n_bands-1}): each vector's FULL per-band sign
     signatures, one column per band — the single signature-pipeline
     run both the exploded index rows (``band_signature_rows``) and the
     within-batch pair generator (``lsh_near_duplicates_adaptive``'s
     ``wide_sigs`` hook) derive from. Same plane family/order
-    everywhere."""
+    everywhere.
+
+    ``kernel="numpy"``: one Arrow-batched matmul+pack instead of the
+    interpreted per-plane zip_with/aggregate folds — measured
+    packed-value-IDENTICAL at sf0.1/x30/x100 and 32-73× faster at
+    replica scale (SCALING.md r12; sign flips would need |dot| inside
+    last-ulp noise). A signature STORE must be read and written under
+    ONE kernel — mixing kernels across epochs is the same contract
+    violation as mixing plane seeds."""
     all_planes = hyperplanes(dim, n_bands * planes_per_band, seed)
+    if kernel == "numpy":
+        from . import vector_kernel as VK
+
+        sigk = VK.sign_band_signatures(all_planes, planes_per_band, n_bands)
+        return embeddings.select(
+            F.col(id_col), sigk(F.col(vec_col)).alias("__s")
+        ).select(
+            F.col(id_col),
+            *[F.col(f"__s.s{b}").alias(f"s{b}") for b in range(n_bands)],
+        )
+    if kernel != "hof":
+        raise ValueError(f"wide_band_signatures: unknown kernel {kernel!r}")
     sigs = [
         F.expr(
             lsh_signature_sql(

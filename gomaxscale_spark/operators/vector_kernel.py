@@ -250,3 +250,47 @@ def collect_matrix(df, id_col: str, vec_col: str) -> tuple[list[int], np.ndarray
     ids = [int(r[0]) for r in rows]
     M = np.array([list(r[1]) for r in rows], dtype=np.float64)
     return ids, M
+
+
+def sign_band_signatures(
+    all_planes, planes_per_band: int, n_bands: int
+):
+    """Banded sign-LSH signature kernel: ``vec → struct(s0..s{n-1})``
+    in ONE Arrow pass — the vectorized replacement for the interpreted
+    HOF sign-bit pipeline (``lsh_signature_sql``: n_planes × dim
+    zip_with/aggregate lambda steps per row, measured as the embedding-
+    LSH compositions' wall at replica scale, SCALING.md r9/r12).
+
+    Same decisions as the HOF form: bit i of band b = (vec · plane >
+    0), planes consumed in the identical order, packed little-endian
+    into a BIGINT per band. Parity note: numpy's matmul sums pairwise
+    while the HOF fold is left-associated — a sign can only differ if
+    |dot| sits inside the last-ulp noise (~1e-16 relative), which is
+    measurement-gated (collected-row equality at both oracle SFs and
+    the replicas), the same empirical contract as the argmax
+    assignment kernel."""
+    P = np.asarray(all_planes, dtype=np.float64)
+    if P.ndim != 2 or P.shape[0] != planes_per_band * n_bands:
+        raise ValueError(
+            f"sign_band_signatures: {P.shape} planes != "
+            f"planes_per_band({planes_per_band}) × n_bands({n_bands})"
+        )
+    weights = (1 << np.arange(planes_per_band, dtype=np.int64))
+
+    schema = ", ".join(f"s{b}: bigint" for b in range(n_bands))
+
+    @pandas_udf(f"struct<{schema}>")
+    def _sigs(xs: pd.Series) -> pd.DataFrame:
+        if len(xs) == 0:
+            return pd.DataFrame(
+                {f"s{b}": np.empty(0, dtype=np.int64) for b in range(n_bands)}
+            )
+        X = _stack(xs)
+        bits = (X @ P.T) > 0  # (n, n_planes), plane order preserved
+        out = {}
+        for b in range(n_bands):
+            blk = bits[:, b * planes_per_band : (b + 1) * planes_per_band]
+            out[f"s{b}"] = (blk.astype(np.int64) * weights[None, :]).sum(axis=1)
+        return pd.DataFrame(out)
+
+    return _sigs

@@ -743,7 +743,9 @@ def _embedding_lsh_adaptive_oracle(threshold: float) -> str:
 )
 def dedup_embedding_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
-    return S.lsh_near_duplicates_adaptive(e, threshold=0.3, dim=64)
+    return S.lsh_near_duplicates_adaptive(
+        e, threshold=0.3, dim=64, sig_kernel="numpy"
+    )
 
 
 @query(
@@ -776,7 +778,9 @@ def dedup_embedding_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
-    pairs = S.lsh_near_duplicates_adaptive(e, threshold=0.3, dim=64)
+    pairs = S.lsh_near_duplicates_adaptive(
+        e, threshold=0.3, dim=64, sig_kernel="numpy"
+    )
     return D.connected_components_star(pairs).select(
         F.col("id").alias("vec_id"), "cluster_id"
     )
@@ -811,7 +815,9 @@ def dedup_embedding_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
-    pairs = S.lsh_near_duplicates_adaptive(e, threshold=0.3, dim=64)
+    pairs = S.lsh_near_duplicates_adaptive(
+        e, threshold=0.3, dim=64, sig_kernel="numpy"
+    )
     clusters = D.connected_components_star(pairs)
     drop = clusters.filter(F.col("cluster_id") != F.col("id")).select("id")
     return (

@@ -406,3 +406,39 @@ def test_cluster_balanced_kernel_parity(spark, sf_dir):
     assert hof, "fixture must select rows"
     with pytest.raises(ValueError, match="unknown kernel"):
         _cluster_balanced(spark, sf_dir, kernel="blas")
+
+
+def test_sign_band_signatures_kernel_parity(spark, sf_dir):
+    """The Arrow matmul+pack signature kernel returns packed band
+    values IDENTICAL to the HOF per-plane folds on the full corpus
+    (also measured identical at x30/x100, SCALING.md r12) — signature
+    equality implies identical buckets, candidates, and results for
+    every downstream composition."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    hof = {
+        r.vec_id: (r.s0, r.s1, r.s2, r.s3)
+        for r in S.wide_band_signatures(emb, dim=64).collect()
+    }
+    np_ = {
+        r.vec_id: (r.s0, r.s1, r.s2, r.s3)
+        for r in S.wide_band_signatures(emb, dim=64, kernel="numpy").collect()
+    }
+    assert hof == np_ and hof
+
+    planes = S.hyperplanes(64, 64, 42)
+    with pytest.raises(ValueError, match="planes"):
+        VK.sign_band_signatures(planes, 16, 5)
+    with pytest.raises(ValueError, match="unknown kernel"):
+        S.wide_band_signatures(emb, dim=64, kernel="blas")
+
+
+def test_adaptive_lsh_sig_kernel_parity(spark, sf_dir):
+    """sig_kernel='numpy' (now the catalog entries' path) returns the
+    identical verified pair set as the HOF signature pipeline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    hof = S.lsh_near_duplicates_adaptive(emb, 0.3, 64).collect()
+    np_ = S.lsh_near_duplicates_adaptive(emb, 0.3, 64, sig_kernel="numpy").collect()
+    assert sorted(map(tuple, hof)) == sorted(map(tuple, np_))
+    assert hof, "fixture must contain near-dup pairs"
+    with pytest.raises(ValueError, match="unknown sig_kernel"):
+        S.lsh_near_duplicates_adaptive(emb, 0.3, 64, sig_kernel="blas")
