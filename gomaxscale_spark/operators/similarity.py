@@ -635,6 +635,7 @@ def lsh_bucket_topk_adaptive(
     seed: int = 42,
     target_bucket: int = 128,
     min_bits: int = 4,
+    sig_kernel: str = "hof",
 ) -> DataFrame:
     """``lsh_bucket_topk`` with an ADAPTIVE probe width — the serving
     twin of the fix that unblocked the dedup side at 30× (SCALING.md
@@ -667,8 +668,26 @@ def lsh_bucket_topk_adaptive(
     # was ~30% SLOWER at the x30 replica (9.2 → 11.9 s) — the 16-dot
     # signature map is too cheap to pay a 60k-vector-row shuffle for,
     # unlike the IVF assignment fan-out below (SCALING.md r8)
+    if sig_kernel == "numpy":
+        # r12: same Arrow matmul+pack kernel as the dedup side (packed
+        # values identical at every scale tried, SCALING.md r12) — one
+        # 16-bit band
+        from . import vector_kernel as VK
+
+        sigk = VK.sign_band_signatures(planes, max_planes, 1)
+        with_sig = embeddings.withColumn(
+            "__sig", sigk(F.col(vec_col))["s0"]
+        )
+    elif sig_kernel == "hof":
+        with_sig = embeddings.withColumn(
+            "__sig", lsh_signature(F.col(vec_col), planes)
+        )
+    else:
+        raise ValueError(
+            f"lsh_bucket_topk_adaptive: unknown sig_kernel {sig_kernel!r}"
+        )
     bucketed = (
-        embeddings.withColumn("__sig", lsh_signature(F.col(vec_col), planes))
+        with_sig
         .crossJoin(F.broadcast(nn))
         .withColumn(
             "__p2",

@@ -948,7 +948,12 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_lsh_bucketed_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
-    return S.lsh_bucket_topk_adaptive(e, _query_vector(spark, sf_dir), k=10)
+    # sig_kernel="numpy" (r12): the corpus signature map rides the
+    # Arrow matmul+pack kernel — packed values identical to the HOF
+    # fold at every scale tried (SCALING.md r12), oracle re-run green
+    return S.lsh_bucket_topk_adaptive(
+        e, _query_vector(spark, sf_dir), k=10, sig_kernel="numpy"
+    )
 
 
 # -------------------------------------------------------------- B17 text
