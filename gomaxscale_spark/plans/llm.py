@@ -739,7 +739,10 @@ def _embedding_lsh_adaptive_oracle(threshold: float) -> str:
     "w = 8, so semantics line up with the classic width; the oracle "
     "replays count → width → mask → verify from the same plane "
     "literals. Measured 37 s at the 30× replica the fixed-width twin "
-    "could not finish in 15 minutes (SCALING.md r5).",
+    "could not finish in 15 minutes (SCALING.md r5); r12 moved the "
+    "signature stage to the Arrow matmul+pack kernel "
+    "(sig_kernel='numpy', packed values identical at every scale "
+    "tried) — 15.8 s at 30×, 16.2 s at 100× (SCALING.md r12).",
 )
 def dedup_embedding_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")

@@ -83,6 +83,7 @@ class IncrementalEmbeddingIndexSink:
         target_bucket: int = 64,
         max_bucket_size: int | None = None,
         kernel: str = "numpy",
+        sig_kernel: str = "hof",
         compact_every: int | None = None,
     ) -> None:
         self.path = path
@@ -104,6 +105,22 @@ class IncrementalEmbeddingIndexSink:
         if kernel not in ("numpy", "hof"):
             raise ValueError(f"IncrementalEmbeddingIndexSink: unknown kernel {kernel!r}")
         self.kernel = kernel
+        #: SIGNATURE kernel (r12): "hof" (default — the portable
+        #: per-plane SQL folds) or "numpy" (Arrow matmul+pack,
+        #: sign_band_signatures — 32-73× faster at replica scale with
+        #: packed values measured IDENTICAL, SCALING.md r12). Unlike
+        #: the verify kernel, signatures are PERSISTED STATE: stored
+        #: band sigs and probe-time query sigs must come from ONE
+        #: kernel or a divergence (however unlikely) would silently
+        #: mis-bucket. The choice is therefore STAMPED into the lake
+        #: (sig_kernel.json) on first ingest and enforced loudly on
+        #: every ingest/probe; a pre-stamp lake with existing state
+        #: counts as "hof" (what it was written with).
+        if sig_kernel not in ("numpy", "hof"):
+            raise ValueError(
+                f"IncrementalEmbeddingIndexSink: unknown sig_kernel {sig_kernel!r}"
+            )
+        self.sig_kernel = sig_kernel
         #: 100 TB control loop (the text lake's cap, transplanted): the
         #: adaptive mask keeps EXPECTED bucket occupancy ~target_bucket,
         #: but a pathological sign region (near-zero vectors, constant
@@ -142,6 +159,46 @@ class IncrementalEmbeddingIndexSink:
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         self.apply_batch(batch_df, epoch_id)
+
+    def _sig_stamp_path(self) -> str:
+        return f"{self.path}/sig_kernel.json"
+
+    def _enforce_sig_kernel(self, write: bool) -> None:
+        """One signature kernel per lake, forever. The stamp is written
+        atomically (tmp + rename) on the first ingest; probes only
+        check. A lake with existing state but no stamp pre-dates r12
+        and was written by the 'hof' default — only 'hof' may touch
+        it (re-stamped on its next ingest)."""
+        import json as _json
+
+        p = self._sig_stamp_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                stamped = _json.load(f)["sig_kernel"]
+            if stamped != self.sig_kernel:
+                raise ValueError(
+                    f"embedding lake at {self.path} is stamped "
+                    f"sig_kernel={stamped!r} but this sink was built with "
+                    f"{self.sig_kernel!r} — stored band signatures and "
+                    "probe-time query signatures must come from ONE kernel "
+                    "(mixing is the same contract violation as mixing "
+                    "plane seeds)"
+                )
+            return
+        if os.path.isdir(f"{self.path}/kept"):
+            if self.sig_kernel != "hof":
+                raise ValueError(
+                    f"embedding lake at {self.path} holds pre-stamp state "
+                    "(written by the 'hof' default) — open it with "
+                    "sig_kernel='hof'; a kernel switch needs a fresh lake "
+                    "(or a full re-ingest)"
+                )
+        if write:
+            os.makedirs(self.path, exist_ok=True)
+            tmp = f"{p}.tmp"
+            with open(tmp, "w") as f:
+                _json.dump({"sig_kernel": self.sig_kernel}, f)
+            os.replace(tmp, p)
 
     def _read_or_none(self, spark, sub: str) -> DataFrame | None:
         """None iff the subdir genuinely doesn't exist yet; a read
@@ -212,6 +269,7 @@ class IncrementalEmbeddingIndexSink:
 
         self._commit.finish_swap(("kept", "bands"))
         self._commit.clean_partial(("kept", "bands", "review"), epoch_id)
+        self._enforce_sig_kernel(write=True)
         spark = batch_df.sparkSession
         id_c, vec = self.id_col, self.vec_col
         batch = batch_df
@@ -224,7 +282,8 @@ class IncrementalEmbeddingIndexSink:
         # per-batch cost in r7)
         wide_sigs = materialize_once(
             S.wide_band_signatures(
-                batch, self.dim, id_c, vec, self.planes_per_band, self.n_bands
+                batch, self.dim, id_c, vec, self.planes_per_band, self.n_bands,
+                kernel=self.sig_kernel,
             )
         )
         batch_bands = S.band_signature_rows(
@@ -399,6 +458,10 @@ class IncrementalEmbeddingIndexSink:
         """
         from ..operators import similarity as S
 
+        # the driver-side query fold is kernel-agnostic (same bits as
+        # both kernels, equality pytested) — the check here catches a
+        # sink built under the WRONG sig_kernel before it ever ingests
+        self._enforce_sig_kernel(write=False)
         id_c, vec = self.id_col, self.vec_col
         all_planes = S.hyperplanes(
             self.dim, self.n_bands * self.planes_per_band, seed=42
@@ -522,6 +585,7 @@ class IncrementalEmbeddingIndexSink:
         bands = spark.read.parquet(*band_dirs).select(id_c, "band", "sig")
         nn = kept.select(id_c).agg(F.count(F.lit(1)).alias("__n"))
 
+        self._enforce_sig_kernel(write=False)
         wide = S.wide_band_signatures(
             queries,
             dim=self.dim,
@@ -529,6 +593,7 @@ class IncrementalEmbeddingIndexSink:
             vec_col=query_vec_col,
             planes_per_band=self.planes_per_band,
             n_bands=self.n_bands,
+            kernel=self.sig_kernel,
         )
         qrows = wide.select(
             F.col(query_id_col),

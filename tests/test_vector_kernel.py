@@ -442,3 +442,55 @@ def test_adaptive_lsh_sig_kernel_parity(spark, sf_dir):
     assert hof, "fixture must contain near-dup pairs"
     with pytest.raises(ValueError, match="unknown sig_kernel"):
         S.lsh_near_duplicates_adaptive(emb, 0.3, 64, sig_kernel="blas")
+
+
+def test_embedding_lake_sig_kernel_stamp(spark, sf_dir, tmp_path):
+    """r12: the lake's signature kernel is persisted state — a
+    numpy-stamped lake ingests/probes identically to the HOF lake
+    (packed signatures measured identical), and opening a lake under
+    the other kernel fails LOUDLY at ingest and at probe."""
+    from gomaxscale_spark.streaming.embedding_index import (
+        IncrementalEmbeddingIndexSink,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    cut = ids[len(ids) // 2]
+    b1 = emb.filter(F.col("vec_id") <= cut)
+    b2 = emb.filter(F.col("vec_id") > cut)
+    q = [float(x) for x in emb.orderBy("vec_id").limit(1).head().embedding]
+
+    results = {}
+    for sk in ("hof", "numpy"):
+        sink = IncrementalEmbeddingIndexSink(
+            str(tmp_path / f"lake_{sk}"), threshold=0.3, sig_kernel=sk
+        )
+        sink.apply_batch(b1, 0)
+        sink.apply_batch(b2, 1)
+        kept = sorted(r.vec_id for r in sink.read_kept(spark).collect())
+        top = [(r.vec_id, r.score) for r in sink.topk(spark, q, k=5).collect()]
+        results[sk] = (kept, top)
+    assert results["hof"] == results["numpy"]
+
+    # mixing kernels on one lake: loud errors, ingest AND probe
+    wrong = IncrementalEmbeddingIndexSink(
+        str(tmp_path / "lake_numpy"), threshold=0.3, sig_kernel="hof"
+    )
+    with pytest.raises(ValueError, match="stamped sig_kernel='numpy'"):
+        wrong.apply_batch(b1, 2)
+    with pytest.raises(ValueError, match="stamped sig_kernel='numpy'"):
+        wrong.topk(spark, q, k=5)
+
+    # legacy lake (state but no stamp) counts as hof: numpy refuses
+    import os
+
+    legacy = str(tmp_path / "lake_hof")
+    os.remove(f"{legacy}/sig_kernel.json")
+    reopened = IncrementalEmbeddingIndexSink(
+        legacy, threshold=0.3, sig_kernel="numpy"
+    )
+    with pytest.raises(ValueError, match="pre-stamp state"):
+        reopened.apply_batch(b2, 3)
+
+    with pytest.raises(ValueError, match="unknown sig_kernel"):
+        IncrementalEmbeddingIndexSink(str(tmp_path / "x"), sig_kernel="blas")
