@@ -58,35 +58,31 @@ def main() -> None:
     registry = all_queries()
 
     materialize(registry["scan_filter_project"].fn(spark, sf_dir))
-    calib = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        materialize(registry["scan_filter_project"].fn(spark, sf_dir))
-        calib.append(time.perf_counter() - t0)
-    cal_best = min(calib)
-    host = cal_best / REF_CAL
-    out: dict[str, object] = {
-        "calibration": {
-            "best": round(cal_best, 3),
-            "median": round(statistics.median(calib), 3),
-            "ref": REF_CAL,
-            "host_slowdown": round(host, 2),
-            "settled": cal_best < 0.15,
-        }
-    }
 
+    def calibrate() -> list[float]:
+        runs = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            materialize(registry["scan_filter_project"].fn(spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        return runs
+
+    # pre AND post (like bench.py, r12 fix): this host reproducibly
+    # settles ~1.8× over the first minutes of a battery, so a tool
+    # that calibrates only up front systematically reads "slow host"
+    # while its TARGETS run in the settled phase — the tighter bound
+    # is the honest host estimate.
+    calib_pre = calibrate()
+    out: dict[str, object] = {}
+
+    target_runs: dict[str, list[float]] = {}
     for name in targets:
         runs = []
         for _ in range(5):
             t0 = time.perf_counter()
             materialize(registry[name].fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
-        out[name] = {
-            "best": round(min(runs), 3),
-            "median": round(statistics.median(runs), 3),
-            # walls normalize DOWN on a slow host
-            "best_normalized": round(min(runs) / host, 3),
-        }
+        target_runs[name] = runs
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     cap = []
@@ -94,6 +90,29 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(registry["pipeline_training_corpus"].fn(spark, sf_dir))
         cap.append(time.perf_counter() - t0)
+
+    import bench as B  # repo-root bench: the reference's own canary
+
+    ev = [B.cdc_ingest_events_per_sec() for _ in range(5)]
+
+    calib_post = calibrate()
+    cal_best = min(calib_pre + calib_post)
+    host = cal_best / REF_CAL
+    out["calibration"] = {
+        "best": round(cal_best, 3),
+        "pre": round(min(calib_pre), 3),
+        "post": round(min(calib_post), 3),
+        "ref": REF_CAL,
+        "host_slowdown": round(host, 2),
+        "settled": cal_best < 0.15,
+    }
+    for name, runs in target_runs.items():
+        out[name] = {
+            "best": round(min(runs), 3),
+            "median": round(statistics.median(runs), 3),
+            # walls normalize DOWN on a slow host
+            "best_normalized": round(min(runs) / host, 3),
+        }
     cap_best = n_docs / min(cap)
     cap_norm = cap_best * host  # throughput normalizes UP on a slow host
     out["capstone_docs_per_sec"] = {
@@ -103,10 +122,6 @@ def main() -> None:
         "flag_line": CAPSTONE_FLAG_DOCS,
         "verdict": "PASS" if cap_norm >= CAPSTONE_FLAG_DOCS else "FLAG",
     }
-
-    import bench as B  # repo-root bench: the reference's own canary
-
-    ev = [B.cdc_ingest_events_per_sec() for _ in range(5)]
     ev_best = max(ev)
     ev_norm = ev_best * host
     out["cdc_ingest_events_per_sec"] = {
