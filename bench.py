@@ -137,6 +137,8 @@ EXTRA = [
     "similarity_opq_adc_topk",
     # r12: cluster-balanced prototype subsampling (embedding-space quota)
     "sampling_cluster_balanced",
+    # r12: per-dimension embedding data card (integer-exact aggregates)
+    "dq_embedding_profile",
 ]
 
 

@@ -3051,6 +3051,91 @@ def sampling_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_profile_oracle(dim: int = 64) -> str:
+    qs = ", ".join(
+        f"CAST(round(CAST(embedding[{i}] AS DOUBLE) * 1000000) AS BIGINT) AS q{i}"
+        for i in range(1, dim + 1)
+    )
+    sums = ", ".join(f"sum(q{i}) AS s{i}" for i in range(1, dim + 1))
+    ssqs = ", ".join(f"sum(q{i} * q{i}) AS ss{i}" for i in range(1, dim + 1))
+    s_list = ", ".join(f"s{i}" for i in range(1, dim + 1))
+    ss_list = ", ".join(f"ss{i}" for i in range(1, dim + 1))
+    return f"""
+    WITH q AS (SELECT {qs} FROM embeddings),
+    a AS (SELECT count(*) AS n, {sums}, {ssqs} FROM q),
+    z AS (SELECT n,
+                 unnest(generate_series(1, {dim})) AS dim,
+                 unnest(list_value({s_list})) AS s,
+                 unnest(list_value({ss_list})) AS ss
+          FROM a)
+    SELECT CAST(dim AS INT) AS dim,
+           round(CAST(s AS DOUBLE) / n / 1000000.0, 6) AS mean_val,
+           round((CAST(ss AS DOUBLE) / n
+                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                 / 1000000000000.0, 8) AS var_val
+    FROM z ORDER BY dim
+    """
+
+
+@query(
+    "dq_embedding_profile",
+    oracle=_emb_profile_oracle(),
+    doc="Embedding data card: per-dimension mean and population "
+    "variance over the corpus — the variance-imbalance profile that "
+    "decides whether OPQ's rotation can pay (SCALING.md r12: this "
+    "corpus profiles balanced, so the rotation is a wash; a "
+    "production text encoder's skewed profile is where OPQ earns its "
+    "keep) and the standard drift check for an embedding pipeline "
+    "(a dead dimension or a NaN burst moves it immediately). "
+    "Exactness contract: components quantize to µ-scale BIGINTs and "
+    "the engines aggregate INTEGERS (order-free, the DSIR trick), so "
+    "no float-summation-order divergence exists by construction; the "
+    "float finishing (two divisions per row over 64 rows) is a fixed "
+    "deterministic sequence mirrored in the oracle. Scale: zero row "
+    "fan-out — 128 partial-agged integer aggregates collapse the "
+    "corpus to ONE row (map-side combine; no explode of N×64 rows), "
+    "then the 64-row unpivot is driver-trivial.",
+)
+def dq_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = 64
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select(
+        *[
+            F.expr(
+                f"CAST(round(CAST(element_at(embedding, {i}) AS DOUBLE)"
+                " * 1000000) AS BIGINT)"
+            ).alias(f"q{i}")
+            for i in range(1, dim + 1)
+        ]
+    )
+    agg = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col(f"q{i}")).alias(f"s{i}") for i in range(1, dim + 1)],
+        *[
+            F.sum(F.col(f"q{i}") * F.col(f"q{i}")).alias(f"ss{i}")
+            for i in range(1, dim + 1)
+        ],
+    )
+    row = agg.select(
+        "n",
+        F.posexplode(
+            F.arrays_zip(
+                F.array(*[F.col(f"s{i}") for i in range(1, dim + 1)]).alias("s"),
+                F.array(*[F.col(f"ss{i}") for i in range(1, dim + 1)]).alias("ss"),
+            )
+        ).alias("pos", "z"),
+    )
+    return row.select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.expr("round(CAST(z.s AS DOUBLE) / n / 1000000.0, 6)").alias("mean_val"),
+        F.expr(
+            "round((CAST(z.ss AS DOUBLE) / n"
+            " - (CAST(z.s AS DOUBLE) / n) * (CAST(z.s AS DOUBLE) / n))"
+            " / 1000000000000.0, 8)"
+        ).alias("var_val"),
+    ).orderBy("dim")
+
+
 @query(
     "sampling_cluster_balanced",
     oracle=f"""
