@@ -3097,8 +3097,13 @@ def _emb_profile_oracle(dim: int = 64) -> str:
     "then the 64-row unpivot is driver-trivial.",
 )
 def dq_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bucketing import parallelize_narrow_input
+
     dim = 64
-    e = t(spark, sf_dir, "embeddings")
+    # the per-row cost is 64 extracts + 128 agg-buffer updates, so task
+    # parallelism is the wall — replica/test parquet arrives as 1-2
+    # files and would otherwise run ~2 tasks (the r8 study gotcha)
+    e = parallelize_narrow_input(t(spark, sf_dir, "embeddings"))
     q = e.select(
         *[
             F.expr(
