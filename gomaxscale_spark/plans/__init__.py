@@ -105,11 +105,19 @@ _PRIORITY: list[str] = [
     # the LSH-composition shape in the window, and keep-reps is its
     # downstream variant (same candidates, same verify, one more join).
     "dedup_substring_coverage",
-    "dedup_incremental_batch",
-    # B16 similarity (embedding_centroids demoted to tier 2 in r4 — B16
-    # keeps three window reps; this slot buys the banded-LSH scale path
-    # a driver CORRECTNESS row)
-    "similarity_cosine_topk",
+    # r13 (VERDICT r12 item 1): dedup_incremental_batch demoted to
+    # tier-2 head — B15 was the most over-represented family in the
+    # window (the verdict counted 8 rows), the incremental batch-vs-lake
+    # semantics stay pytest-exercised through the streaming lake sinks
+    # (IncrementalEmbeddingIndexSink / text-dedup lake) and the entry
+    # stays full-catalog oracle-replayed every suite run. Slot funds the
+    # dq_embedding_profile promotion.
+    # r13 (VERDICT r12 item 1): similarity_cosine_topk demoted to tier-2
+    # head — the brute-force baseline's semantics are subsumed by the
+    # four B16 serving rows that remain in-window (adaptive LSH, adaptive
+    # IVF, m=16 PQ ADC, and the newly promoted OPQ ADC, which re-ranks
+    # its shortlist with the same exact-cosine kernel). Slot funds the
+    # similarity_opq_adc_topk promotion.
     # r8 (VERDICT r7 item 2): both ANN SERVING slots swap to their
     # adaptive-width twins — the fixed forms' per-probe scan is provably
     # linear in the corpus (probed rows 149 → 4,611 across x1→x30 for
@@ -136,9 +144,19 @@ _PRIORITY: list[str] = [
     # varargs-LUT ADC); the m=8 twin moves to tier-2 head, still
     # full-catalog oracle-replayed every suite run.
     "similarity_pq16_adc_topk",
-    # B17 text analysis (incl. the benchmark-decontamination capstone)
+    # r13 (VERDICT r12 item 1): OPQ — the rotation-before-subspace-split
+    # serving tier built in r12 (trained Lloyd↔Procrustes rotation, three
+    # bit-equal forms, oracle replays rotation+codes+ranks) — gets its
+    # hard per-round CORRECTNESS row. Funded by the similarity_cosine_topk
+    # demotion above.
+    "similarity_opq_adc_topk",
+    # B17 text analysis (incl. the benchmark-decontamination capstone).
+    # r13 (VERDICT r12 item 1): text_quality_score demoted to tier-2 head
+    # — its heuristics run in-window inside BOTH composites that consume
+    # them (pipeline_training_corpus's quality leg and release_report's
+    # gate), making it the most redundant of the three B17 quality rows.
+    # Slot funds the sampling_cluster_balanced promotion.
     "text_tfidf",
-    "text_quality_score",
     "text_contamination_ngram",
     # r12 (VERDICT r11 item 1): the Gopher char-mass n-gram repetition
     # battery — r11's biggest text addition (four n-gram orders off ONE
@@ -163,8 +181,18 @@ _PRIORITY: list[str] = [
     # the data-selection modality's gate row. Funded by
     # udf_grouped_agg_mad (tier-2 head, see the B18 note above).
     "sampling_dsir_weights",
+    # r13 (VERDICT r12 item 1): cluster-balanced prototype sampling — the
+    # embedding-space domain cap (Arrow assign_nearest kernel, 28× the
+    # fan-out+window form at x100, quota ranks on the 6dp-rounded score).
+    # Funded by the text_quality_score demotion above.
+    "sampling_cluster_balanced",
     # data-quality gate
     "dq_referential_orphans",
+    # r13 (VERDICT r12 item 1): the per-dimension embedding data card —
+    # µ-int BIGINT aggregation (order-immune parity), the measurement
+    # behind the OPQ isotropy verdict. Funded by the
+    # dedup_incremental_batch demotion above.
+    "dq_embedding_profile",
     # SQL API (correlated subquery)
     "sql_correlated_min_price",
     # multimodal plumbing
@@ -179,12 +207,17 @@ _TIER2: list[str] = [
     # line if the gate window widens (VERDICT r4 item 4)
     "timeseries_topk_similar_scaled",
     "dedup_simhash_portable",
-    # r12: the round's new modalities — OPQ (rotation before the
-    # subspace split, oracle replays rotation+codes+ranks) and
-    # cluster-balanced prototype sampling (Arrow argmax kernel,
-    # 28× the HOF window form at x100, SCALING.md r12)
-    "similarity_opq_adc_topk",
-    "sampling_cluster_balanced",
+    # r13: demoted from the window to fund the r12-modality promotions
+    # (OPQ / cluster-balanced / embedding profile, VERDICT r12 item 1).
+    # All three stay full-catalog oracle-replayed every suite run: the
+    # incremental batch-vs-lake semantics also run pytest-side through
+    # the streaming lake sinks, brute-force cosine is the re-rank kernel
+    # inside the four B16 serving rows still in-window, and the quality
+    # heuristics execute inside both in-window composites (capstone +
+    # release_report).
+    "dedup_incremental_batch",
+    "similarity_cosine_topk",
+    "text_quality_score",
     # r11: demoted from the window to fund the r10-modality promotions
     # (substring/PQ/DSIR gate rows, VERDICT r10 item 3). All three stay
     # full-catalog oracle-replayed every suite run; keep-reps remains

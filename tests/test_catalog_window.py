@@ -41,15 +41,18 @@ FAMILY_REPRESENTATIVES = {
     ],
     # r12 window swap: the scale-safe capped LSH form is B15's MinHash
     # slot-holder (uncapped + exact demoted to tier-2 head to fund the
-    # r11-modality promotions, VERDICT r11 item 1)
+    # r11-modality promotions, VERDICT r11 item 1); r13 demoted
+    # dedup_incremental_batch to fund the dq_embedding_profile promotion
     "B15 dedup": ["dedup_minhash_lsh_capped", "dedup_connected_components_lsh",
-                  "dedup_substring_coverage", "dedup_incremental_batch"],
+                  "dedup_substring_coverage"],
     # r8 window swap: the ADAPTIVE serving twins hold the B16 slots
     # (fixed-width forms demoted to tier-2) — the pin names the live
-    # slot-holders so a future reshuffle that drops them fails here
-    "B16 similarity": ["similarity_cosine_topk", "similarity_lsh_bucketed_scaled",
-                       "similarity_ivf_topk_scaled"],
-    "B17 text": ["text_tfidf", "text_quality_score", "text_language_id"],
+    # slot-holders so a future reshuffle that drops them fails here.
+    # r13: brute-force cosine demoted to fund the OPQ promotion.
+    "B16 similarity": ["similarity_lsh_bucketed_scaled",
+                       "similarity_ivf_topk_scaled",
+                       "similarity_pq16_adc_topk", "similarity_opq_adc_topk"],
+    "B17 text": ["text_tfidf", "text_contamination_ngram", "text_language_id"],
     "B18 udf": ["udf_pandas_scalar_log1p", "udf_grouped_zscore",
                 "udf_mapinpandas_doc_stats", "udf_grouped_agg_mad",
                 "udtf_json_key_values"],
@@ -119,6 +122,29 @@ def test_r10_modalities_hold_gate_rows():
     } <= window
     assert "udf_pandas_scalar_log1p" not in window
     assert "udf_grouped_agg_mad" not in window
+
+
+def test_r12_modalities_hold_gate_rows():
+    """VERDICT r12 item 1 (standing policy, the exact precedent of the
+    r10/r11 promotions): each round's biggest additions earn hard
+    per-round CORRECTNESS rows — OPQ ADC serving, cluster-balanced
+    prototype sampling, and the per-dimension embedding data card.
+    Funded by similarity_cosine_topk (the re-rank kernel inside the four
+    remaining B16 serving rows), text_quality_score (runs in-window
+    inside the capstone and release_report composites), and
+    dedup_incremental_batch (B15 was the most over-represented family;
+    the incremental semantics stay pytest-exercised via the streaming
+    lake sinks). All three demotions sit at tier-2 head, full-catalog
+    oracle-replayed every suite run."""
+    window = set(list(all_queries())[:WINDOW])
+    assert {
+        "similarity_opq_adc_topk",
+        "sampling_cluster_balanced",
+        "dq_embedding_profile",
+    } <= window
+    assert "similarity_cosine_topk" not in window
+    assert "text_quality_score" not in window
+    assert "dedup_incremental_batch" not in window
 
 
 def test_capped_lsh_holds_the_minhash_window_slot():
