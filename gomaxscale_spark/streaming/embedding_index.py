@@ -83,7 +83,7 @@ class IncrementalEmbeddingIndexSink:
         target_bucket: int = 64,
         max_bucket_size: int | None = None,
         kernel: str = "numpy",
-        sig_kernel: str = "hof",
+        sig_kernel: str = "numpy",
         compact_every: int | None = None,
     ) -> None:
         self.path = path
@@ -105,17 +105,22 @@ class IncrementalEmbeddingIndexSink:
         if kernel not in ("numpy", "hof"):
             raise ValueError(f"IncrementalEmbeddingIndexSink: unknown kernel {kernel!r}")
         self.kernel = kernel
-        #: SIGNATURE kernel (r12): "hof" (default — the portable
-        #: per-plane SQL folds) or "numpy" (Arrow matmul+pack,
-        #: sign_band_signatures — 32-73× faster at replica scale with
-        #: packed values measured IDENTICAL, SCALING.md r12). Unlike
+        #: SIGNATURE kernel (r12): "numpy" (default since r13 — Arrow
+        #: matmul+pack, sign_band_signatures — 32-73× faster at replica
+        #: scale with packed values measured IDENTICAL, SCALING.md r12;
+        #: a full stamped round of parity evidence made it the
+        #: conservative choice, VERDICT r12 item 3) or "hof" (the
+        #: portable per-plane SQL folds — what every pre-r13 lake was
+        #: written with, and what a pre-stamp lake requires). Unlike
         #: the verify kernel, signatures are PERSISTED STATE: stored
         #: band sigs and probe-time query sigs must come from ONE
         #: kernel or a divergence (however unlikely) would silently
         #: mis-bucket. The choice is therefore STAMPED into the lake
         #: (sig_kernel.json) on first ingest and enforced loudly on
         #: every ingest/probe; a pre-stamp lake with existing state
-        #: counts as "hof" (what it was written with).
+        #: counts as "hof" (what it was written with) — opening one
+        #: under the r13 default therefore fails loudly, by design:
+        #: re-open legacy lakes with sig_kernel="hof" explicitly.
         if sig_kernel not in ("numpy", "hof"):
             raise ValueError(
                 f"IncrementalEmbeddingIndexSink: unknown sig_kernel {sig_kernel!r}"

@@ -494,3 +494,13 @@ def test_embedding_lake_sig_kernel_stamp(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="unknown sig_kernel"):
         IncrementalEmbeddingIndexSink(str(tmp_path / "x"), sig_kernel="blas")
+
+    # r13 (VERDICT r12 item 3): NEW lakes default to the numpy kernel —
+    # a full stamped round of parity evidence (the identical-signature
+    # A/B plus this test's batch≡batch run) made it the conservative
+    # choice. A LEGACY pre-stamp lake opened under the default must
+    # fail loudly, not silently re-bucket.
+    assert IncrementalEmbeddingIndexSink(str(tmp_path / "y")).sig_kernel == "numpy"
+    default_open = IncrementalEmbeddingIndexSink(legacy, threshold=0.3)
+    with pytest.raises(ValueError, match="pre-stamp state"):
+        default_open.apply_batch(b2, 4)
