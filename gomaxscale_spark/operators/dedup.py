@@ -24,13 +24,31 @@ def tokenize(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda t: t != "")
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles as strings ("w1 w2 w3").
+def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles from an ALREADY-BOUND token array — a
+    projected column (the shared tokenized-documents frame, r13) or a
+    lambda variable. Callers holding raw text use ``word_shingles``,
+    which binds the tokenize expression once and delegates here.
 
     Built with O(1) element_at indexing — n lookups per shingle. The
     obvious `slice(toks, i, n)` formulation copies an array per shingle
     (O(tokens²) work + allocations; measured ~5× slower at sf0.1).
     Documents shorter than n tokens produce no shingles.
+    """
+
+    def shingle_at(k: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(toks, k + i) for i in range(n)])
+
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1), shingle_at)
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles as strings ("w1 w2 w3").
 
     The token array is BOUND ONCE per row as an outer lambda variable
     (transform over a one-element array): referencing ``tokenize(text)``
@@ -43,17 +61,7 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     """
 
     def build(toks: Column) -> Column:
-        def shingle_at(k: Column) -> Column:
-            return F.concat_ws(
-                " ", *[F.element_at(toks, k + i) for i in range(n)]
-            )
-
-        return F.when(
-            F.size(toks) >= n,
-            F.array_distinct(
-                F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1), shingle_at)
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        return word_shingles_from_tokens(toks, n)
 
     return F.element_at(F.transform(F.array(tokenize(text)), build), 1)
 
@@ -1340,6 +1348,29 @@ def substring_window_positions(
             % MINHASH_P,
         ).alias("__th"),
     )
+    return _window_key_rows(base, id_col, window)
+
+
+def substring_window_positions_from_hashes(
+    df: DataFrame, id_col: str, hash_col: str, window: int = 8
+) -> DataFrame:
+    """``substring_window_positions`` fed from a frame that already
+    carries the per-token portable 60-bit md5 hashes (``hash_col``, an
+    array<long>) — the shared tokenized-documents artifact of the
+    release-gate composites (r13, VERDICT r12 item 4). The modulus is
+    applied here, so one stored hash array serves both this window
+    fold (mod MINHASH_P) and the DSIR buckets (mod n_buckets).
+    Key values are identical to the text path's."""
+    base = df.select(
+        F.col(id_col),
+        F.transform(F.col(hash_col), lambda h: h % MINHASH_P).alias("__th"),
+    )
+    return _window_key_rows(base, id_col, window)
+
+
+def _window_key_rows(base: DataFrame, id_col: str, window: int) -> DataFrame:
+    """(id, pos, wh) from a (id, __th) frame — the shared fold of the
+    text and precomputed-hash entry points."""
     key = band_key_sql(
         ["element_at(__th, k)"]
         + [f"element_at(__th, k + {i})" for i in range(1, window)]
@@ -1617,6 +1648,26 @@ def substring_coverage_vs_keys(
     join — result-identical).
     """
     new_pos = substring_window_positions(probe_docs, id_col, text_col, window)
+    totals = probe_docs.select(
+        F.col(id_col), F.size(tokenize(F.col(text_col))).alias("total_tokens")
+    )
+    return substring_coverage_from_positions(
+        new_pos, totals, key_rows, id_col, window
+    )
+
+
+def substring_coverage_from_positions(
+    new_pos: DataFrame,
+    totals: DataFrame,
+    key_rows: DataFrame,
+    id_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Coverage core shared by the raw-text probe
+    (``substring_coverage_vs_keys``) and callers that already hold the
+    probe's window positions and token totals (the release-gate
+    composites' shared tokenized frame, r13). ``new_pos`` is (id, pos,
+    wh); ``totals`` is (id, total_tokens)."""
     probe_keys = new_pos.select("wh").distinct()
     hits = (
         key_rows.join(F.broadcast(probe_keys), "wh", "semi")
@@ -1633,9 +1684,6 @@ def substring_coverage_vs_keys(
         )
         .groupBy(id_col)
         .agg(F.countDistinct("tpos").alias("lake_tokens"))
-    )
-    totals = probe_docs.select(
-        F.col(id_col), F.size(tokenize(F.col(text_col))).alias("total_tokens")
     )
     return totals.join(cov, [id_col], "left").select(
         F.col(id_col),

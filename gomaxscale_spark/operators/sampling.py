@@ -307,12 +307,31 @@ def dsir_token_buckets(
     )
 
 
+def dsir_token_buckets_from_hashes(
+    df: DataFrame, id_col: str, hash_col: str, n_buckets: int,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """``dsir_token_buckets`` fed from a frame that already carries the
+    per-token portable 60-bit md5 hashes (``hash_col``, array<long>) —
+    the release-gate composites' shared tokenized artifact (r13,
+    VERDICT r12 item 4). Bucket values identical to the text path's
+    (the 60-bit value is reduced mod ``n_buckets`` either way)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(F.col(hash_col), lambda h: h % F.lit(n_buckets))
+        ).alias("bucket"),
+        *[F.col(c) for c in carry],
+    )
+
+
 def dsir_score_against_lm(
     docs: DataFrame,
     lm: DataFrame,
     id_col: str,
     text_col: str,
     n_buckets: int = 4096,
+    bucket_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Score ``docs`` against an EXTERNAL hashed-unigram LM — a
     (bucket, rc, tc) count table, e.g. the streaming
@@ -345,9 +364,14 @@ def dsir_score_against_lm(
             .alias("llr_micro"),
         )
     )
-    rows = dsir_token_buckets(docs, id_col, text_col, n_buckets).crossJoin(
-        F.broadcast(totals)
-    )
+    # ``bucket_rows`` (r13): callers holding a pre-hashed token stream
+    # — (id, bucket) rows, e.g. derived from the shared tokenized frame
+    # via ``dsir_token_buckets_from_hashes`` — pass it here and skip the
+    # tokenize scan; arithmetic below is shared, so scores stay
+    # bit-equal across the two entry points.
+    if bucket_rows is None:
+        bucket_rows = dsir_token_buckets(docs, id_col, text_col, n_buckets)
+    rows = bucket_rows.crossJoin(F.broadcast(totals))
     # bucket unseen by the LM (possible only with an external LM): both
     # conditionals smooth to count 0 → llr = ln(rt+B) − ln(tt+B)
     unseen = (
