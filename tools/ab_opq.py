@@ -36,16 +36,34 @@ SHORTLISTS = (50, 500, 2000)
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_queries = 5
+    spread = False
     for a in sys.argv[1:]:
         if a.startswith("--queries"):
             n_queries = int(a.split("=")[1])
+        if a == "--spread":
+            # r13: the first-Q vec_ids are all from the first Q/family
+            # near-dup FAMILIES (the replica generator lays families out
+            # contiguously), so the default query set measures ~2
+            # families. --spread strides the id space for a corpus-wide
+            # query mix instead.
+            spread = True
     dirs = args or ["/tmp/scaled_x30_emb", "/tmp/scaled_x100_emb"]
     spark = get_session("ab_opq")
     out = {}
     for d in dirs:
         emb = spark.read.parquet(f"{d}/embeddings.parquet")
         label = os.path.basename(d)
-        qrows = emb.orderBy("vec_id").limit(n_queries).collect()
+        if spread:
+            n_total = emb.count()
+            stride = max(1, n_total // n_queries)
+            qrows = (
+                emb.filter(F.col("vec_id") % stride == 0)
+                .orderBy("vec_id")
+                .limit(n_queries)
+                .collect()
+            )
+        else:
+            qrows = emb.orderBy("vec_id").limit(n_queries).collect()
         queries = [(r.vec_id, [float(x) for x in r.embedding]) for r in qrows]
         exact10 = {
             qid: [r.vec_id for r in S.cosine_topk(emb, q, k=10).collect()]
