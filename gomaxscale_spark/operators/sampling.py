@@ -42,6 +42,51 @@ def hash_split(
     return df.withColumn("bucket", b).withColumn("split", split)
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 8,
+    seed: str = "seed13",
+) -> DataFrame:
+    """Reproducible global corpus shuffle → (id, shard, position).
+
+    A pretraining data loader wants the corpus in a fixed pseudo-random
+    order, split into shards one reader each can stream — and the order
+    must be REPRODUCIBLE (resume from step k, audit which docs a
+    checkpoint saw) and portable across engines, so no rand() and no
+    engine hash. The key is the 60-bit md5 prefix of ``id:seed``
+    (PORTABLE_TOKEN_HASH discipline — same value in any engine that has
+    md5): shard = hash % n_shards, position = rank of the hash inside
+    the shard (ties impossible in practice; id tie-break makes the
+    order total regardless).
+
+    Scale: one exchange, keyed by shard — exactly the partitioning the
+    shard WRITE needs, so the sort is sortWithinPartitions in disguise;
+    the window never sees more than one shard per task. Changing the
+    seed reshuffles every epoch; changing n_shards rebalances readers.
+    """
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("__h")
+    )
+    w = W.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    return (
+        df.select(F.col(id_col), h)
+        .withColumn("shard", F.col("__h") % F.lit(int(n_shards)))
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "position")
+    )
+
+
 def stratified_sample(
     df: DataFrame, stratum_col: str, id_col: str, fraction: float
 ) -> DataFrame:

@@ -11,6 +11,7 @@ from ..operators import dedup as D
 from ..operators.materialize import materialize_once
 from ..operators import multimodal as M
 from ..operators import sampling as SA
+from ..operators import search as SE
 from ..operators import similarity as S
 from ..operators import text as TX
 from ..operators import udfs as U
@@ -4214,3 +4215,172 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("shared_texts"))
     )
+
+
+# ------------------------------------------------ retrieval (r13): BM25,
+# hybrid RRF fusion, deterministic corpus shuffle — the curation-side
+# search primitives (contamination candidate mining, exemplar retrieval,
+# reproducible training order). operators/search.py holds the scale notes.
+
+#: Fixed query terms for the retrieval entries — mid-frequency words of
+#: the synthetic vocabulary, so df spreads (idf actually differentiates).
+_BM25_TERMS = ("spark", "window", "hash")
+
+
+def _bm25_sql(terms=_BM25_TERMS, k: int = 15) -> str:
+    """DuckDB twin of operators/search.py::bm25_scores — the SAME
+    fixed-order sum of per-term contributions (0.0 + t0 + t1 + ...),
+    the same Lucene idf, the same 1.2/0.75 constants, so both engines
+    evaluate identical doubles."""
+    dfs = ",\n             ".join(
+        f"count(DISTINCT CASE WHEN w = '{t}' THEN doc_id END) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    tfs = ",\n             ".join(
+        f"CAST(sum(CASE WHEN w = '{t}' THEN 1 ELSE 0 END) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    contribs = "\n       + ".join(
+        f"ln(1.0 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+        f" * tf.tf{i} / (tf.tf{i} + 1.2 * (0.25 + 0.75 * l.dl / a.avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+      FROM documents
+    ), lens AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                  AS DOUBLE) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n,
+             {dfs}
+      FROM toks
+    ), avgl AS (
+      SELECT avg(len(list_filter(string_split(lower(text), ' '), x -> x <> '')))
+             AS avgdl
+      FROM documents
+    ), tf AS (
+      SELECT doc_id,
+             {tfs}
+      FROM toks WHERE w IN ({in_list})
+      GROUP BY doc_id
+    )
+    SELECT tf.doc_id,
+           round(0.0
+       + {contribs}, 6) AS score
+    FROM tf JOIN lens l USING (doc_id), stats s, avgl a
+    ORDER BY score DESC, tf.doc_id
+    LIMIT {k}
+    """
+
+
+@query(
+    "search_bm25_topk",
+    oracle=_bm25_sql(),
+    doc="Retrieval: Okapi BM25 top-15 for a fixed 3-term query over the "
+    "documents corpus — the lexical scorer a curation pipeline uses to "
+    "mine contamination candidates and quality exemplars. Scale: one "
+    "tokenize pass feeds BOTH the per-doc conditional tf sums (hash agg, "
+    "map-side fold) and the 1-row corpus stats (N, avgdl, per-term df) "
+    "that broadcast into the scoring projection; query terms are plan "
+    "literals; selection is TakeOrderedAndProject — no vocabulary-sized "
+    "shuffle, no global window, no driver round-trip. The per-term sum "
+    "is a fixed-order addition chain so the oracle's doubles are "
+    "bit-identical (operators/search.py).",
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return SE.bm25_topk(d, list(_BM25_TERMS), k=15)
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH kw_top AS (
+      {_bm25_sql(k=50)}
+    ), kw_rank AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                 AS rank_0
+      FROM kw_top
+    ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    vec_top AS (
+      SELECT e.vec_id AS doc_id,
+             round((SELECT sum(CAST(x.u AS DOUBLE) * CAST(x.v AS DOUBLE))
+                    FROM (SELECT unnest(e.embedding) u, unnest(q.qv) v) x)
+                   / (sqrt((SELECT sum(CAST(x.u AS DOUBLE)*CAST(x.u AS DOUBLE))
+                            FROM (SELECT unnest(e.embedding) u) x))
+                      * sqrt((SELECT sum(CAST(x.v AS DOUBLE)*CAST(x.v AS DOUBLE))
+                              FROM (SELECT unnest(q.qv) v) x))), 6) AS score
+      FROM embeddings e, q
+      ORDER BY score DESC, e.vec_id
+      LIMIT 50
+    ), vec_rank AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                 AS rank_1
+      FROM vec_top
+    )
+    SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id, k.rank_0, v.rank_1,
+           round(0.0 + COALESCE(1.0 / (60.0 + k.rank_0), 0.0)
+                     + COALESCE(1.0 / (60.0 + v.rank_1), 0.0), 6) AS rrf_score
+    FROM kw_rank k FULL OUTER JOIN vec_rank v ON k.doc_id = v.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 15
+    """,
+    doc="Retrieval: hybrid search via reciprocal-rank fusion (Cormack "
+    "et al., SIGIR 2009) — BM25 top-50 (lexical leg) fused with "
+    "brute-force cosine top-50 against the vec_id-0 query embedding "
+    "(vector leg, doc_id ≍ vec_id in the testdata), "
+    "rrf = Σ 1/(60 + rank). Rank-only fusion: the legs' score scales "
+    "never mix, which is why RRF is the production default for "
+    "keyword+vector candidate mining. Scale: each leg truncates to 50 "
+    "rows BEFORE ranking (TakeOrdered), so the row_number windows and "
+    "the full-outer fuse join touch 50-row frames — corpus-sized data "
+    "appears only inside the two legs, each already scale-audited "
+    "(text_tfidf's tokenize-agg shape; similarity_cosine_topk's "
+    "literal-vector scan).",
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    kw = SE.bm25_topk(d, list(_BM25_TERMS), k=50)
+    vec = S.cosine_topk(e, _query_vector(spark, sf_dir), k=50).select(
+        F.col("vec_id").alias("doc_id"), "score"
+    )
+    return SE.rrf_fuse([kw, vec]).orderBy(
+        F.desc("rrf_score"), F.col("doc_id")
+    ).limit(15)
+
+
+@query(
+    "corpus_shuffle_shards",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || 'seed13'),
+                                  1, 15)) AS BIGINT) AS hh
+      FROM documents
+    )
+    SELECT doc_id, hh % 8 AS shard,
+           CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
+                AS BIGINT) AS position
+    FROM h
+    """,
+    doc="Reproducible global corpus shuffle for training data loaders: "
+    "shard + in-shard position from the portable 60-bit md5 prefix of "
+    "doc_id:seed (PORTABLE_TOKEN_HASH discipline — no rand(), no engine "
+    "hash, so a checkpoint's data order is auditable and identical on "
+    "re-runs and across engines). Scale: ONE exchange keyed by shard — "
+    "the same partitioning the shard write needs — and the rank window "
+    "is per-shard, never global; epoch reshuffle = new seed literal, "
+    "reader rebalance = new shard count (operators/sampling.py).",
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return SA.deterministic_shuffle(d, "doc_id", n_shards=8, seed="seed13")
