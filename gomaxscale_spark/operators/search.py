@@ -101,18 +101,29 @@ def bm25_scores(
         .join(lengths, id_col)
         .crossJoin(F.broadcast(stats))
     )
+    return tf.select(
+        F.col(id_col), F.round(_score_chain(len(terms), k1, b), 6).alias("score")
+    )
+
+
+def _score_chain(n_terms: int, k1: float = K1, b: float = B) -> Column:
+    """The BM25 sum over ``__tf{i}``/``__df{i}``/``__n``/``__dl``/
+    ``__avgdl`` columns as a FIXED-ORDER addition chain — one shared
+    construction, so the exact-df and hashed-df variants (and the
+    streaming lake's scorer) all evaluate the identical expression
+    tree and an SQL twin can reproduce it bit-for-bit."""
     norm = F.lit(float(k1)) * (
         F.lit(1.0 - b) + F.lit(float(b)) * F.col("__dl") / F.col("__avgdl")
     )
     score: Column = F.lit(0.0)
-    for i in range(len(terms)):
+    for i in range(n_terms):
         idf = F.log(
             F.lit(1.0)
             + (F.col("__n") - F.col(f"__df{i}") + F.lit(0.5))
             / (F.col(f"__df{i}") + F.lit(0.5))
         )
         score = score + idf * F.col(f"__tf{i}") / (F.col(f"__tf{i}") + norm)
-    return tf.select(F.col(id_col), F.round(score, 6).alias("score"))
+    return score
 
 
 def bm25_topk(
@@ -168,4 +179,139 @@ def rrf_fuse(
         F.col(id_col),
         *[F.col(f"rank_{i}") for i in range(len(legs))],
         F.round(contrib, 6).alias("rrf_score"),
+    )
+
+
+# --------------------------------------------------------------- hashed-
+# vocabulary BM25: the serving/streaming form. Exact per-term df needs a
+# vocabulary-sized table; hashing terms into a FIXED bucket space makes
+# the corpus statistics a bounded artifact (≤ n_buckets rows + one meta
+# row) that is ADDITIVE across disjoint batches — the property the
+# streaming TermStatsLakeSink (streaming/term_stats.py) is built on.
+# Collisions inflate df slightly (bucket df ≥ term df), the standard
+# hashed-vocabulary trade; tf stays exact (it comes from the scored doc
+# itself, not the stats).
+
+#: Default bucket space: 64k buckets ≈ KBs of stats whatever the corpus.
+N_TERM_BUCKETS = 1 << 16
+
+
+def term_bucket(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
+    """Driver-side twin of the in-plan portable token hash
+    (PORTABLE_TOKEN_HASH discipline): 60-bit md5 prefix mod n_buckets.
+    Used to turn QUERY terms into bucket literals."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16) % n_buckets
+
+
+def _bucket_col(tok: Column, n_buckets: int) -> Column:
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+        % F.lit(int(n_buckets))
+    )
+
+
+def corpus_term_stats(
+    docs: DataFrame,
+    n_buckets: int = N_TERM_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """The bounded corpus statistics BM25 serving needs, one pass:
+
+    - ``term_stats``: (bucket, df) — documents containing ≥1 token in
+      the bucket (distinct doc-bucket pairs, then a count);
+    - ``meta``: 1 row (n_docs, n_tokens) — corpus size + total token
+      count (avgdl = n_tokens / n_docs at scoring time, so the stored
+      artifact is pure integers and additive).
+
+    Both are additive across DISJOINT document batches: summing per-
+    batch outputs equals computing over the union (each doc lives in
+    exactly one batch) — the lake's compaction invariant, pytested.
+
+    Scale: one tokenize pass; the distinct + count is a hash agg on
+    (doc, bucket) pairs — never raw text; outputs are KBs.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(_words(F.col(text_col))).alias("__w"),
+    ).select(F.col(id_col), _bucket_col(F.col("__w"), n_buckets).alias("bucket"))
+    term_stats = (
+        toks.select(id_col, "bucket")
+        .distinct()
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    meta = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_words(F.col(text_col)))).alias("n_tokens"),
+    )
+    return term_stats, meta
+
+
+def bm25_against_stats(
+    docs: DataFrame,
+    terms: Sequence[str],
+    term_stats: DataFrame,
+    meta: DataFrame,
+    n_buckets: int = N_TERM_BUCKETS,
+    k1: float = K1,
+    b: float = B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 with hashed-vocabulary df from an EXTERNAL stats artifact —
+    a (bucket, df) table + (n_docs, n_tokens) meta row, e.g.
+    ``corpus_term_stats`` output or the streaming lake's committed sum.
+    Same ``_score_chain`` expression tree as ``bm25_scores``, so two
+    stats artifacts with equal counts score bit-identically (the
+    batch ≡ lake equality the sink pytests).
+
+    Scale: the stats legs collapse to ONE broadcast row (conditional
+    sums over the ≤ n_buckets-row table); scoring is one tokenize pass
+    over ``docs`` (the docs being scored — a batch, not the corpus).
+    """
+    buckets = [term_bucket(t, n_buckets) for t in terms]
+    df_row = term_stats.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("bucket") == F.lit(bk), F.col("df"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"__df{i}")
+            for i, bk in enumerate(buckets)
+        ]
+    )
+    stats = (
+        meta.select(
+            F.col("n_docs").cast("double").alias("__n"),
+            (
+                F.col("n_tokens").cast("double") / F.col("n_docs").cast("double")
+            ).alias("__avgdl"),
+        )
+        .crossJoin(df_row)
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("__w")
+    )
+    tf_aggs = [
+        F.sum(F.when(F.col("__w") == F.lit(t), 1).otherwise(0))
+        .cast("double")
+        .alias(f"__tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    lengths = docs.select(
+        F.col(id_col), F.size(_words(F.col(text_col))).cast("double").alias("__dl")
+    )
+    tf = (
+        toks.filter(F.col("__w").isin(list(terms)))
+        .groupBy(id_col)
+        .agg(*tf_aggs)
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    return tf.select(
+        F.col(id_col), F.round(_score_chain(len(terms), k1, b), 6).alias("score")
     )

@@ -4384,3 +4384,99 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return SA.deterministic_shuffle(d, "doc_id", n_shards=8, seed="seed13")
+
+
+def _bm25_hashed_sql(terms=_BM25_TERMS, k: int = 15) -> str:
+    """DuckDB twin of operators/search.py::bm25_against_stats fed by
+    corpus_term_stats — hashed-vocabulary df (portable 60-bit md5
+    bucket, same literals via SE.term_bucket), integer (n_docs,
+    n_tokens) meta with avgdl = n_tokens/n_docs, and the identical
+    fixed-order score chain. This batch form IS the streaming
+    TermStatsLakeSink's serving semantics (batch ≡ lake pytested), so
+    the lake's scoring path is oracle-checked here."""
+    n_buckets = SE.N_TERM_BUCKETS
+    buckets = [SE.term_bucket(t, n_buckets) for t in terms]
+    dfs = ",\n           ".join(
+        f"COALESCE((SELECT df FROM dfs WHERE bucket = {bk}), 0) AS df{i}"
+        for i, bk in enumerate(buckets)
+    )
+    tfs = ",\n             ".join(
+        f"CAST(sum(CASE WHEN w = '{t}' THEN 1 ELSE 0 END) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    contribs = "\n       + ".join(
+        f"ln(1.0 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+        f" * tf.tf{i} / (tf.tf{i} + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+      FROM documents
+    ), dfs AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS df
+      FROM (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % {n_buckets}
+                   AS bucket
+        FROM toks
+      )
+      GROUP BY bucket
+    ), meta AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents
+    ), stats AS (
+      SELECT CAST(n_docs AS DOUBLE) AS n,
+             CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl,
+           {dfs}
+      FROM meta
+    ), lens AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                  AS DOUBLE) AS dl
+      FROM documents
+    ), tf AS (
+      SELECT doc_id,
+             {tfs}
+      FROM toks WHERE w IN ({in_list})
+      GROUP BY doc_id
+    )
+    SELECT tf.doc_id,
+           round(0.0
+       + {contribs}, 6) AS score
+    FROM tf JOIN lens l USING (doc_id), stats s
+    ORDER BY score DESC, tf.doc_id
+    LIMIT {k}
+    """
+
+
+@query(
+    "search_bm25_hashed_topk",
+    oracle=_bm25_hashed_sql(),
+    doc="Retrieval: BM25 with HASHED-vocabulary df — the serving/"
+    "streaming form. Exact per-term df needs a vocabulary-sized table; "
+    "hashing terms into a fixed 64k-bucket space (portable 60-bit md5, "
+    "PORTABLE_TOKEN_HASH discipline) makes the corpus statistics a "
+    "bounded additive artifact: ≤ n_buckets (bucket, df) rows + one "
+    "integer (n_docs, n_tokens) meta row — KBs at any corpus size, and "
+    "the SUM of per-batch deltas (each doc lives in one batch), which "
+    "is exactly what the streaming TermStatsLakeSink maintains under "
+    "EpochCommit; its score() runs THIS code path (batch ≡ lake "
+    "pytested, tests/test_term_stats_lake.py). Collisions inflate df "
+    "slightly (bucket df ≥ term df — equality on collision-free "
+    "vocabularies pytested); tf stays exact. Scale: stats legs "
+    "collapse to one broadcast row; scoring is one tokenize pass; "
+    "TakeOrderedAndProject.",
+)
+def search_bm25_hashed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    ts, meta = SE.corpus_term_stats(d)
+    return (
+        SE.bm25_against_stats(d, list(_BM25_TERMS), ts, meta)
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(15)
+    )
