@@ -825,3 +825,51 @@ def cdc_transaction_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+from .llm import _bm25_hashed_sql  # noqa: E402  (llm imports first in __init__)
+
+
+@query(
+    "streaming_bm25_lake_availablenow",
+    oracle=_bm25_hashed_sql(("data", "query", "table"), k=20),
+    doc="B14×retrieval: the BM25 term-statistics lake fed through the "
+    "REAL engine — documents re-partitioned into 4 files, readStream "
+    "with maxFilesPerTrigger=1 → 4 foreachBatch micro-batches into "
+    "TermStatsLakeSink (EpochCommit per epoch), then the corpus scored "
+    "against the lake's committed stats. The lake's df/meta deltas are "
+    "ADDITIVE and batch-split-INVARIANT (pytested), so the final "
+    "stats — and the scores — are deterministic whatever file-to-batch "
+    "assignment the engine picks, which is what makes a streaming "
+    "ingest oracle-checkable by the same SQL as the batch hashed-df "
+    "operator. Scale: each epoch's artifact is ≤ n_buckets rows; "
+    "serving stats stay current under ingest without ever re-scanning "
+    "absorbed corpus (the r13 retrieval-family streaming story).",
+)
+def streaming_bm25_lake_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..session import configure
+    from ..streaming.term_stats import TermStatsLakeSink
+
+    configure(spark)
+    docs = t(spark, sf_dir, "documents")
+    replay_dir = tempfile.mkdtemp(prefix="docs_replay_")
+    docs.repartition(4).write.mode("overwrite").parquet(replay_dir)
+    lake_path = tempfile.mkdtemp(prefix="ts_lake_gate_")
+    sink = TermStatsLakeSink(lake_path)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(replay_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .queryName(f"stream_bm25_lake_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return sink.topk(docs, ["data", "query", "table"], k=20)
