@@ -112,17 +112,28 @@ def _score_chain(n_terms: int, k1: float = K1, b: float = B) -> Column:
     construction, so the exact-df and hashed-df variants (and the
     streaming lake's scorer) all evaluate the identical expression
     tree and an SQL twin can reproduce it bit-for-bit."""
+    return _score_chain_cols(
+        [(f"__tf{i}", f"__df{i}") for i in range(n_terms)], k1, b
+    )
+
+
+def _score_chain_cols(
+    pairs: Sequence[tuple[str, str]], k1: float = K1, b: float = B
+) -> Column:
+    """``_score_chain`` over EXPLICIT (tf_col, df_col) name pairs — the
+    batched form scores several queries against one shared tf/df frame,
+    so each query's chain picks its own columns out of the union."""
     norm = F.lit(float(k1)) * (
         F.lit(1.0 - b) + F.lit(float(b)) * F.col("__dl") / F.col("__avgdl")
     )
     score: Column = F.lit(0.0)
-    for i in range(n_terms):
+    for tf_c, df_c in pairs:
         idf = F.log(
             F.lit(1.0)
-            + (F.col("__n") - F.col(f"__df{i}") + F.lit(0.5))
-            / (F.col(f"__df{i}") + F.lit(0.5))
+            + (F.col("__n") - F.col(df_c) + F.lit(0.5))
+            / (F.col(df_c) + F.lit(0.5))
         )
-        score = score + idf * F.col(f"__tf{i}") / (F.col(f"__tf{i}") + norm)
+        score = score + idf * F.col(tf_c) / (F.col(tf_c) + norm)
     return score
 
 
@@ -315,3 +326,86 @@ def bm25_against_stats(
     return tf.select(
         F.col(id_col), F.round(_score_chain(len(terms), k1, b), 6).alias("score")
     )
+
+
+def bm25_topk_batch(
+    docs: DataFrame,
+    queries: Sequence[Sequence[str]],
+    k: int,
+    k1: float = K1,
+    b: float = B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact top-k BM25 for SEVERAL queries in ONE corpus pass —
+    (query_id, id, score), query_id = position in ``queries``.
+
+    The serving-tier shape (the lexical twin of
+    similarity_cosine_topk_batch): Q sequential scans become one.
+    The term UNION across queries drives a single tokenize → tf/df
+    pass; each query's score is its own fixed-order chain picking its
+    terms' columns out of the shared frame; per-query top-k is the
+    salted two-phase selection (domain_cap_salted with query_id as the
+    key — per-key merge state capped at n_salts·k structs, no global
+    window). Membership per query = matches ≥1 of ITS terms (the
+    integer tf predicate, not a float-score test).
+    """
+    from .sampling import domain_cap_salted
+
+    all_terms: list[str] = []
+    for q in queries:
+        for t in q:
+            if t not in all_terms:
+                all_terms.append(t)
+    idx = {t: i for i, t in enumerate(all_terms)}
+
+    toks = docs.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("__w")
+    )
+    df_aggs = [
+        F.count_distinct(
+            F.when(F.col("__w") == F.lit(t), F.col(id_col))
+        ).alias(f"__df{i}")
+        for i, t in enumerate(all_terms)
+    ]
+    stats = toks.agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("__n"), *df_aggs
+    ).crossJoin(
+        docs.agg(F.avg(F.size(_words(F.col(text_col)))).alias("__avgdl"))
+    )
+    tf_aggs = [
+        F.sum(F.when(F.col("__w") == F.lit(t), 1).otherwise(0))
+        .cast("double")
+        .alias(f"__tf{i}")
+        for i, t in enumerate(all_terms)
+    ]
+    lengths = docs.select(
+        F.col(id_col), F.size(_words(F.col(text_col))).cast("double").alias("__dl")
+    )
+    tf = (
+        toks.filter(F.col("__w").isin(all_terms))
+        .groupBy(id_col)
+        .agg(*tf_aggs)
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    legs = []
+    for qid, q in enumerate(queries):
+        pairs = [(f"__tf{idx[t]}", f"__df{idx[t]}") for t in q]
+        hit = F.lit(0.0)
+        for t in q:
+            hit = hit + F.col(f"__tf{idx[t]}")
+        legs.append(
+            tf.filter(hit > 0).select(
+                F.lit(qid).alias("query_id"),
+                F.col(id_col),
+                F.round(_score_chain_cols(pairs, k1, b), 6).alias("score"),
+            )
+        )
+    scored = legs[0]
+    for leg in legs[1:]:
+        scored = scored.unionByName(leg)
+    top = domain_cap_salted(
+        scored, key_col="query_id", quality_col="score", id_col=id_col, k=k
+    )
+    return top.orderBy("query_id", F.desc("score"), F.col(id_col))

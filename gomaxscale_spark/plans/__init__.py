@@ -202,6 +202,18 @@ _PRIORITY: list[str] = [
 #: Tier 2: nearest-miss variants of families already represented above —
 #: first in line if the gate window ever widens.
 _TIER2: list[str] = [
+    # r13 NEW MODALITIES at tier-2 head (the standing pattern: new
+    # families enter here, the next round's mandate decides promotion —
+    # exactly how the r10/r11/r12 modalities entered): the retrieval
+    # family (BM25 exact + hashed-df, hybrid RRF, real-engine lake
+    # ingest) and the reproducible corpus shuffle. All oracle-checked
+    # at both SFs; the lake's batch ≡ stream equality is pytested.
+    "search_bm25_topk",
+    "search_hybrid_rrf",
+    "search_bm25_hashed_topk",
+    "corpus_shuffle_shards",
+    "streaming_bm25_lake_availablenow",
+    "search_bm25_batch_topk",
     # tier-2 head: the scale-safe / fully-oracle-checked variants of
     # families whose window slot carries a different form — first in
     # line if the gate window widens (VERDICT r4 item 4)

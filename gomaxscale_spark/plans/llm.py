@@ -4480,3 +4480,107 @@ def search_bm25_hashed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.col("doc_id"))
         .limit(15)
     )
+
+
+#: Fixed query battery for the batched BM25 entry — three 3-term
+#: queries over the synthetic vocabulary, overlapping df ranges.
+_BM25_BATCH_QUERIES = (
+    ("spark", "window", "hash"),
+    ("data", "query", "table"),
+    ("join", "agg", "scan"),
+)
+
+
+def _bm25_batch_sql(queries=_BM25_BATCH_QUERIES, k: int = 10) -> str:
+    """DuckDB twin of operators/search.py::bm25_topk_batch — one shared
+    tf/df frame over the term UNION, one fixed-order chain per query,
+    integer-tf membership predicate, per-query rank."""
+    all_terms: list[str] = []
+    for q in queries:
+        for t_ in q:
+            if t_ not in all_terms:
+                all_terms.append(t_)
+    idx = {t_: i for i, t_ in enumerate(all_terms)}
+    dfs = ",\n             ".join(
+        f"count(DISTINCT CASE WHEN w = '{t_}' THEN doc_id END) AS df{i}"
+        for i, t_ in enumerate(all_terms)
+    )
+    tfs = ",\n             ".join(
+        f"CAST(sum(CASE WHEN w = '{t_}' THEN 1 ELSE 0 END) AS DOUBLE) AS tf{i}"
+        for i, t_ in enumerate(all_terms)
+    )
+    in_list = ", ".join(f"'{t_}'" for t_ in all_terms)
+    legs = []
+    for qid, q in enumerate(queries):
+        chain = "\n       + ".join(
+            f"ln(1.0 + (s.n - s.df{idx[t_]} + 0.5) / (s.df{idx[t_]} + 0.5))"
+            f" * tf.tf{idx[t_]} / (tf.tf{idx[t_]}"
+            f" + 1.2 * (0.25 + 0.75 * l.dl / a.avgdl))"
+            for t_ in q
+        )
+        hit = " + ".join(f"tf.tf{idx[t_]}" for t_ in q)
+        legs.append(
+            f"""
+      SELECT {qid} AS query_id, tf.doc_id,
+             round(0.0
+         + {chain}, 6) AS score
+      FROM tf JOIN lens l USING (doc_id), stats s, avgl a
+      WHERE 0.0 + {hit} > 0"""
+        )
+    union = "\n      UNION ALL".join(legs)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+      FROM documents
+    ), lens AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                  AS DOUBLE) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n,
+             {dfs}
+      FROM toks
+    ), avgl AS (
+      SELECT avg(len(list_filter(string_split(lower(text), ' '), x -> x <> '')))
+             AS avgdl
+      FROM documents
+    ), tf AS (
+      SELECT doc_id,
+             {tfs}
+      FROM toks WHERE w IN ({in_list})
+      GROUP BY doc_id
+    ), scored AS ({union}
+    )
+    SELECT query_id, doc_id, score FROM (
+      SELECT scored.*,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {k}
+    ORDER BY query_id, score DESC, doc_id
+    """
+
+
+@query(
+    "search_bm25_batch_topk",
+    oracle=_bm25_batch_sql(),
+    doc="Retrieval: BATCHED exact BM25 — top-10 for THREE queries in "
+    "ONE corpus pass (the lexical twin of similarity_cosine_topk_batch: "
+    "what a serving tier does instead of Q sequential scans). The term "
+    "UNION across queries drives a single tokenize → tf/df pass; each "
+    "query's score is its own fixed-order chain picking its terms' "
+    "columns out of the shared broadcast frame; membership per query "
+    "is the integer tf predicate; per-query top-k is the SALTED "
+    "two-phase selection (domain_cap_salted with query_id as the key — "
+    "per-key merge state capped at n_salts·k structs, no per-query "
+    "window over all scored rows, one hot query cannot serialize the "
+    "rank through one task). The oracle replays the shared frame, the "
+    "per-query chains, and the rank.",
+)
+def search_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return SE.bm25_topk_batch(
+        d, [list(q) for q in _BM25_BATCH_QUERIES], k=10
+    ).select("query_id", "doc_id", "score")
