@@ -139,10 +139,13 @@ EXTRA = [
     "sampling_cluster_balanced",
     # r12: per-dimension embedding data card (integer-exact aggregates)
     "dq_embedding_profile",
-    # r13: retrieval family — BM25, hybrid RRF, deterministic shuffle
+    # r13: retrieval family — BM25 (exact / hashed-df / batched),
+    # hybrid RRF, deterministic shuffle
     "search_bm25_topk",
     "search_hybrid_rrf",
     "corpus_shuffle_shards",
+    "search_bm25_hashed_topk",
+    "search_bm25_batch_topk",
 ]
 
 

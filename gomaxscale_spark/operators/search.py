@@ -409,3 +409,95 @@ def bm25_topk_batch(
         scored, key_col="query_id", quality_col="score", id_col=id_col, k=k
     )
     return top.orderBy("query_id", F.desc("score"), F.col(id_col))
+
+
+# ------------------------------------------------- shared-tokenization
+# variants (the release_report lesson, r13): the one-shot hashed entry
+# reads the corpus through FOUR tokenize legs (df, meta, tf, lengths);
+# binding the token array once in a materialized (id, __toks) frame
+# pays the split/lower/filter once instead of four times. Values are
+# identical (same expressions over the same arrays) — pytested.
+
+
+def tokenized_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, __toks) — the shared tokenized frame. Materialize it
+    (operators/materialize.py) when more than one leg consumes it."""
+    return docs.select(F.col(id_col), _words(F.col(text_col)).alias("__toks"))
+
+
+def corpus_term_stats_tokenized(
+    tokd: DataFrame,
+    n_buckets: int = N_TERM_BUCKETS,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """``corpus_term_stats`` fed from a (id, __toks) frame."""
+    toks = tokd.select(
+        F.col(id_col), F.explode(F.col("__toks")).alias("__w")
+    ).select(F.col(id_col), _bucket_col(F.col("__w"), n_buckets).alias("bucket"))
+    term_stats = (
+        toks.select(id_col, "bucket")
+        .distinct()
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    meta = tokd.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.col("__toks"))).alias("n_tokens"),
+    )
+    return term_stats, meta
+
+
+def bm25_against_stats_tokenized(
+    tokd: DataFrame,
+    terms: Sequence[str],
+    term_stats: DataFrame,
+    meta: DataFrame,
+    n_buckets: int = N_TERM_BUCKETS,
+    k1: float = K1,
+    b: float = B,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``bm25_against_stats`` fed from a (id, __toks) frame."""
+    buckets = [term_bucket(t, n_buckets) for t in terms]
+    df_row = term_stats.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("bucket") == F.lit(bk), F.col("df"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"__df{i}")
+            for i, bk in enumerate(buckets)
+        ]
+    )
+    stats = (
+        meta.select(
+            F.col("n_docs").cast("double").alias("__n"),
+            (
+                F.col("n_tokens").cast("double") / F.col("n_docs").cast("double")
+            ).alias("__avgdl"),
+        )
+        .crossJoin(df_row)
+    )
+    toks = tokd.select(F.col(id_col), F.explode(F.col("__toks")).alias("__w"))
+    tf_aggs = [
+        F.sum(F.when(F.col("__w") == F.lit(t), 1).otherwise(0))
+        .cast("double")
+        .alias(f"__tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    lengths = tokd.select(
+        F.col(id_col), F.size(F.col("__toks")).cast("double").alias("__dl")
+    )
+    tf = (
+        toks.filter(F.col("__w").isin(list(terms)))
+        .groupBy(id_col)
+        .agg(*tf_aggs)
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    return tf.select(
+        F.col(id_col), F.round(_score_chain(len(terms), k1, b), 6).alias("score")
+    )

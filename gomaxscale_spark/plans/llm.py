@@ -4473,10 +4473,16 @@ def _bm25_hashed_sql(terms=_BM25_TERMS, k: int = 15) -> str:
     "TakeOrderedAndProject.",
 )
 def search_bm25_hashed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shared tokenized frame (release_report lesson): the one-shot form
+    # reads the corpus through four tokenize legs (df/meta/tf/lengths) —
+    # binding the token array once pays split/lower/filter once instead
+    # of four times: ×0.86 at x30, ×0.83 at x100, outputs identical
+    # (tools/ab_bm25_tokenized.py, SCALING.md r13).
     d = t(spark, sf_dir, "documents")
-    ts, meta = SE.corpus_term_stats(d)
+    tokd = materialize_once(SE.tokenized_docs(d))
+    ts, meta = SE.corpus_term_stats_tokenized(tokd)
     return (
-        SE.bm25_against_stats(d, list(_BM25_TERMS), ts, meta)
+        SE.bm25_against_stats_tokenized(tokd, list(_BM25_TERMS), ts, meta)
         .orderBy(F.desc("score"), F.col("doc_id"))
         .limit(15)
     )
