@@ -476,3 +476,145 @@ def bigram_logprob_micro(
         "lp_micro",
         F.round(F.col("lp_micro") / 1e6 / F.col("n_bigrams"), 6).alias("avg_logprob"),
     )
+
+
+# ----------------- Bloom-filter decontamination prefilter (r13) -------
+#
+# At 100 TB the exact benchmark n-gram set can be too large to ship to
+# every task as strings (13-gram suites × many benchmarks = GBs); the
+# standard answer is a Bloom filter: k hashed bit positions per gram in
+# a fixed m-bit space — the broadcast artifact becomes m/8 bytes
+# (128 KB here) whatever the benchmark size, at the price of a
+# quantified false-positive rate. Every hash below is the repo's
+# portable family (60-bit md5 prefix mod P, Carter-Wegman mixes with
+# fixed-seed literal coefficients, bit packing in 60-bit words), so a
+# DuckDB oracle replays bit membership — and hence the exact
+# false-positive set — bit-for-bit.
+
+#: Bloom geometry: 2^20 positions packed 60 bits/word (shifts stay
+#: below 2^60 on both engines), 3 Carter-Wegman probes per gram.
+BLOOM_M = 1 << 20
+BLOOM_K = 3
+BLOOM_WORD_BITS = 60
+BLOOM_SEED = 29
+
+
+def _gram_hash60(g: Column) -> Column:
+    """Portable gram key: 60-bit md5 prefix mod P (PORTABLE_TOKEN_HASH
+    discipline) — grams hash ONCE, only longs flow through exchanges."""
+    from .dedup import MINHASH_P
+
+    return (
+        F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_P)
+    )
+
+
+def _bloom_positions(gh: Column) -> list[Column]:
+    from .dedup import MINHASH_P, cw_hash_coefficients
+
+    return [
+        ((F.lit(a) * gh + F.lit(b)) % F.lit(MINHASH_P)) % F.lit(BLOOM_M)
+        for a, b in cw_hash_coefficients(BLOOM_K, seed=BLOOM_SEED)
+    ]
+
+
+def bloom_build(bench, text_col: str, n: int = 4):
+    """(word, bits) Bloom filter over the benchmark's distinct word
+    n-grams — ≤ ⌈m/60⌉ = 17,477 rows (~140 KB) whatever the benchmark
+    size. bit_or packs per-word masks; duplicate positions fold."""
+    from .dedup import word_shingles
+
+    grams = bench.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    ).distinct()
+    pos = grams.select(
+        F.explode(F.array(*_bloom_positions(_gram_hash60(F.col("g"))))).alias(
+            "pos"
+        )
+    )
+    return (
+        pos.select(
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word"),
+            F.expr(
+                f"shiftleft(1L, cast(pos % {BLOOM_WORD_BITS} as int))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_decontaminate(
+    corpus, bench, id_col: str, text_col: str, n: int = 4
+):
+    """Per corpus doc: distinct-gram count, EXACT benchmark hits, and
+    BLOOM hits (bloom ≥ exact; the difference is the measured
+    false-positive cost of shipping 128 KB instead of the gram set).
+
+    Scale: the bloom and the exact gh-set are both broadcast (the
+    former fixed-size, the latter 8 B/gram); the corpus side explodes
+    to (doc, gh[, pos]) LONG rows — gram strings are hashed once and
+    never shuffle; per-gram verdicts fold with bool_and over the k=3
+    probe rows; one partial-agged groupBy(doc) ends the plan. The
+    production topology: Bloom prefilter everywhere, exact verify only
+    on the Bloom-positive slice (here both run corpus-wide so the FP
+    rate is measurable and oracle-checked).
+    """
+    from .bucketing import parallelize_narrow_input
+    from .dedup import word_shingles
+
+    bloom = bloom_build(bench, text_col, n)
+    bench_gh = (
+        bench.select(F.explode(word_shingles(F.col(text_col), n)).alias("g"))
+        .select(_gram_hash60(F.col("g")).alias("gh"))
+        .distinct()
+        .withColumn("__e", F.lit(1))
+    )
+    doc_gh = (
+        parallelize_narrow_input(corpus.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+        )
+        .select(F.col(id_col), _gram_hash60(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    probes = doc_gh.select(
+        F.col(id_col),
+        "gh",
+        F.explode(F.array(*_bloom_positions(F.col("gh")))).alias("pos"),
+    ).select(
+        F.col(id_col),
+        "gh",
+        F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word"),
+        F.expr(f"shiftleft(1L, cast(pos % {BLOOM_WORD_BITS} as int))").alias(
+            "mask"
+        ),
+    )
+    gram_hit = (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .select(
+            F.col(id_col),
+            "gh",
+            F.coalesce(
+                F.col("bits").bitwiseAND(F.col("mask")) != 0, F.lit(False)
+            ).alias("hit_j"),
+        )
+        .groupBy(id_col, "gh")
+        .agg(F.expr("bool_and(hit_j)").alias("bloom_hit"))
+    )
+    per_gram = gram_hit.join(F.broadcast(bench_gh), "gh", "left")
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.sum(F.when(F.col("__e").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("exact_hits"),
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("bloom_hits"),
+        )
+        .filter(F.col("bloom_hits") > 0)
+    )

@@ -214,6 +214,10 @@ _TIER2: list[str] = [
     "corpus_shuffle_shards",
     "streaming_bm25_lake_availablenow",
     "search_bm25_batch_topk",
+    # r13: the Bloom-prefilter decontamination twin — the fixed-size
+    # broadcast form of the contamination family (140 KB filter vs a
+    # GB-scale gram set at 100 TB); FP set oracle-replayed bit-for-bit
+    "decontaminate_bloom_prefilter",
     # tier-2 head: the scale-safe / fully-oracle-checked variants of
     # families whose window slot carries a different form — first in
     # line if the gate window widens (VERDICT r4 item 4)

@@ -4590,3 +4590,88 @@ def search_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SE.bm25_topk_batch(
         d, [list(q) for q in _BM25_BATCH_QUERIES], k=10
     ).select("query_id", "doc_id", "score")
+
+
+def _bloom_decontaminate_sql() -> str:
+    """DuckDB twin of operators/text.py::bloom_decontaminate — same
+    portable gram hash (60-bit md5 mod P), same Carter-Wegman probe
+    positions (literal coefficients from the shared fixed-seed LCG),
+    same 60-bit word packing and bit_or fold, so bit membership — and
+    hence the exact false-positive set — replays bit-for-bit."""
+    from ..operators.dedup import MINHASH_P, cw_hash_coefficients
+    from ..operators.text import BLOOM_K, BLOOM_M, BLOOM_SEED, BLOOM_WORD_BITS
+
+    coeffs = cw_hash_coefficients(BLOOM_K, seed=BLOOM_SEED)
+    cvals = ", ".join(f"({a}, {b})" for a, b in coeffs)
+    p, m, w = MINHASH_P, BLOOM_M, BLOOM_WORD_BITS
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, bucket,
+             list_distinct(list_transform(range(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS ng
+      FROM toks WHERE len(toks) >= 4
+    ), cw(a, b) AS (VALUES {cvals}),
+    bg AS (
+      SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT % {p} AS gh
+      FROM (SELECT unnest(ng) AS g FROM sh WHERE bucket < 5)
+    ), bloom AS (
+      SELECT pos // {w} AS word,
+             bit_or(1::BIGINT << CAST(pos % {w} AS INT)) AS bits
+      FROM (SELECT ((a * gh + b) % {p}) % {m} AS pos FROM bg, cw)
+      GROUP BY pos // {w}
+    ), dg AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % {p} AS gh
+      FROM (SELECT doc_id, unnest(ng) AS g FROM sh WHERE bucket >= 5)
+    ), gram_hit AS (
+      SELECT p2.doc_id, p2.gh,
+             bool_and(COALESCE(
+               (bl.bits & (1::BIGINT << CAST(p2.pos % {w} AS INT))) <> 0,
+               FALSE)) AS bloom_hit
+      FROM (SELECT doc_id, gh, ((a * gh + b) % {p}) % {m} AS pos
+            FROM dg, cw) p2
+      LEFT JOIN bloom bl ON bl.word = p2.pos // {w}
+      GROUP BY p2.doc_id, p2.gh
+    ), per_gram AS (
+      SELECT g.doc_id, g.bloom_hit, (b.gh IS NOT NULL) AS exact_hit
+      FROM gram_hit g LEFT JOIN bg b ON b.gh = g.gh
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS total_ngrams,
+           CAST(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_hits,
+           CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS bloom_hits
+    FROM per_gram
+    GROUP BY doc_id
+    HAVING CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) > 0
+    """
+
+
+@query(
+    "decontaminate_bloom_prefilter",
+    oracle=_bloom_decontaminate_sql(),
+    doc="Benchmark decontamination, Bloom-prefilter form — THE 100 TB "
+    "topology: at scale the exact benchmark n-gram set is GBs of "
+    "strings per broadcast, so production pipelines ship a fixed-size "
+    "Bloom filter instead (2^20 positions packed in 60-bit words ≈ "
+    "140 KB whatever the benchmark size; k=3 Carter-Wegman probes off "
+    "the portable 60-bit md5 gram hash) and run exact verification "
+    "only on the Bloom-positive slice. This entry runs BOTH corpus-"
+    "wide on the text_contamination_ngram bench/corpus split so the "
+    "false-positive cost is measurable (bloom_hits ≥ exact_hits) and "
+    "the oracle replays bit membership — including the exact FP set — "
+    "from the same literal coefficients. Scale: gram strings hash "
+    "once; (doc, gh, pos) LONG rows join the broadcast bloom; "
+    "bool_and folds k probe rows; one partial-agged groupBy(doc).",
+)
+def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").withColumn(
+        "bucket", SA.hash_bucket(F.col("doc_id"))
+    )
+    bench = d.filter(F.col("bucket") < 5)
+    corpus = d.filter(F.col("bucket") >= 5)
+    return TX.bloom_decontaminate(corpus, bench, "doc_id", "text", n=4)

@@ -119,3 +119,25 @@ def test_shuffle_shards_single_exchange(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 1, p
     assert "Exchange hashpartitioning(shard" in p
     assert "rangepartitioning" not in p, "global sort crept in"
+
+
+def test_bloom_prefilter_superset_and_size(spark, sf_dir):
+    """Bloom hits must be a superset of exact hits per doc (one-sided
+    error only), and the filter artifact is bounded by its geometry
+    (≤ ceil(m/60) words) whatever the benchmark size."""
+    from gomaxscale_spark.operators import sampling as SA
+    from gomaxscale_spark.operators import text as TX
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "bucket", SA.hash_bucket(F.col("doc_id"))
+    )
+    bench = d.filter(F.col("bucket") < 5)
+    corpus = d.filter(F.col("bucket") >= 5)
+    out = TX.bloom_decontaminate(corpus, bench, "doc_id", "text").collect()
+    assert out, "no bloom-positive docs at all"
+    for r in out:
+        assert r.bloom_hits >= r.exact_hits >= 0
+        assert r.total_ngrams >= r.bloom_hits
+    n_words = TX.bloom_build(bench, "text").count()
+    assert n_words <= (TX.BLOOM_M + TX.BLOOM_WORD_BITS - 1) // TX.BLOOM_WORD_BITS
