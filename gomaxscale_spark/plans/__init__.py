@@ -218,6 +218,9 @@ _TIER2: list[str] = [
     # broadcast form of the contamination family (140 KB filter vs a
     # GB-scale gram set at 100 TB); FP set oracle-replayed bit-for-bit
     "decontaminate_bloom_prefilter",
+    # r13: hour-bucket OHLC resample — the timeseries family's third
+    # entry (gap-fill / topk-similar / downsample)
+    "timeseries_downsample_ohlc",
     # tier-2 head: the scale-safe / fully-oracle-checked variants of
     # families whose window slot carries a different form — first in
     # line if the gate window widens (VERDICT r4 item 4)

@@ -4675,3 +4675,68 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     bench = d.filter(F.col("bucket") < 5)
     corpus = d.filter(F.col("bucket") >= 5)
     return TX.bloom_decontaminate(corpus, bench, "doc_id", "text", n=4)
+
+
+@query(
+    "timeseries_downsample_ohlc",
+    oracle="""
+    WITH b AS (
+      SELECT epoch_us(ts) // 3600000000 AS hour_id, event_id, value,
+             epoch_us(ts) AS us
+      FROM events
+    ), r AS (
+      SELECT hour_id, value,
+             row_number() OVER (PARTITION BY hour_id
+                                ORDER BY us, event_id) AS rn_first,
+             row_number() OVER (PARTITION BY hour_id
+                                ORDER BY us DESC, event_id DESC) AS rn_last
+      FROM b
+    )
+    SELECT hour_id,
+           max(CASE WHEN rn_first = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_last = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS volume
+    FROM r GROUP BY hour_id
+    """,
+    doc="Time-series OHLC downsampling: per hour bucket — open (first "
+    "value by event time), high, low, close (last), event count, summed "
+    "volume. The standard resample every metrics/market pipeline runs "
+    "before charting or modeling. First/last are defined by the TOTAL "
+    "order (µs, event_id) — two row_number windows over the SAME "
+    "partition key, so both engines pick identical rows even with "
+    "equal timestamps. Scale: one exchange on hour_id; the windows and "
+    "the final agg share its partitioning (no second shuffle); at "
+    "100 TB the bucket key is ingest-derivable → a partition column, "
+    "and the whole plan becomes partition-local.",
+)
+def timeseries_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    base = e.select(
+        F.expr("unix_micros(ts) div 3600000000").alias("hour_id"),
+        F.expr("unix_micros(ts)").alias("__us"),
+        "event_id",
+        "value",
+    )
+    w_first = W.partitionBy("hour_id").orderBy("__us", "event_id")
+    w_last = W.partitionBy("hour_id").orderBy(
+        F.desc("__us"), F.desc("event_id")
+    )
+    r = base.select(
+        "hour_id",
+        "value",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    return r.groupBy("hour_id").agg(
+        F.max(F.when(F.col("rn_first") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_last") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("volume"),
+    )
