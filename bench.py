@@ -146,6 +146,10 @@ EXTRA = [
     "corpus_shuffle_shards",
     "search_bm25_hashed_topk",
     "search_bm25_batch_topk",
+    # r13: Bloom decontamination prefilter, OHLC resample, quality deciles
+    "decontaminate_bloom_prefilter",
+    "timeseries_downsample_ohlc",
+    "text_quality_deciles",
 ]
 
 

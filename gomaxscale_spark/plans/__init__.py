@@ -221,6 +221,9 @@ _TIER2: list[str] = [
     # r13: hour-bucket OHLC resample — the timeseries family's third
     # entry (gap-fill / topk-similar / downsample)
     "timeseries_downsample_ohlc",
+    # r13: per-language quality deciles — the mixture designer's
+    # stratification table (B17-adjacent)
+    "text_quality_deciles",
     # tier-2 head: the scale-safe / fully-oracle-checked variants of
     # families whose window slot carries a different form — first in
     # line if the gate window widens (VERDICT r4 item 4)

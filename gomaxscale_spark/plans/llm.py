@@ -4740,3 +4740,70 @@ def timeseries_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("volume"),
     )
+
+
+@query(
+    "text_quality_deciles",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_toks,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS DOUBLE) AS n_toks_d,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> x IN ('the','a','of','to','and','in','is'))) AS DOUBLE)
+                 AS n_stop,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n]', '', 'g'))
+                  AS DOUBLE) / length(text) AS punct_ratio
+      FROM documents
+    ), q AS (
+      SELECT doc_id, lang, n_toks,
+             round(0.4 * least(n_toks_d / 200.0, 1.0)
+                   + 0.3 * least((CASE WHEN n_toks_d > 0
+                                  THEN n_stop / n_toks_d ELSE 0 END) * 4.0, 1.0)
+                   + 0.3 * (1.0 - least(punct_ratio * 4.0, 1.0)), 6) AS quality
+      FROM s
+    ), dec AS (
+      SELECT lang, n_toks, quality,
+             ntile(10) OVER (PARTITION BY lang
+                             ORDER BY quality, doc_id) AS decile
+      FROM q
+    )
+    SELECT lang, decile, CAST(count(*) AS BIGINT) AS n_docs,
+           min(quality) AS min_q, max(quality) AS max_q,
+           round(CAST(sum(n_toks) AS DOUBLE) / count(*), 4) AS avg_tokens
+    FROM dec GROUP BY lang, decile
+    """,
+    doc="Curation-side quality stratification: per-language quality "
+    "DECILES (ntile over the 6dp-rounded composite score, doc_id "
+    "tie-break → identical bucket boundaries on both engines) with "
+    "per-decile doc count, score range, and avg token length — the "
+    "table a mixture designer reads before setting per-quality-band "
+    "sampling rates (filter-by-threshold throws away signal; "
+    "stratified mixtures keep low bands at reduced weight). Scale: "
+    "the quality score is a pure codegen map; one exchange on lang "
+    "for the ntile window; the final agg shares its partitioning. "
+    "avg_tokens divides an exact integer sum — no float-order "
+    "divergence is possible.",
+)
+def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        "lang",
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.token_count(F.col("text")).cast("long").alias("n_toks"),
+    )
+    w = W.partitionBy("lang").orderBy("quality", "doc_id")
+    dec = q.withColumn("decile", F.ntile(10).over(w))
+    return dec.groupBy("lang", "decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("quality").alias("min_q"),
+        F.max("quality").alias("max_q"),
+        F.round(
+            F.sum("n_toks").cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_tokens"),
+    )
