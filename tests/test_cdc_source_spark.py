@@ -789,3 +789,70 @@ def test_cdc_stream_feeds_release_gate(registered, tmp_path):
         rep[(100, "dsir_logweight_per_token")]
         > rep[(102, "dsir_logweight_per_token")]
     )
+
+
+def test_cdc_stream_feeds_term_stats_lake(registered, tmp_path):
+    """CDC documents stream → TermStatsLakeSink under the REAL engine
+    (the retrieval family's serving loop, r13): df/meta deltas land per
+    committed epoch, and the online BM25 score ranks the doc that
+    actually contains the query terms above one that doesn't."""
+    from gomaxscale_spark.streaming.term_stats import TermStatsLakeSink
+
+    docs_ddl = dict(DDL, table="documents", fields=[
+        {"name": "doc_id", "type": "int"},
+        {"name": "text", "type": "string"},
+    ])
+    payloads = {
+        1: "spark window query plan shuffle join",
+        2: "cheap deal offer prize now buy",
+        3: "spark spark window agg scan filter",
+    }
+    script = [docs_ddl] + [
+        dml(i, doc_id=i, text=payloads[i]) for i in sorted(payloads)
+    ]
+    reg = SchemaRegistry()
+    reg.register(json.dumps(docs_ddl).encode())
+    schema = reg.full_dml_schema("example", "documents")
+    sink = TermStatsLakeSink(str(tmp_path / "cdc_ts"), n_buckets=512)
+
+    def fold(batch_df, epoch_id):
+        projected = (
+            batch_df.filter(F.col("kind") == "dml")
+            .select(F.from_json("raw", schema).alias("r"))
+            .select(F.col("r.doc_id").cast("long").alias("doc_id"), "r.text")
+        )
+        sink.apply_batch(projected, epoch_id)
+
+    opts = dict(read_options((None, None)), table="documents")
+    with MockMaxScaleServer(script=script, write_delay=0.05) as addr:
+        opts["host"], opts["port"] = addr[0], str(addr[1])
+        q = (
+            registered.readStream.format("maxscale_cdc")
+            .options(**opts)
+            .load()
+            .writeStream.foreachBatch(fold)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 45
+            while time.time() < deadline:
+                try:
+                    _, meta = sink.read_stats(registered)
+                    if (meta.collect()[0]["n_docs"] or 0) >= 3:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+        finally:
+            q.stop()
+
+    _, meta = sink.read_stats(registered)
+    assert meta.collect()[0]["n_docs"] == 3
+    probes = registered.createDataFrame(
+        [(100, "spark window shuffle"), (101, "prize deal buy")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["score"]
+           for r in sink.score(probes, ["spark", "window"]).collect()}
+    assert got.get(100, 0) > 0 and 101 not in got, got
