@@ -224,6 +224,8 @@ _TIER2: list[str] = [
     # r13: per-language quality deciles — the mixture designer's
     # stratification table (B17-adjacent)
     "text_quality_deciles",
+    # r13: the soft quality draw over those deciles (Gumbel ∝ exp(10q))
+    "sampling_quality_gumbel",
     # tier-2 head: the scale-safe / fully-oracle-checked variants of
     # families whose window slot carries a different form — first in
     # line if the gate window widens (VERDICT r4 item 4)

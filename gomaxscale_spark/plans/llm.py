@@ -4807,3 +4807,54 @@ def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("double") / F.count(F.lit(1)), 4
         ).alias("avg_tokens"),
     )
+
+
+@query(
+    "sampling_quality_gumbel",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS DOUBLE) AS n_toks,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> x IN ('the','a','of','to','and','in','is'))) AS DOUBLE)
+                 AS n_stop,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n]', '', 'g'))
+                  AS DOUBLE) / length(text) AS punct_ratio
+      FROM documents
+    ), w AS (
+      SELECT doc_id,
+             CAST(round(
+               round(0.4 * least(n_toks / 200.0, 1.0)
+                     + 0.3 * least((CASE WHEN n_toks > 0
+                                    THEN n_stop / n_toks ELSE 0 END) * 4.0, 1.0)
+                     + 0.3 * (1.0 - least(punct_ratio * 4.0, 1.0)), 6)
+               * 10000000.0) AS BIGINT) AS weight_micro
+      FROM s
+    )
+    SELECT doc_id,
+           round(weight_micro / 1000000.0
+                 + -ln(-ln((((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                              % 1048576)) + 0.5) / 1048576.0)), 6) AS score
+    FROM w ORDER BY score DESC, doc_id LIMIT 150
+    """,
+    doc="Curation sampling: QUALITY-WEIGHTED Gumbel top-k — a "
+    "without-replacement sample ∝ exp(10·quality) (inverse temperature "
+    "β=10 over the composite quality score), the soft alternative to a "
+    "hard quality threshold: low-quality bands stay sampleable at "
+    "exponentially reduced rate, which preserves distributional "
+    "coverage the way mixture designers want (the deciles entry is the "
+    "table; this is the draw). Same deterministic-Gumbel machinery as "
+    "DSIR resampling (noise = md5 of doc_id — re-runs and backfills "
+    "select identical docs, no rand()). Scale: pure map + "
+    "TakeOrderedAndProject; no shuffle beyond the top-k tree.",
+)
+def sampling_quality_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.round(TX.quality_score(F.col("text")) * F.lit(1e7), 0)
+        .cast("long")
+        .alias("weight_micro"),
+    )
+    return SA.dsir_resample(w, "doc_id", k=150)
