@@ -226,6 +226,9 @@ _TIER2: list[str] = [
     "text_quality_deciles",
     # r13: the soft quality draw over those deciles (Gumbel ∝ exp(10q))
     "sampling_quality_gumbel",
+    # r13: the event-sequence transition matrix (Markov-path summary
+    # next to funnel/sessionize/retention)
+    "events_transition_matrix",
     # tier-2 head: the scale-safe / fully-oracle-checked variants of
     # families whose window slot carries a different form — first in
     # line if the gate window widens (VERDICT r4 item 4)

@@ -4858,3 +4858,54 @@ def sampling_quality_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weight_micro"),
     )
     return SA.dsir_resample(w, "doc_id", k=150)
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+                 AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM o WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY n DESC, from_type, to_type
+    LIMIT 20
+    """,
+    doc="Event-sequence analytics: the per-user TRANSITION MATRIX — "
+    "top-20 (from_event, to_event) pairs by frequency, consecutive "
+    "events ordered by the total (µs, event_id) key so ties are "
+    "engine-stable. The Markov-path summary product analytics reads "
+    "next to funnels/sessionization (which events actually follow "
+    "which). Scale: one exchange on user_id for the lead window "
+    "(partition-local), then a tiny (|event_types|²-bounded) hash agg "
+    "and TakeOrdered — the pair cardinality is schema-bounded, never "
+    "row-bounded.",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.expr("unix_micros(ts)"), F.col("event_id")
+    )
+    o = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return (
+        o.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "from_type", "to_type")
+        .limit(20)
+    )
