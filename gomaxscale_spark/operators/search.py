@@ -65,6 +65,13 @@ def bm25_scores(
     0.5))`` (Lucene's): plain Robertson idf goes negative for terms in
     more than half the corpus, which breaks the "more matches can only
     help" monotonicity a curation filter wants.
+
+    N counts ALL corpus rows — including empty / whitespace-only
+    documents — exactly like ``corpus_term_stats``'s ``n_docs``, so the
+    exact and hashed-df forms use the same N and the "hashed ≡ exact on
+    collision-free vocabularies" invariant holds on corpora containing
+    empty docs too (r13 ADVICE). avgdl likewise averages over all rows
+    (an empty doc contributes dl=0), matching n_tokens/n_docs.
     """
     toks = docs.select(
         F.col(id_col), F.explode(_words(F.col(text_col))).alias("__w")
@@ -77,11 +84,10 @@ def bm25_scores(
         ).alias(f"__df{i}")
         for i, t in enumerate(terms)
     ]
-    stats = toks.agg(
-        F.count_distinct(F.col(id_col)).cast("double").alias("__n"), *df_aggs
-    ).crossJoin(
+    stats = toks.agg(*df_aggs).crossJoin(
         docs.agg(
-            F.avg(F.size(_words(F.col(text_col)))).alias("__avgdl")
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.avg(F.size(_words(F.col(text_col)))).alias("__avgdl"),
         )
     )
     # per-doc: length + tf per query term, one hash agg (map-side fold)
@@ -368,10 +374,13 @@ def bm25_topk_batch(
         ).alias(f"__df{i}")
         for i, t in enumerate(all_terms)
     ]
-    stats = toks.agg(
-        F.count_distinct(F.col(id_col)).cast("double").alias("__n"), *df_aggs
-    ).crossJoin(
-        docs.agg(F.avg(F.size(_words(F.col(text_col)))).alias("__avgdl"))
+    # N = all corpus rows (same definition as corpus_term_stats.n_docs —
+    # see bm25_scores' docstring)
+    stats = toks.agg(*df_aggs).crossJoin(
+        docs.agg(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.avg(F.size(_words(F.col(text_col)))).alias("__avgdl"),
+        )
     )
     tf_aggs = [
         F.sum(F.when(F.col("__w") == F.lit(t), 1).otherwise(0))

@@ -847,6 +847,7 @@ from .llm import _bm25_hashed_sql  # noqa: E402  (llm imports first in __init__)
     "absorbed corpus (the r13 retrieval-family streaming story).",
 )
 def streaming_bm25_lake_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
     import uuid
 
@@ -856,20 +857,36 @@ def streaming_bm25_lake_availablenow(spark: SparkSession, sf_dir: str) -> DataFr
     configure(spark)
     docs = t(spark, sf_dir, "documents")
     replay_dir = tempfile.mkdtemp(prefix="docs_replay_")
-    docs.repartition(4).write.mode("overwrite").parquet(replay_dir)
     lake_path = tempfile.mkdtemp(prefix="ts_lake_gate_")
-    sink = TermStatsLakeSink(lake_path)
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(replay_dir)
-    )
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .queryName(f"stream_bm25_lake_{uuid.uuid4().hex[:8]}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return sink.topk(docs, ["data", "query", "table"], k=20)
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(replay_dir)
+        sink = TermStatsLakeSink(lake_path)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(replay_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .queryName(f"stream_bm25_lake_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # awaitTermination(timeout) returns False on timeout with the
+        # query STILL RUNNING — scoring then would read a partially-
+        # ingested lake and silently mismatch the oracle (r13 ADVICE).
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "BM25 lake ingest did not terminate within 300 s"
+            )
+        # Materialize the k-row result and truncate lineage so the temp
+        # replay/lake dirs can be deleted before the caller collects —
+        # repeated gate/bench replays no longer accumulate /tmp litter.
+        return sink.topk(docs, ["data", "query", "table"], k=20).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+        shutil.rmtree(lake_path, ignore_errors=True)

@@ -4242,10 +4242,14 @@ def _bm25_sql(terms=_BM25_TERMS, k: int = 15) -> str:
     )
     in_list = ", ".join(f"'{t}'" for t in terms)
     contribs = "\n       + ".join(
-        f"ln(1.0 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+        f"ln(1.0 + (a.n - s.df{i} + 0.5) / (s.df{i} + 0.5))"
         f" * tf.tf{i} / (tf.tf{i} + 1.2 * (0.25 + 0.75 * l.dl / a.avgdl))"
         for i in range(len(terms))
     )
+    # N = count(*) over documents (ALL rows, incl. empty docs) — the
+    # same definition as corpus_term_stats.n_docs, so the exact and
+    # hashed-df twins stay bit-equal on collision-free vocabularies
+    # even when the corpus contains empty documents (r13 ADVICE).
     return f"""
     WITH toks AS (
       SELECT doc_id,
@@ -4257,11 +4261,11 @@ def _bm25_sql(terms=_BM25_TERMS, k: int = 15) -> str:
                   AS DOUBLE) AS dl
       FROM documents
     ), stats AS (
-      SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n,
-             {dfs}
+      SELECT {dfs}
       FROM toks
     ), avgl AS (
-      SELECT avg(len(list_filter(string_split(lower(text), ' '), x -> x <> '')))
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(len(list_filter(string_split(lower(text), ' '), x -> x <> '')))
              AS avgdl
       FROM documents
     ), tf AS (
@@ -4519,7 +4523,7 @@ def _bm25_batch_sql(queries=_BM25_BATCH_QUERIES, k: int = 10) -> str:
     legs = []
     for qid, q in enumerate(queries):
         chain = "\n       + ".join(
-            f"ln(1.0 + (s.n - s.df{idx[t_]} + 0.5) / (s.df{idx[t_]} + 0.5))"
+            f"ln(1.0 + (a.n - s.df{idx[t_]} + 0.5) / (s.df{idx[t_]} + 0.5))"
             f" * tf.tf{idx[t_]} / (tf.tf{idx[t_]}"
             f" + 1.2 * (0.25 + 0.75 * l.dl / a.avgdl))"
             for t_ in q
@@ -4545,11 +4549,11 @@ def _bm25_batch_sql(queries=_BM25_BATCH_QUERIES, k: int = 10) -> str:
                   AS DOUBLE) AS dl
       FROM documents
     ), stats AS (
-      SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n,
-             {dfs}
+      SELECT {dfs}
       FROM toks
     ), avgl AS (
-      SELECT avg(len(list_filter(string_split(lower(text), ' '), x -> x <> '')))
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(len(list_filter(string_split(lower(text), ' '), x -> x <> '')))
              AS avgdl
       FROM documents
     ), tf AS (
@@ -4716,8 +4720,16 @@ def timeseries_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = t(spark, sf_dir, "events")
+    # FLOOR division, not `div` (which truncates toward zero): DuckDB's
+    # `//` floors, so a bare `div` would assign pre-1970 (negative-epoch)
+    # timestamps to a different bucket than the oracle. pmod is always
+    # non-negative, so (a - pmod(a, b)) div b == floor(a / b) exactly,
+    # in pure integer arithmetic (r13 ADVICE).
     base = e.select(
-        F.expr("unix_micros(ts) div 3600000000").alias("hour_id"),
+        F.expr(
+            "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000))"
+            " div 3600000000"
+        ).alias("hour_id"),
         F.expr("unix_micros(ts)").alias("__us"),
         "event_id",
         "value",

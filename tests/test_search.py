@@ -141,3 +141,33 @@ def test_bloom_prefilter_superset_and_size(spark, sf_dir):
         assert r.total_ngrams >= r.bloom_hits
     n_words = TX.bloom_build(bench, "text").count()
     assert n_words <= (TX.BLOOM_M + TX.BLOOM_WORD_BITS - 1) // TX.BLOOM_WORD_BITS
+
+
+def test_bm25_exact_equals_hashed_with_empty_docs(spark):
+    """The r13 ADVICE invariant: N counts ALL corpus rows in BOTH the
+    exact and hashed-df paths, so on a collision-free vocabulary the
+    two forms stay bit-equal even when the corpus contains empty /
+    whitespace-only documents (which tokenize to zero rows)."""
+    d = _docs(
+        spark,
+        [
+            (0, "cat mat"),
+            (1, "cat cat dog"),
+            (2, "bird bird bird bird"),
+            (3, ""),            # empty doc — no tokens
+            (4, "   "),         # whitespace-only — no tokens
+        ],
+    )
+    terms = ["cat", "bird"]
+    exact = sorted(map(tuple, SE.bm25_scores(d, terms).collect()))
+    ts, meta = SE.corpus_term_stats(d)
+    hashed = sorted(
+        map(tuple, SE.bm25_against_stats(d, terms, ts, meta).collect())
+    )
+    assert exact == hashed
+    # and N really is 5 (all rows): idf for 'cat' (df=2) must replay
+    idf = math.log(1.0 + (5 - 2 + 0.5) / (2 + 0.5))
+    avgdl = (2 + 3 + 4 + 0 + 0) / 5.0
+    want0 = round(idf * 1 / (1 + 1.2 * (0.25 + 0.75 * 2 / avgdl)), 6)
+    got = {r[0]: r[1] for r in exact}
+    assert got[0] == want0
