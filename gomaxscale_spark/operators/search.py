@@ -420,6 +420,106 @@ def bm25_topk_batch(
     return top.orderBy("query_id", F.desc("score"), F.col(id_col))
 
 
+def bm25_topk_batch_against_stats(
+    docs: DataFrame,
+    queries: Sequence[Sequence[str]],
+    term_stats: DataFrame,
+    meta: DataFrame,
+    k: int,
+    n_buckets: int = N_TERM_BUCKETS,
+    k1: float = K1,
+    b: float = B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Batched BM25 against an EXTERNAL stats artifact — the serving
+    hot path: Q queries, ONE pass over the docs being scored, df from
+    the hashed-vocabulary (bucket, df) table + (n_docs, n_tokens) meta
+    (``corpus_term_stats`` output or the streaming lake's committed
+    sum). Returns (query_id, id, score).
+
+    The composition of ``bm25_topk_batch`` (term-union shared tf frame,
+    per-query fixed-order chains, salted two-phase top-k) with
+    ``bm25_against_stats`` (stats legs collapse to ONE broadcast row of
+    conditional sums over the ≤ n_buckets-row artifact — the corpus
+    itself is never rescanned for statistics). With the
+    ``TermStatsLakeSink`` as the stats source this is what a BM25
+    serving tier runs per request batch: corpus cost is amortized into
+    the lake's additive ingest, each request batch pays one tokenize
+    pass over ITS OWN rows only.
+    """
+    from .sampling import domain_cap_salted
+
+    all_terms: list[str] = []
+    for q in queries:
+        for t in q:
+            if t not in all_terms:
+                all_terms.append(t)
+    idx = {t: i for i, t in enumerate(all_terms)}
+    buckets = [term_bucket(t, n_buckets) for t in all_terms]
+
+    # df for every term in the union, off the bounded artifact → 1 row
+    df_row = term_stats.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("bucket") == F.lit(bk), F.col("df"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"__df{i}")
+            for i, bk in enumerate(buckets)
+        ]
+    )
+    stats = (
+        meta.select(
+            F.col("n_docs").cast("double").alias("__n"),
+            (
+                F.col("n_tokens").cast("double") / F.col("n_docs").cast("double")
+            ).alias("__avgdl"),
+        )
+        .crossJoin(df_row)
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("__w")
+    )
+    tf_aggs = [
+        F.sum(F.when(F.col("__w") == F.lit(t), 1).otherwise(0))
+        .cast("double")
+        .alias(f"__tf{i}")
+        for i, t in enumerate(all_terms)
+    ]
+    lengths = docs.select(
+        F.col(id_col), F.size(_words(F.col(text_col))).cast("double").alias("__dl")
+    )
+    tf = (
+        toks.filter(F.col("__w").isin(all_terms))
+        .groupBy(id_col)
+        .agg(*tf_aggs)
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    legs = []
+    for qid, q in enumerate(queries):
+        pairs = [(f"__tf{idx[t]}", f"__df{idx[t]}") for t in q]
+        hit: Column = F.lit(0.0)
+        for t in q:
+            hit = hit + F.col(f"__tf{idx[t]}")
+        legs.append(
+            tf.filter(hit > 0).select(
+                F.lit(qid).alias("query_id"),
+                F.col(id_col),
+                F.round(_score_chain_cols(pairs, k1, b), 6).alias("score"),
+            )
+        )
+    scored = legs[0]
+    for leg in legs[1:]:
+        scored = scored.unionByName(leg)
+    top = domain_cap_salted(
+        scored, key_col="query_id", quality_col="score", id_col=id_col, k=k
+    )
+    return top.orderBy("query_id", F.desc("score"), F.col(id_col))
+
+
 # ------------------------------------------------- shared-tokenization
 # variants (the release_report lesson, r13): the one-shot hashed entry
 # reads the corpus through FOUR tokenize legs (df, meta, tf, lengths);

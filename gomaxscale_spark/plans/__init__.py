@@ -214,6 +214,10 @@ _TIER2: list[str] = [
     "corpus_shuffle_shards",
     "streaming_bm25_lake_availablenow",
     "search_bm25_batch_topk",
+    # r14 (VERDICT r13 item 6): the serving hot path — batched one-pass
+    # BM25 with df/avgdl from the bounded stats artifact; the lake's
+    # topk_batch runs the same operator off committed epoch sums
+    "search_bm25_batch_hashed_topk",
     # r13: the Bloom-prefilter decontamination twin — the fixed-size
     # broadcast form of the contamination family (140 KB filter vs a
     # GB-scale gram set at 100 TB); FP set oracle-replayed bit-for-bit

@@ -136,6 +136,22 @@ class TermStatsLakeSink:
             .limit(k)
         )
 
+    def topk_batch(
+        self, docs: DataFrame, queries: Sequence[Sequence[str]], k: int
+    ) -> DataFrame:
+        """The serving hot path (r14): per-query top-k for SEVERAL
+        queries in one pass over ``docs``, df/avgdl from the lake's
+        committed stats — (query_id, id, score). Arithmetic bit-equal
+        to ``bm25_topk_batch_against_stats`` on a batch stats artifact
+        with the same counts (additive-delta invariant, pytested)."""
+        from ..operators.search import bm25_topk_batch_against_stats
+
+        t, m = self.read_stats(docs.sparkSession)
+        return bm25_topk_batch_against_stats(
+            docs, queries, t, m, k, self.n_buckets,
+            id_col=self.id_col, text_col=self.text_col,
+        )
+
     def compact(self, spark, target_files: int = 1) -> None:
         """Sum-merge every committed epoch's deltas into one base epoch
         per sub (two-rename swap; markers kept so replays stay no-ops;

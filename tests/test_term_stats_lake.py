@@ -111,3 +111,49 @@ def test_topk_ranks_by_lake_stats(spark, tmp_path):
     sink.apply_batch(_docs(spark, CORPUS), 0)
     top = sink.topk(_docs(spark, CORPUS), ["window"], k=1).collect()
     assert top[0]["doc_id"] == 3  # tf=3 for 'window'
+
+
+def test_topk_batch_lake_equals_batch_artifact(spark, tmp_path):
+    """r14 serving hot path: lake.topk_batch (Q queries, one pass,
+    df/avgdl from the committed epoch sum) equals
+    bm25_topk_batch_against_stats fed by corpus_term_stats on the
+    whole corpus — additive deltas give identical counts, the shared
+    chains give bit-equal scores."""
+    sink = TermStatsLakeSink(str(tmp_path / "ts5"), n_buckets=512)
+    sink.apply_batch(_docs(spark, CORPUS[:2]), 0)
+    sink.apply_batch(_docs(spark, CORPUS[2:]), 1)
+    docs = _docs(spark, CORPUS)
+    queries = [["spark", "window"], ["scan", "agg"]]
+    cols = ["query_id", "doc_id", "score"]
+    got = sorted(
+        map(tuple, sink.topk_batch(docs, queries, k=2).select(*cols).collect())
+    )
+    t, m = SE.corpus_term_stats(docs, 512)
+    want = sorted(
+        map(
+            tuple,
+            SE.bm25_topk_batch_against_stats(
+                docs, queries, t, m, k=2, n_buckets=512
+            )
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert got == want and len(got) == 4  # 2 queries × top-2
+
+    # and the batched-against-stats form agrees with the per-query
+    # hashed operator on each leg (same artifact, same chain)
+    for qid, terms in enumerate(queries):
+        leg = sorted(
+            t_ for t_ in got if t_[0] == qid
+        )
+        single = (
+            SE.bm25_against_stats(docs, terms, t, m, 512)
+            .orderBy("score", ascending=False)
+            .collect()
+        )
+        single = sorted(
+            (qid, r.doc_id, r.score)
+            for r in sorted(single, key=lambda r: (-r.score, r.doc_id))[:2]
+        )
+        assert leg == single
