@@ -59,6 +59,14 @@ _PRIORITY: list[str] = [
     "streaming_static_enrichment",
     "streaming_sliding_availablenow",
     "streaming_stream_stream_join",
+    # r14 (VERDICT r13 item 1): the SEVENTH real-engine streaming gate —
+    # the BM25 term-statistics lake fed through readStream/foreachBatch
+    # (availableNow), scored against committed epoch sums. B14 coverage
+    # for the r13 retrieval lake. Funded by the text_language_id
+    # demotion (B17 held four window rows; the n-gram heuristic is a
+    # pure codegen map whose shape the quality family already covers,
+    # and it stays full-catalog oracle-replayed at tier-2 head).
+    "streaming_bm25_lake_availablenow",
     "flagship_user_activity",
     # sampling / splits
     "sampling_hash_split",
@@ -83,7 +91,10 @@ _PRIORITY: list[str] = [
     # every suite run and the exact-dedup semantics also run inside the
     # capstone pipeline_training_corpus, which holds a window row. Slot
     # funds the release_report promotion.
-    "text_language_id",
+    # r14 (VERDICT r13 item 1): text_language_id demoted to tier-2 head
+    # to fund the streaming BM25 lake promotion above — see the B14
+    # comment; B17 keeps tfidf + contamination + n-gram repetition +
+    # release_report (+ the Bloom prefilter below) in-window.
     # r12 (VERDICT r11 item 1): the uncapped MinHash-LSH form demoted to
     # tier-2 head — standing policy says the gate carries the scale-safe
     # twin, and dedup_minhash_lsh_capped (count-first bucket cap) IS that
@@ -97,7 +108,20 @@ _PRIORITY: list[str] = [
     # rows: q1 + collect_sorted; the sketch battery moves to tier-2
     # head, still full-catalog oracle-replayed every suite run).
     "dedup_minhash_lsh_capped",
-    "dedup_connected_components_lsh",
+    # r14 (VERDICT r13 items 1/4): dedup_connected_components_lsh demoted
+    # to tier-2 head to fund the decontaminate_bloom_prefilter promotion
+    # — B15 was still the most over-represented family in the window,
+    # and the CC composition keeps dense coverage without a gate row:
+    # its blocked-exact semantics twin (dedup_connected_components), its
+    # downstream keep-reps variant, and its embedding analogue
+    # (dedup_embedding_cc) are all full-catalog oracle-replayed every
+    # suite run, and the min-label fixpoint is pytested directly. The
+    # exact twins still never return to the window (r4 pin, updated).
+    # The Bloom prefilter is the 100 TB decontamination topology — the
+    # fixed 140 KB broadcast form of the family whose exact-broadcast
+    # twin (text_contamination_ngram) also stays in-window, so the gate
+    # now checks BOTH contamination forms.
+    "decontaminate_bloom_prefilter",
     # r11 (VERDICT r10 item 3): the exact-substring (positional) dedup
     # modality gets its hard per-round CORRECTNESS row — it was the
     # biggest r10 addition with zero gate coverage. Slot funded by
@@ -143,7 +167,17 @@ _PRIORITY: list[str] = [
     # SCALING.md r11) and the structurally harder shape (two code words,
     # varargs-LUT ADC); the m=8 twin moves to tier-2 head, still
     # full-catalog oracle-replayed every suite run.
-    "similarity_pq16_adc_topk",
+    # r14 (VERDICT r13 item 1): similarity_pq16_adc_topk demoted to
+    # tier-2 head to fund the search_bm25_hashed_topk promotion — the
+    # ADC family held two window rows and the OPQ row below exercises
+    # the same two-word ADC machinery PLUS the trained rotation (it is
+    # the strict superset shape); both PQ layouts stay full-catalog
+    # oracle-replayed every suite run.
+    # r14 (VERDICT r13 item 1): the hashed-df BM25 serving form — ONE
+    # row covers the retrieval scoring chain, the bounded 64k-bucket
+    # stats artifact, AND the streaming lake's bit-equality story (its
+    # score() runs this exact code path; batch ≡ lake pytested).
+    "search_bm25_hashed_topk",
     # r13 (VERDICT r12 item 1): OPQ — the rotation-before-subspace-split
     # serving tier built in r12 (trained Lloyd↔Procrustes rotation, three
     # bit-equal forms, oracle replays rotation+codes+ranks) — gets its
@@ -202,26 +236,27 @@ _PRIORITY: list[str] = [
 #: Tier 2: nearest-miss variants of families already represented above —
 #: first in line if the gate window ever widens.
 _TIER2: list[str] = [
-    # r13 NEW MODALITIES at tier-2 head (the standing pattern: new
-    # families enter here, the next round's mandate decides promotion —
-    # exactly how the r10/r11/r12 modalities entered): the retrieval
-    # family (BM25 exact + hashed-df, hybrid RRF, real-engine lake
-    # ingest) and the reproducible corpus shuffle. All oracle-checked
-    # at both SFs; the lake's batch ≡ stream equality is pytested.
+    # r14 demotions at tier-2 head (VERDICT r13 item 1 — funded the
+    # retrieval-family + Bloom-prefilter promotions; rationale at each
+    # _PRIORITY swap comment). All three stay full-catalog
+    # oracle-replayed every suite run.
+    "similarity_pq16_adc_topk",
+    "dedup_connected_components_lsh",
+    "text_language_id",
+    # r13 NEW MODALITIES (the standing pattern: new families enter
+    # here, the next round's mandate decides promotion — exactly how
+    # the r10/r11/r12 modalities entered; r14 promoted the hashed-df
+    # form, the streaming lake gate, and the Bloom prefilter): the
+    # remaining retrieval entries and the reproducible corpus shuffle.
+    # All oracle-checked at both SFs; batch ≡ lake equality pytested.
     "search_bm25_topk",
     "search_hybrid_rrf",
-    "search_bm25_hashed_topk",
     "corpus_shuffle_shards",
-    "streaming_bm25_lake_availablenow",
     "search_bm25_batch_topk",
     # r14 (VERDICT r13 item 6): the serving hot path — batched one-pass
     # BM25 with df/avgdl from the bounded stats artifact; the lake's
     # topk_batch runs the same operator off committed epoch sums
     "search_bm25_batch_hashed_topk",
-    # r13: the Bloom-prefilter decontamination twin — the fixed-size
-    # broadcast form of the contamination family (140 KB filter vs a
-    # GB-scale gram set at 100 TB); FP set oracle-replayed bit-for-bit
-    "decontaminate_bloom_prefilter",
     # r13: hour-bucket OHLC resample — the timeseries family's third
     # entry (gap-fill / topk-similar / downsample)
     "timeseries_downsample_ohlc",

@@ -38,21 +38,32 @@ FAMILY_REPRESENTATIVES = {
         "streaming_static_enrichment",
         "streaming_sliding_availablenow",
         "streaming_stream_stream_join",
+        # r14: the BM25 term-statistics lake — the 7th real-engine gate
+        "streaming_bm25_lake_availablenow",
     ],
     # r12 window swap: the scale-safe capped LSH form is B15's MinHash
     # slot-holder (uncapped + exact demoted to tier-2 head to fund the
     # r11-modality promotions, VERDICT r11 item 1); r13 demoted
-    # dedup_incremental_batch to fund the dq_embedding_profile promotion
-    "B15 dedup": ["dedup_minhash_lsh_capped", "dedup_connected_components_lsh",
-                  "dedup_substring_coverage"],
+    # dedup_incremental_batch to fund the dq_embedding_profile
+    # promotion; r14 demoted dedup_connected_components_lsh (its exact
+    # twin, keep-reps downstream variant, and embedding analogue all
+    # stay oracle-replayed at tier 2) to fund the Bloom prefilter.
+    "B15 dedup": ["dedup_minhash_lsh_capped", "dedup_substring_coverage"],
     # r8 window swap: the ADAPTIVE serving twins hold the B16 slots
     # (fixed-width forms demoted to tier-2) — the pin names the live
     # slot-holders so a future reshuffle that drops them fails here.
     # r13: brute-force cosine demoted to fund the OPQ promotion.
+    # r14: the m=16 PQ row demoted (OPQ is the strict superset shape —
+    # same two-word ADC machinery plus the trained rotation) to fund
+    # the search_bm25_hashed_topk promotion.
     "B16 similarity": ["similarity_lsh_bucketed_scaled",
                        "similarity_ivf_topk_scaled",
-                       "similarity_pq16_adc_topk", "similarity_opq_adc_topk"],
-    "B17 text": ["text_tfidf", "text_contamination_ngram", "text_language_id"],
+                       "similarity_opq_adc_topk"],
+    "B17 text": ["text_tfidf", "text_contamination_ngram"],
+    # r14: the retrieval modality's gate coverage (VERDICT r13 item 1)
+    "B16b retrieval": ["search_bm25_hashed_topk"],
+    "B17b decontamination": ["decontaminate_bloom_prefilter",
+                             "text_contamination_ngram"],
     "B18 udf": ["udf_pandas_scalar_log1p", "udf_grouped_zscore",
                 "udf_mapinpandas_doc_stats", "udf_grouped_agg_mad",
                 "udtf_json_key_values"],
@@ -86,24 +97,29 @@ def test_every_family_inside_window():
     assert not missing, f"families with no representative in the first {WINDOW}: {missing}"
 
 
-def test_b14_all_six_streaming_gates_inside_window():
+def test_b14_all_seven_streaming_gates_inside_window():
     window = set(list(all_queries())[:WINDOW])
     gates = set(FAMILY_REPRESENTATIVES["B14 streaming gates"])
     assert gates <= window, f"streaming gates outside window: {gates - window}"
 
 
 def test_scale_safe_cc_compositions_hold_the_window_slots():
-    """VERDICT r4 item 1: the driver-checked slots must carry the
-    bounded LSH compositions; the (lang, len_band)-blocked exact twins
-    DNF'd at 10× data (SCALING.md) and live in tier 2 only. r11:
-    keep-representatives moved to tier-2 head to fund the substring
-    promotion (VERDICT r10 item 3) — CC keeps the composition's window
-    row; neither exact twin may ever return."""
+    """VERDICT r4 item 1: the driver-checked slots must never carry the
+    (lang, len_band)-blocked exact CC twins — they DNF'd at 10× data
+    (SCALING.md) and live in tier 2 only. r11: keep-representatives
+    moved to tier-2 head to fund the substring promotion (VERDICT r10
+    item 3). r14: the LSH composition's own row rotated to tier-2 head
+    to fund the Bloom-prefilter promotion (VERDICT r13 items 1/4) — B15
+    was the most over-represented family, and the composition keeps
+    dense no-gate coverage (exact twin, keep-reps variant, embedding
+    analogue all full-catalog oracle-replayed; min-label fixpoint
+    pytested). The standing invariant is unchanged: no exact-CC form
+    may ever hold a window slot."""
     window = list(all_queries())[:WINDOW]
-    assert "dedup_connected_components_lsh" in window
     assert "dedup_connected_components" not in window
     assert "dedup_keep_representatives" not in window
     assert "dedup_keep_representatives_lsh" not in window  # tier-2 since r11
+    assert "dedup_connected_components_lsh" not in window  # tier-2 since r14
 
 
 def test_r10_modalities_hold_gate_rows():
@@ -113,11 +129,14 @@ def test_r10_modalities_hold_gate_rows():
     r1-era ones. Funded by B18 (5 → 3 shapes: the scalar pandas_udf and
     grouped-agg forms are tier-2 head) and B15's keep-reps variant."""
     window = set(list(all_queries())[:WINDOW])
-    # r12: the PQ modality's row is now the m=16 two-word layout — the
-    # family keeps its gate coverage through the promoted twin.
+    # r12: the PQ modality's row became the m=16 two-word layout; r14:
+    # that row rotated to tier-2 head (VERDICT r13 item 1) — the
+    # modality's gate coverage now flows through similarity_opq_adc_topk,
+    # the strict superset shape (same two-word ADC machinery plus the
+    # trained rotation; both PQ layouts stay oracle-replayed at tier 2).
     assert {
         "dedup_substring_coverage",
-        "similarity_pq16_adc_topk",
+        "similarity_opq_adc_topk",
         "sampling_dsir_weights",
     } <= window
     assert "udf_pandas_scalar_log1p" not in window
@@ -147,6 +166,29 @@ def test_r12_modalities_hold_gate_rows():
     assert "dedup_incremental_batch" not in window
 
 
+def test_r13_modalities_hold_gate_rows():
+    """VERDICT r13 items 1/4 (standing policy — the exact precedent of
+    the r10-r12 promotions): the retrieval family and the Bloom
+    decontamination prefilter earn hard per-round CORRECTNESS rows —
+    search_bm25_hashed_topk (one row covers the scoring chain, the
+    bounded 64k-bucket stats artifact, AND the lake's bit-equality
+    story), streaming_bm25_lake_availablenow (the 7th real-engine
+    streaming gate), and decontaminate_bloom_prefilter (the 100 TB
+    decontamination topology next to its exact-broadcast twin). Funded
+    by text_language_id, similarity_pq16_adc_topk, and
+    dedup_connected_components_lsh — all at tier-2 head, full-catalog
+    oracle-replayed every suite run."""
+    window = set(list(all_queries())[:WINDOW])
+    assert {
+        "search_bm25_hashed_topk",
+        "streaming_bm25_lake_availablenow",
+        "decontaminate_bloom_prefilter",
+    } <= window
+    assert "text_language_id" not in window
+    assert "similarity_pq16_adc_topk" not in window
+    assert "dedup_connected_components_lsh" not in window
+
+
 def test_capped_lsh_holds_the_minhash_window_slot():
     """VERDICT r6 item 6 established the count-first-capped MinHash-LSH
     twin — the form that survives a boilerplate hot band key at 100 TB —
@@ -164,14 +206,18 @@ def test_r11_modalities_hold_gate_rows():
     four-modality release gate, and the m=16 two-word PQ layout. Funded
     by dedup_minhash_lsh (capped twin keeps B15's MinHash row),
     dedup_exact_documents (hashed twin in tier 2; semantics in-window
-    via the capstone), and the m=8 PQ layout (coarser variant)."""
+    via the capstone), and the m=8 PQ layout (coarser variant). r14:
+    the m=16 row itself rotated to tier-2 head — the PQ/ADC modality's
+    gate coverage continues through the OPQ superset row (see
+    test_r10_modalities_hold_gate_rows)."""
     window = set(list(all_queries())[:WINDOW])
     assert {
         "text_ngram_char_repetition",
         "release_report",
-        "similarity_pq16_adc_topk",
+        "similarity_opq_adc_topk",
     } <= window
     assert "similarity_pq_adc_topk" not in window
+    assert "similarity_pq16_adc_topk" not in window  # tier-2 since r14
     assert "dedup_exact_documents" not in window
 
 
