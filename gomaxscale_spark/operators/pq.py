@@ -678,3 +678,127 @@ def adc_vs_luts(luts: dict, m: int, k: int):
         return pd.Series(out)
 
     return _adc
+
+
+# -------------------------------------------------- codebook policy
+# (r14, VERDICT r13 item 5): the measured OPQ trigger made executable.
+# SCALING.md r13's anisotropic-replica study showed OPQ beats PQ at
+# every tight shortlist once the per-dimension variance card skews —
+# top-8/64 variance share ≥~15% (isotropic = 8/64 = 12.5%; the win
+# grows with the eigen-ratio: +5/+6 recall pts at r=87, +11/+10 at
+# r≈1000) — and is a wash on balanced corpora, where the rotation is
+# pure extra machinery. These helpers read the SAME measurement
+# ``dq_embedding_profile`` publishes (µ-int exact per-dimension
+# variances) and pick the codebook family for a serving build.
+
+#: Decision dial, from SCALING.md r13 ("top-8/64 share well above
+#: ~15% → OPQ"). top_n scales with dim: 8 of 64 = the top eighth.
+OPQ_TOP_N = 8
+OPQ_TOP_SHARE = 0.15
+
+
+def embedding_variance_card(
+    embeddings: DataFrame, dim: int = 64, vec_col: str = "embedding"
+) -> list[float]:
+    """Per-dimension population variance — the ``dq_embedding_profile``
+    aggregation collapsed to a list (same µ-scale BIGINT quantization,
+    so the integer sums are order-immune and the result is
+    deterministic). Scale: 2·dim+1 partial-agged integer aggregates
+    collapse the corpus to ONE driver row — no explode, no collect of
+    vectors."""
+    q = embeddings.select(
+        *[
+            F.expr(
+                f"CAST(round(CAST(element_at({vec_col}, {i}) AS DOUBLE)"
+                " * 1000000) AS BIGINT)"
+            ).alias(f"q{i}")
+            for i in range(1, dim + 1)
+        ]
+    )
+    row = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col(f"q{i}")).alias(f"s{i}") for i in range(1, dim + 1)],
+        *[
+            F.sum(F.col(f"q{i}") * F.col(f"q{i}")).alias(f"ss{i}")
+            for i in range(1, dim + 1)
+        ],
+    ).collect()[0]
+    n = row["n"]
+    if not n:
+        raise ValueError("embedding_variance_card: empty corpus")
+    return [
+        (row[f"ss{i}"] / n - (row[f"s{i}"] / n) ** 2) / 1e12
+        for i in range(1, dim + 1)
+    ]
+
+
+def variance_top_share(
+    variances: Sequence[float], top_n: int = OPQ_TOP_N
+) -> float:
+    """Fraction of total per-dimension variance carried by the top
+    ``top_n`` dimensions. Isotropic corpus → top_n/len; a skewed
+    encoder spectrum pushes it up."""
+    vs = sorted(float(v) for v in variances)
+    vs.reverse()
+    total = sum(vs)
+    if total <= 0.0:  # all-constant embedding column — no spread signal
+        return top_n / len(vs)
+    return sum(vs[:top_n]) / total
+
+
+def choose_codebook_strategy(
+    variances: Sequence[float],
+    top_n: int = OPQ_TOP_N,
+    share_threshold: float = OPQ_TOP_SHARE,
+) -> str:
+    """``'opq'`` when the variance card is skewed enough for the
+    rotation to pay (SCALING.md r13 trigger), else ``'pq'``."""
+    return (
+        "opq"
+        if variance_top_share(variances, top_n) >= share_threshold
+        else "pq"
+    )
+
+
+def train_codebooks_auto(
+    embeddings: DataFrame,
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    sample_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    variances: Sequence[float] | None = None,
+    top_n: int = OPQ_TOP_N,
+    share_threshold: float = OPQ_TOP_SHARE,
+):
+    """The default codebook build for a serving tier: measure the
+    variance card (or take a precomputed one), apply the SCALING.md r13
+    trigger, and train PQ or OPQ accordingly.
+
+    Returns ``(codebooks, rotation_or_None, decision)`` where
+    ``decision`` records strategy / top_share / threshold — pass the
+    first two straight to ``IVFIndex(codebooks=..., rotation=...)``.
+    """
+    if variances is None:
+        variances = embedding_variance_card(embeddings, dim, vec_col)
+    share = variance_top_share(variances, top_n)
+    strategy = choose_codebook_strategy(variances, top_n, share_threshold)
+    if strategy == "opq":
+        rotation, books = train_opq(
+            embeddings, dim=dim, m=m, k=k,
+            sample_cap=sample_cap, id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        books = train_pq_codebooks(
+            embeddings, dim=dim, m=m, k=k,
+            sample_cap=sample_cap, id_col=id_col, vec_col=vec_col,
+        )
+        rotation = None
+    decision = {
+        "strategy": strategy,
+        "top_share": share,
+        "top_n": top_n,
+        "share_threshold": share_threshold,
+    }
+    return books, rotation, decision

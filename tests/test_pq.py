@@ -626,3 +626,78 @@ def test_ivf_opq_index_probes(spark, emb, tmp_path):
         ).collect()
         want = sorted((r.vec_id, r.score, r.adc_dist) for r in seq)
         assert sorted(by_q[qrow.query_id]) == want, qrow.query_id
+
+
+# -------------------------------------------- codebook policy (r14)
+
+
+def test_variance_top_share_isotropic_vs_skewed():
+    iso = [1.0] * 64
+    assert abs(PQ.variance_top_share(iso) - 8 / 64) < 1e-12
+    skewed = [10.0] * 8 + [1.0] * 56
+    share = PQ.variance_top_share(skewed)
+    assert abs(share - 80.0 / 136.0) < 1e-12
+    # all-constant column: no spread signal → isotropic fallback
+    assert PQ.variance_top_share([0.0] * 64) == 8 / 64
+    # order must not matter (the helper sorts)
+    assert PQ.variance_top_share(list(reversed(skewed))) == share
+
+
+def test_choose_codebook_strategy_threshold():
+    assert PQ.choose_codebook_strategy([1.0] * 64) == "pq"          # 12.5%
+    assert PQ.choose_codebook_strategy([10.0] * 8 + [1.0] * 56) == "opq"
+    # exactly at the dial → opq (>= threshold)
+    vs = [3.0] * 8 + [1.0] * 56  # 24/(24+56) = 30% -> opq
+    assert PQ.choose_codebook_strategy(vs) == "opq"
+    assert PQ.choose_codebook_strategy(vs, share_threshold=0.5) == "pq"
+
+
+def test_embedding_variance_card_matches_profile(spark, sf_dir, emb):
+    """The helper is the dq_embedding_profile aggregation collapsed to
+    a list — its variances must match the data card's var_val column
+    (which rounds to 8dp)."""
+    from gomaxscale_spark.plans import all_queries
+
+    card = PQ.embedding_variance_card(emb)
+    prof = {
+        r.dim: r.var_val
+        for r in all_queries()["dq_embedding_profile"].fn(spark, sf_dir).collect()
+    }
+    assert len(card) == 64
+    for i, v in enumerate(card, start=1):
+        assert abs(v - prof[i]) <= 5e-9, (i, v, prof[i])
+
+
+def test_train_codebooks_auto_balanced_corpus_picks_pq(spark, emb):
+    """The testdata embeddings profile balanced (top-8/64 share ≈ 13.9%
+    < 15%) — the measured r12 'rotation is a wash' case — so the
+    default build must pick plain PQ and skip the rotation."""
+    books, rotation, decision = PQ.train_codebooks_auto(emb)
+    assert decision["strategy"] == "pq"
+    assert rotation is None
+    assert decision["top_share"] < PQ.OPQ_TOP_SHARE
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+
+
+def test_auto_ivf_index_skewed_corpus_builds_opq(spark, tmp_path):
+    """On an anisotropic corpus (variance concentrated in 8 of 64
+    dims — the replica-study condition) the auto build must flip to
+    OPQ: rotation trained and stored, probes working end-to-end."""
+    from gomaxscale_spark.operators.ivf_index import auto_ivf_index
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(0.0, 0.05, size=(192, 64))
+    X[:, :8] = rng.normal(0.0, 1.0, size=(192, 8))  # 8 hot dimensions
+    rows = [(i, [float(x) for x in X[i]]) for i in range(192)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    idx, info = auto_ivf_index(
+        str(tmp_path / "auto_idx"), e, n_centroids=4, sample_cap=192
+    )
+    assert info["decision"]["strategy"] == "opq"
+    assert info["decision"]["top_share"] >= PQ.OPQ_TOP_SHARE
+    assert idx.rotation is not None and idx.codebooks is not None
+    q = [float(x) for x in X[0]]
+    got = idx.probe_adc(spark, q, k=5, n_probe=2).collect()
+    assert len(got) == 5
+    assert got[0]["vec_id"] == 0  # the query vector itself ranks first
