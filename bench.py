@@ -150,6 +150,14 @@ EXTRA = [
     "decontaminate_bloom_prefilter",
     "timeseries_downsample_ohlc",
     "text_quality_deciles",
+    # r14 (VERDICT r13 item 2): the two r13 post-record entries pick up
+    # their owed cells — soft quality draw + event transition matrix
+    "sampling_quality_gumbel",
+    "events_transition_matrix",
+    # r14: the streaming BM25 lake gate entry (now in-window) and the
+    # batched hashed-df serving hot path
+    "streaming_bm25_lake_availablenow",
+    "search_bm25_batch_hashed_topk",
 ]
 
 
