@@ -87,6 +87,84 @@ def deterministic_shuffle(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 256,
+    n_shards: int = 8,
+    seed: str = "seed13",
+) -> DataFrame:
+    """Training-sequence packing (r14): assign each document a slot in
+    the fixed-token-budget sequence stream a pretraining loader feeds
+    the model — the GPT-style "concatenate in shuffle order, cut every
+    ``budget`` tokens" layout, as a deterministic provenance map.
+
+    Per doc: (id, shard, position, n_tokens, pack_id, pack_offset) —
+    shard/position are exactly ``deterministic_shuffle``'s reproducible
+    order (portable md5 hash, id tie-break); ``pack_id`` is the
+    sequence in which the doc's FIRST token lands
+    (``tokens_before / budget`` — floor on non-negative ints) and
+    ``pack_offset`` its offset inside that sequence. A doc may spill
+    across sequence boundaries (standard concat packing — no padding
+    waste); the map says exactly which checkpoint step saw which doc,
+    which is the auditability pretraining data loaders need.
+
+    All outputs are exact BIGINTs — no float anywhere, so engines
+    can't diverge. Scale: ONE exchange keyed by shard (the same
+    partitioning the shard write needs); the running token count is a
+    partition-local window cumsum; changing the seed re-packs an
+    epoch, changing ``budget`` re-cuts sequences without reshuffling.
+    """
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("__h")
+    )
+    base = (
+        df.select(
+            F.col(id_col),
+            h,
+            F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .withColumn("shard", F.col("__h") % F.lit(int(n_shards)))
+    )
+    w = W.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    tok_before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    out = base.select(
+        F.col(id_col),
+        "shard",
+        F.row_number().over(w).cast("long").alias("position"),
+        "n_tokens",
+        tok_before.alias("__before"),
+    )
+    # integer `div` (== floor on the non-negative cumsum) — a double
+    # division would lose exactness past 2^53 total tokens, which a
+    # 100 TB corpus genuinely reaches
+    pack_id = F.expr(f"__before div {int(budget)}")
+    return out.select(
+        id_col,
+        "shard",
+        "position",
+        "n_tokens",
+        pack_id.alias("pack_id"),
+        (F.col("__before") - pack_id * F.lit(int(budget))).alias("pack_offset"),
+    )
+
+
 def stratified_sample(
     df: DataFrame, stratum_col: str, id_col: str, fraction: float
 ) -> DataFrame:

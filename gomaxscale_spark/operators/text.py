@@ -618,3 +618,99 @@ def bloom_decontaminate(
         )
         .filter(F.col("bloom_hits") > 0)
     )
+
+
+# ------------------------------------------- sequence assembly (r14):
+# the operators between a curated corpus and a training/RAG consumer —
+# context-window chunking and tokenizer induction. (Training-sequence
+# packing, the third member, lives in operators/sampling.py next to
+# the deterministic shuffle whose order it packs.)
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunks per document — the RAG /
+    context-window splitter. Returns (id, chunk_id, start_tok,
+    n_tokens, chunk_hash): one row per window starting at every
+    ``stride`` tokens while tokens remain (the final windows are
+    shorter than ``chunk_size``; a chunk starts at each multiple of
+    stride < doc length, so every token is covered and consecutive
+    chunks overlap by ``chunk_size - stride``). ``chunk_id`` is
+    ``start_tok / stride`` — pure arithmetic, no window function.
+    ``chunk_hash`` is md5 of the space-joined window: chunk identity
+    travels as 32 bytes whatever the window text size.
+
+    Scale: a per-row map + one lateral explode — ZERO exchanges; the
+    fan-out is ~n_tokens/stride rows per doc and each carries a fixed-
+    width hash, never the window text. Empty docs emit nothing.
+    """
+    base = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
+    ).withColumn("__n", F.size(F.col("__toks")))
+    ex = base.filter(F.col("__n") > 0).select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.col("__n"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("__n") - 1, F.lit(int(stride)))
+        ).alias("start_tok"),
+    )
+    return ex.select(
+        F.col(id_col),
+        (F.col("start_tok") / F.lit(int(stride)))
+        .cast("long")
+        .alias("chunk_id"),
+        F.col("start_tok").cast("long"),
+        F.least(F.lit(int(chunk_size)), F.col("__n") - F.col("start_tok"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("__toks"), F.col("start_tok") + 1, F.lit(int(chunk_size))
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Adjacent CHARACTER-pair frequencies within words, weighted by
+    corpus word frequency — the statistic whose argmax is byte-pair
+    encoding's first merge (Sennrich et al., ACL 2016). Returns the
+    top-``k`` (pair, n_occurrences), ordered by count desc then pair.
+
+    Two-stage shape — the reason this scales: stage 1 collapses the
+    corpus to its VOCABULARY (word → total count; one hash agg whose
+    partials fold map-side), stage 2 explodes character pairs over
+    distinct words only — the pair fan-out is vocabulary-sized
+    (≤ avg_word_len per distinct word), independent of corpus row
+    count. Words are lowercased; 1-char words have no pairs.
+    """
+    words = (
+        df.select(F.explode(tokenize(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.sequence(F.lit(1), F.length("w") - F.lit(1))
+        ).alias("i"),
+        F.col("w"),
+    ).select(
+        F.substring(F.col("w"), F.col("i"), F.lit(2)).alias("pair"), "wc"
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.col("pair"))
+        .limit(k)
+    )

@@ -236,6 +236,15 @@ _PRIORITY: list[str] = [
 #: Tier 2: nearest-miss variants of families already represented above —
 #: first in line if the gate window ever widens.
 _TIER2: list[str] = [
+    # r14 NEW MODALITY at tier-2 head (standing pattern): sequence
+    # assembly — the last mile between a curated corpus and a
+    # training/RAG consumer: context-window chunking, fixed-budget
+    # sequence packing (GPT-style concat order as a provenance map),
+    # and BPE first-merge pair counts (tokenizer induction). All three
+    # oracle-checked at both SFs.
+    "text_chunk_windows",
+    "corpus_pack_sequences",
+    "text_bpe_pair_counts",
     # r14 demotions at tier-2 head (VERDICT r13 item 1 — funded the
     # retrieval-family + Bloom-prefilter promotions; rationale at each
     # _PRIORITY swap comment). All three stay full-catalog

@@ -5037,3 +5037,131 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "from_type", "to_type")
         .limit(20)
     )
+
+
+# ------------------------------------------- sequence assembly (r14):
+# the last mile between a curated corpus and a training / RAG consumer
+# — context-window chunking, fixed-budget sequence packing, and the
+# first step of tokenizer induction. operators/text.py and
+# operators/sampling.py hold the scale notes.
+
+
+@query(
+    "text_chunk_windows",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0
+    ), s AS (
+      SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS st FROM b
+    )
+    SELECT doc_id,
+           CAST(st // 48 AS BIGINT) AS chunk_id,
+           CAST(st AS BIGINT) AS start_tok,
+           CAST(least(64, n - st) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_slice(toks, st + 1, st + 64), ' '))
+               AS chunk_hash
+    FROM s
+    """,
+    doc="Sequence assembly: overlapping token-window chunking — the "
+    "RAG / context-window splitter (chunk_size=64, stride=48, so "
+    "consecutive chunks share 16 tokens and every token is covered). "
+    "chunk_id is start/stride — pure arithmetic, no window function — "
+    "and chunk identity travels as the md5 of the space-joined window "
+    "(32 bytes whatever the window text size). Scale: a per-row map + "
+    "one lateral explode, ZERO exchanges; fan-out ≈ n_tokens/stride "
+    "rows per doc, each carrying a fixed-width hash, never window "
+    "text (operators/text.py).",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return TX.chunk_windows(d, "doc_id", "text", chunk_size=64, stride=48)
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || 'seed13'),
+                                  1, 15)) AS BIGINT) AS hh,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), r AS (
+      SELECT doc_id, hh % 8 AS shard, n_tokens,
+             CAST(row_number() OVER (PARTITION BY hh % 8
+                                     ORDER BY hh, doc_id) AS BIGINT)
+                 AS position,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY hh % 8
+                                          ORDER BY hh, doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS tok_before
+      FROM h
+    )
+    SELECT doc_id, shard, position, n_tokens,
+           CAST(tok_before // 256 AS BIGINT) AS pack_id,
+           CAST(tok_before % 256 AS BIGINT) AS pack_offset
+    FROM r
+    """,
+    doc="Sequence assembly: training-sequence PACKING — each document's "
+    "slot in the fixed-256-token-budget sequence stream a pretraining "
+    "loader feeds the model (GPT-style concatenate-in-shuffle-order, "
+    "cut every budget tokens), as a deterministic provenance map: "
+    "pack_id = tokens_before div budget on the reproducible "
+    "deterministic_shuffle order (portable md5, id tie-break), "
+    "pack_offset the doc's offset inside its first sequence. Answers "
+    "'which checkpoint step saw which doc' exactly — the auditability "
+    "a data loader owes. All-BIGINT outputs (the pack_id div is "
+    "integer arithmetic — a double division loses exactness past 2^53 "
+    "total tokens, which 100 TB reaches). Scale: ONE exchange keyed "
+    "by shard (the same partitioning the shard write needs); the "
+    "cumsum window is partition-local; new seed re-packs an epoch, "
+    "new budget re-cuts without reshuffling (operators/sampling.py).",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return SA.pack_sequences(
+        d, "doc_id", "text", budget=256, n_shards=8, seed="seed13"
+    )
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS wc
+      FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+      )
+      GROUP BY w
+    ), p AS (
+      SELECT substring(w, CAST(i AS INT), 2) AS pair, wc
+      FROM (
+        SELECT w, wc, unnest(range(1, length(w))) AS i
+        FROM words WHERE length(w) >= 2
+      )
+    )
+    SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occurrences
+    FROM p GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 20
+    """,
+    doc="Sequence assembly / tokenizer induction: adjacent character-"
+    "pair frequencies within words, weighted by corpus word frequency "
+    "— the statistic whose argmax is BPE's first merge (Sennrich et "
+    "al., ACL 2016; top-20 candidates returned). Scale: the two-stage "
+    "shape is the point — stage 1 collapses the corpus to its "
+    "VOCABULARY (word → count, one map-side-folding hash agg), stage "
+    "2 explodes pairs over DISTINCT words only, so the pair fan-out "
+    "is vocabulary-sized and independent of corpus row count "
+    "(operators/text.py).",
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return TX.bpe_pair_counts(d, "text", k=20)
