@@ -420,6 +420,53 @@ def bm25_topk_batch(
     return top.orderBy("query_id", F.desc("score"), F.col(id_col))
 
 
+def rrf_fuse_batch(
+    legs: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    query_col: str = "query_id",
+    k_const: int = 60,
+) -> DataFrame:
+    """``rrf_fuse`` for BATCHED legs: each leg is an already-truncated
+    per-query top-k frame ``(query_col, id_col, score)``; ranks are
+    row_numbers WITHIN each query (6dp-rounded score desc, id
+    tie-break), fused by ``Σ 1/(k_const + rank)`` with absent-leg
+    contribution 0 — the per-query form of the single-query operator,
+    so a serving tier fuses Q hybrid requests in one plan.
+
+    Scale: every window partitions by query over Q·k rows (the legs
+    truncate BEFORE ranking); the fuse join is full-outer on
+    (query, id) over Q·k-row frames — corpus cost lives only in the
+    legs, each already scale-audited (batched BM25 / batched cosine).
+    """
+    from pyspark.sql import Window
+
+    ranked = []
+    for i, leg in enumerate(legs):
+        w = Window.partitionBy(query_col).orderBy(F.desc("score"), F.col(id_col))
+        ranked.append(
+            leg.select(
+                F.col(query_col),
+                F.col(id_col),
+                F.row_number().over(w).cast("long").alias(f"rank_{i}"),
+            )
+        )
+    fused = ranked[0]
+    for nxt in ranked[1:]:
+        fused = fused.join(nxt, [query_col, id_col], "full_outer")
+    contrib: Column = F.lit(0.0)
+    for i in range(len(legs)):
+        contrib = contrib + F.coalesce(
+            F.lit(1.0) / (F.lit(float(k_const)) + F.col(f"rank_{i}")),
+            F.lit(0.0),
+        )
+    return fused.select(
+        F.col(query_col),
+        F.col(id_col),
+        *[F.col(f"rank_{i}") for i in range(len(legs))],
+        F.round(contrib, 6).alias("rrf_score"),
+    )
+
+
 def bm25_topk_batch_against_stats(
     docs: DataFrame,
     queries: Sequence[Sequence[str]],

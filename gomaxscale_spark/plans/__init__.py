@@ -266,6 +266,9 @@ _TIER2: list[str] = [
     # BM25 with df/avgdl from the bounded stats artifact; the lake's
     # topk_batch runs the same operator off committed epoch sums
     "search_bm25_batch_hashed_topk",
+    # r14: the batched hybrid composition — Q hybrid requests, one
+    # lexical + one vector corpus pass, per-query RRF fusion
+    "search_hybrid_rrf_batch",
     # r13: hour-bucket OHLC resample — the timeseries family's third
     # entry (gap-fill / topk-similar / downsample)
     "timeseries_downsample_ohlc",

@@ -4712,6 +4712,100 @@ def search_bm25_batch_hashed_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("query_id", "doc_id", "score")
 
 
+@query(
+    "search_hybrid_rrf_batch",
+    oracle=f"""
+    WITH kw_top AS (
+      {_bm25_batch_sql(k=50)}
+    ), kw_rank AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS BIGINT)
+                 AS rank_0
+      FROM kw_top
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+    ), vec_scored AS (
+      SELECT q.query_id, e.vec_id AS doc_id,
+             round((SELECT sum(CAST(x.u AS DOUBLE) * CAST(x.v AS DOUBLE))
+                    FROM (SELECT unnest(e.embedding) u, unnest(q.qv) v) x)
+                   / (sqrt((SELECT sum(CAST(x.u AS DOUBLE)*CAST(x.u AS DOUBLE))
+                            FROM (SELECT unnest(e.embedding) u) x))
+                      * sqrt((SELECT sum(CAST(x.v AS DOUBLE)*CAST(x.v AS DOUBLE))
+                              FROM (SELECT unnest(q.qv) v) x))), 6) AS score
+      FROM embeddings e, q
+    ), vec_rank AS (
+      SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank_1
+      FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rnk
+        FROM vec_scored
+      ) WHERE rnk <= 50
+    ), fused AS (
+      SELECT COALESCE(k.query_id, v.query_id) AS query_id,
+             COALESCE(k.doc_id, v.doc_id) AS doc_id, k.rank_0, v.rank_1,
+             round(0.0 + COALESCE(1.0 / (60.0 + k.rank_0), 0.0)
+                       + COALESCE(1.0 / (60.0 + v.rank_1), 0.0), 6) AS rrf_score
+      FROM kw_rank k FULL OUTER JOIN vec_rank v
+        ON k.query_id = v.query_id AND k.doc_id = v.doc_id
+    )
+    SELECT query_id, doc_id, rank_0, rank_1, rrf_score FROM (
+      SELECT fused.*, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY rrf_score DESC, doc_id) AS rr
+      FROM fused
+    ) WHERE rr <= 15
+    ORDER BY query_id, rrf_score DESC, doc_id
+    """,
+    doc="Retrieval: BATCHED hybrid search (r14) — the serving-tier "
+    "composition: THREE hybrid requests answered with one lexical "
+    "corpus pass (batched BM25, term-union shared frame, salted "
+    "two-phase top-50) + one vector corpus pass (batched cosine, "
+    "broadcast query set, same salted selection), fused per query by "
+    "reciprocal-rank (Σ 1/(60+rank), absent leg = 0), top-15 each. "
+    "doc_id ≍ vec_id in the testdata; query_id pairs BM25 query i "
+    "with embedding vec_id=i. Scale: corpus cost lives ONLY in the "
+    "two batched legs (each already scale-audited); every window "
+    "after them partitions by query over ≤ Q·50 rows and the fuse is "
+    "a full-outer join of Q·50-row frames — at 100 TB the legs "
+    "amortize Q requests into two passes (or the lake/IVF serving "
+    "tiers replace them) while fusion stays request-sized.",
+)
+def search_hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators import vector_kernel as VK
+
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    kw = SE.bm25_topk_batch(
+        d, [list(q) for q in _BM25_BATCH_QUERIES], k=50
+    ).select("query_id", "doc_id", "score")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.round(VK.cosine_pairs(F.col("embedding"), F.col("qvec")), 6).alias(
+            "score"
+        ),
+    )
+    vec = SA.domain_cap_salted(
+        scored, key_col="query_id", quality_col="score", id_col="doc_id", k=50
+    ).select("query_id", "doc_id", "score")
+    fused = SE.rrf_fuse_batch([kw, vec])
+    w = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.col("doc_id"))
+    )
+    return (
+        fused.withColumn("__rr", w)
+        .filter(F.col("__rr") <= 15)
+        .drop("__rr")
+        .orderBy("query_id", F.desc("rrf_score"), "doc_id")
+    )
+
+
 def _bloom_decontaminate_sql() -> str:
     """DuckDB twin of operators/text.py::bloom_decontaminate — same
     portable gram hash (60-bit md5 mod P), same Carter-Wegman probe
