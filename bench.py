@@ -158,6 +158,11 @@ EXTRA = [
     # batched hashed-df serving hot path
     "streaming_bm25_lake_availablenow",
     "search_bm25_batch_hashed_topk",
+    # r14: batched hybrid fusion + the sequence-assembly family
+    "search_hybrid_rrf_batch",
+    "text_chunk_windows",
+    "corpus_pack_sequences",
+    "text_bpe_pair_counts",
 ]
 
 
