@@ -163,6 +163,7 @@ EXTRA = [
     "text_chunk_windows",
     "corpus_pack_sequences",
     "text_bpe_pair_counts",
+    "dedup_chunk_hash",
 ]
 
 

@@ -245,6 +245,9 @@ _TIER2: list[str] = [
     "text_chunk_windows",
     "corpus_pack_sequences",
     "text_bpe_pair_counts",
+    # r14: chunk-level duplication — the exact-dedup shape on the
+    # chunk axis (what a RAG chunk store checks before indexing)
+    "dedup_chunk_hash",
     # r14 demotions at tier-2 head (VERDICT r13 item 1 — funded the
     # retrieval-family + Bloom-prefilter promotions; rationale at each
     # _PRIORITY swap comment). All three stay full-catalog

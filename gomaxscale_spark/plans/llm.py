@@ -5224,6 +5224,56 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_chunk_hash",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0
+    ), s AS (
+      SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS st FROM b
+    ), ch AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, st + 1, st + 64), ' '))
+                 AS chunk_hash
+      FROM s
+    )
+    SELECT chunk_hash,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM ch
+    GROUP BY chunk_hash
+    HAVING count(DISTINCT doc_id) > 1
+    """,
+    doc="Sequence assembly × dedup: CHUNK-level duplication — the "
+    "dedup check a RAG chunk store runs before indexing (document-"
+    "level dedup misses chunks shared by otherwise-distinct docs: "
+    "boilerplate headers, quoted passages, template bodies). Chunks "
+    "come from the same 64/48 windows as text_chunk_windows; identity "
+    "is the chunk md5, so the group-by shuffles 32-byte digests, "
+    "never window text; rows = chunks appearing in >1 document, with "
+    "occurrence count and min-doc representative. Scale: zero-"
+    "exchange chunking + ONE hash agg keyed by digest — the exact-"
+    "dedup shape (dedup_exact_hashed) applied to the chunk axis.",
+)
+def dedup_chunk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    ch = TX.chunk_windows(d, "doc_id", "text", chunk_size=64, stride=48)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
     "text_bpe_pair_counts",
     oracle="""
     WITH words AS (
