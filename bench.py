@@ -164,6 +164,12 @@ EXTRA = [
     "corpus_pack_sequences",
     "text_bpe_pair_counts",
     "dedup_chunk_hash",
+    # r14: corpus hygiene & mixing family
+    "dedup_semantic_cluster",
+    "decontaminate_embedding_cosine",
+    "sampling_soft_dedup_weights",
+    "sampling_epoch_upsample",
+    "text_filter_ablation_matrix",
 ]
 
 

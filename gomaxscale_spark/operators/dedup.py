@@ -1693,3 +1693,57 @@ def substring_coverage_from_positions(
             F.coalesce(F.col("lake_tokens"), F.lit(0)) / F.col("total_tokens"), 6
         ).alias("lake_coverage"),
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Soft deduplication: DOWN-WEIGHT duplicated content instead of
+    dropping it (cf. He et al., ACL 2024 "SoftDedup" — reweighting by
+    sample commonness preserves distribution coverage that hard dedup
+    destroys). Commonness here is chunk-level: the fraction of a
+    document's 64/48 token windows (text.chunk_windows — the same
+    chunk axis dedup_chunk_hash audits) whose digest appears in more
+    than one document. weight = 1 / (1 + dup_frac): a fully-unique doc
+    trains at weight 1.0, a doc made entirely of shared boilerplate at
+    0.5.
+
+    Returns (id, n_chunks, n_shared, dup_frac, weight), all ratios
+    6dp-rounded. Scale: zero-exchange chunking → ONE hash agg on the
+    32-byte digest (vocabulary-sized output) → digest-keyed join back
+    (AQE broadcasts the small side when it fits) → per-doc re-agg.
+    Chunks travel as digests; window text never rides an exchange.
+    """
+    from .text import chunk_windows
+
+    ch = chunk_windows(df, id_col, text_col, chunk_size=chunk_size, stride=stride)
+    g = ch.groupBy("chunk_hash").agg(
+        F.count_distinct(F.col(id_col)).alias("__nd")
+    )
+    per_doc = (
+        ch.select(id_col, "chunk_hash")
+        .join(g, "chunk_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("__nd") > 1).cast("long")).alias("n_shared"),
+        )
+    )
+    return (
+        per_doc.select(
+            id_col,
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_chunks"), 6
+            ).alias("dup_frac"),
+        )
+        .withColumn(
+            "weight",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.col("dup_frac")), 6),
+        )
+    )

@@ -548,3 +548,81 @@ def dsir_resample(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weights: dict[str, float],
+    seed: str = "epoch0",
+) -> DataFrame:
+    """Mixture-weight epoch expansion — the materialized form of a
+    data-mixing recipe (cf. Muennighoff et al. 2023, "Scaling
+    Data-Constrained Language Models": repeating under-represented
+    data; the per-group weights are the DoReMi/Pile-style mixture
+    knobs). A weight w means every member of the group appears
+    floor(w) times per epoch plus once more with probability
+    frac(w) — decided by a PORTABLE deterministic draw, so the
+    expanded corpus is reproducible and auditable row-for-row.
+
+    The fractional draw is integer-exact: weights are quantized to
+    thousandths at plan-build time and compared against the 60-bit
+    md5 of ``id:seed`` mod 1000 (the deterministic_shuffle hash
+    discipline) — no float boundary can flip a copy count between
+    engines. Returns (id, group, n_copies, copy_idx), one row per
+    epoch occurrence.
+
+    Scale: a pure per-row map + one bounded explode (≤⌈max w⌉ rows
+    per doc) — ZERO exchanges at any corpus size; a new seed re-draws
+    the fractional copies per epoch without touching the base corpus;
+    the loader streams the expansion, never stores it.
+    """
+    if not weights:
+        raise ValueError("epoch_upsample: empty weights map")
+    base_expr: Column | None = None
+    frac_expr: Column | None = None
+    for g, w in weights.items():
+        if w < 0:
+            raise ValueError(f"epoch_upsample: negative weight for {g!r}")
+        b, fk = int(w), round((w - int(w)) * 1000)
+        base_expr = (
+            F.when(F.col(group_col) == g, F.lit(b))
+            if base_expr is None
+            else base_expr.when(F.col(group_col) == g, F.lit(b))
+        )
+        frac_expr = (
+            F.when(F.col(group_col) == g, F.lit(fk))
+            if frac_expr is None
+            else frac_expr.when(F.col(group_col) == g, F.lit(fk))
+        )
+    base_expr = base_expr.otherwise(F.lit(1))
+    frac_expr = frac_expr.otherwise(F.lit(0))
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    n_copies = (
+        base_expr + ((h % 1000) < frac_expr).cast("int")
+    ).alias("n_copies")
+    return (
+        df.select(F.col(id_col), F.col(group_col), n_copies)
+        .filter(F.col("n_copies") >= 1)
+        .select(
+            id_col,
+            group_col,
+            F.col("n_copies").cast("long").alias("n_copies"),
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_copies"))
+            ).alias("copy_idx"),
+        )
+        .withColumn("copy_idx", F.col("copy_idx").cast("long"))
+    )

@@ -1002,3 +1002,136 @@ def quantize_int8(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame
             )
         ).alias("dim_idx", "q"),
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal with k-means clusters as the blocking key —
+    pairwise cosine is computed only WITHIN a cluster, and of every
+    near-duplicate group the lowest id survives. Returns the DROP list:
+    one row per removed vector with its cluster, the surviving witness
+    (its smallest-id ≥-threshold neighbor) and that pair's score.
+
+    Assignment is the Arrow ``assign_nearest`` kernel against the
+    id-ordered deterministic seed centroids (same quantizer convention
+    as the IVF/cluster-balanced entries — the oracle replays it in
+    SQL); the pair stage mirrors ``pairwise_near_duplicates`` with the
+    LEARNED cluster as ``block_col``: per-vector norms precomputed, raw
+    cosine thresholded, 6dp rounding only in the projection.
+
+    Scale (the paper's own answer): k grows with the corpus so the
+    per-cluster population — and therefore the pair fan-out — stays
+    bounded (k ≈ N/target_size; the paper used 50k clusters at
+    web scale). The quantizer stays O(k·dim) task-local state, the
+    pair join shuffles each vector ONCE keyed by cluster, and a
+    pathological mega-cluster is handled like any hot dedup band:
+    count-first caps (see dedup_minhash_lsh_capped).
+    """
+    from . import vector_kernel as VK
+
+    seeds = (
+        embeddings.orderBy(id_col)
+        .limit(n_clusters)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    cent_ids, M = VK.collect_matrix(seeds, "cid", "cvec")
+    assign = VK.assign_nearest(list(range(1, len(cent_ids) + 1)), M)
+    blocked = parallelize_narrow_input(
+        embeddings.select(F.col(id_col), F.col(vec_col))
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        assign(F.col(vec_col))["centroid_id"].alias("cluster_id"),
+        norm(F.col(vec_col)).alias("__norm"),
+    )
+    a = blocked.select(
+        "cluster_id",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("__norm").alias("norm_a"),
+    )
+    b = blocked.select(
+        "cluster_id",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("__norm").alias("norm_b"),
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "__raw",
+            dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")),
+        )
+        .filter(F.col("__raw") >= threshold)
+    )
+    return (
+        pairs.groupBy(F.col("id_b").alias(id_col), "cluster_id")
+        .agg(
+            F.min("id_a").alias("witness_id"),
+            F.round(F.min_by("__raw", "id_a"), 6).alias("witness_score"),
+        )
+        .select(
+            id_col,
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "witness_id",
+            "witness_score",
+        )
+    )
+
+
+def benchmark_decontaminate_embeddings(
+    embeddings: DataFrame,
+    bench_mod: int = 41,
+    threshold: float = 0.32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination (the semantic
+    complement of the n-gram/Bloom contamination family; cf. the
+    embedding-similarity decontamination of Gunasekar et al. 2023,
+    phi-1 §2.4): flag every corpus vector whose cosine to ANY held-out
+    benchmark vector reaches the threshold — catches paraphrased
+    leakage that token-overlap checks miss. The benchmark slice here
+    is the deterministic ``id % bench_mod == 0`` sample; in production
+    it is the eval-suite embedding table.
+
+    Returns (id, bench_id, score): the nearest benchmark item and its
+    6dp-rounded cosine, thresholded on the ROUNDED score (the output
+    contract's own granularity — the ivf_topk_scaled rounding
+    discipline) so a last-ulp fold divergence cannot flip membership.
+
+    Scale: the benchmark suite is small and bounded (≤10⁵ vectors ≈
+    tens of MB) — it rides task-local inside ONE Arrow
+    ``assign_nearest`` pass over the corpus; no join, no N×B fan-out
+    rows, no shuffle at all. The corpus is touched exactly once.
+    """
+    from . import vector_kernel as VK
+
+    bench = embeddings.filter((F.col(id_col) % bench_mod) == 0).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    bench_ids, B = VK.collect_matrix(bench, id_col, vec_col)
+    assign = VK.assign_nearest(bench_ids, B, with_score=True)
+    corpus = parallelize_narrow_input(
+        embeddings.filter((F.col(id_col) % bench_mod) != 0).select(
+            F.col(id_col), F.col(vec_col)
+        )
+    )
+    return (
+        corpus.select(
+            F.col(id_col), assign(F.col(vec_col)).alias("__a")
+        )
+        .select(
+            F.col(id_col),
+            F.col("__a.centroid_id").alias("bench_id"),
+            F.round(F.col("__a.score"), 6).alias("score"),
+        )
+        .filter(F.col("score") >= F.lit(threshold))
+    )

@@ -714,3 +714,36 @@ def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.col("pair"))
         .limit(k)
     )
+
+
+def filter_ablation_matrix(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality-filter ABLATION audit: the population count of every
+    observed combination of Gopher rule outcomes — the table behind
+    'which filter drives removal' ablation sections (Rae et al. 2021
+    §A2; RefinedWeb's removal-rate accounting). One row per observed
+    (rule_word_count, rule_mean_len, rule_alpha_frac, rule_stopwords)
+    bitmask with its document count and corpus share; the all-True row
+    is the surviving population, and each single-False row prices one
+    rule's marginal removal.
+
+    Scale: the per-doc rule battery is a pure zero-shuffle map
+    (gopher_rules); the combination count is ONE partial-aggregable
+    hash agg whose output is ≤2⁴ rows at any corpus size, so the
+    share window runs on a bounded frame — the whole audit touches
+    the corpus exactly once.
+    """
+    from pyspark.sql import Window as W
+
+    flags = gopher_rules(df, id_col, text_col)
+    combos = flags.groupBy(
+        "rule_word_count", "rule_mean_len", "rule_alpha_frac", "rule_stopwords"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = F.sum("n_docs").over(W.partitionBy(F.lit(1)))
+    return combos.select(
+        "rule_word_count",
+        "rule_mean_len",
+        "rule_alpha_frac",
+        "rule_stopwords",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(F.col("n_docs") / total, 6).alias("share"),
+    )

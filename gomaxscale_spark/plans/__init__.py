@@ -242,6 +242,19 @@ _TIER2: list[str] = [
     # sequence packing (GPT-style concat order as a provenance map),
     # and BPE first-merge pair counts (tokenizer induction). All three
     # oracle-checked at both SFs.
+    # r14 NEW FAMILY at tier-2 head: corpus hygiene & mixing — the
+    # curation decisions BETWEEN dedup and the loader: SemDeDup
+    # (k-means-blocked semantic near-dup, Abbas et al. 2023), semantic
+    # benchmark decontamination (embedding-cosine leakage the n-gram
+    # family can't see), soft dedup (chunk-commonness reweighting, He
+    # et al. 2024), mixture-epoch upsampling (integer-exact fractional
+    # copies), and the Gopher-rule ablation matrix. All five
+    # oracle-checked at both SFs.
+    "dedup_semantic_cluster",
+    "decontaminate_embedding_cosine",
+    "sampling_soft_dedup_weights",
+    "sampling_epoch_upsample",
+    "text_filter_ablation_matrix",
     "text_chunk_windows",
     "corpus_pack_sequences",
     "text_bpe_pair_counts",

@@ -5309,3 +5309,244 @@ def dedup_chunk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return TX.bpe_pair_counts(d, "text", k=20)
+
+
+# ------------------------------------------------- r14: corpus hygiene & mixing
+
+
+@query(
+    "dedup_semantic_cluster",
+    oracle=f"""
+    WITH c AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cluster_id,
+             embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cluster_id,
+             {_cos_sql("e.embedding", "c.cvec")} AS s
+      FROM embeddings e, c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cluster_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, cluster_id) AS rn
+      FROM scored
+    ),
+    m AS (SELECT vec_id, embedding, cluster_id FROM assigned WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, b.cluster_id,
+             {_cos_sql("a.embedding", "b.embedding")} AS s
+      FROM m a JOIN m b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.35
+    )
+    SELECT id_b AS vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           min(id_a) AS witness_id,
+           round(arg_min(s, id_a), 6) AS witness_score
+    FROM pairs GROUP BY id_b, cluster_id
+    """,
+    doc="B15/B16 bridge — SemDeDup (Abbas et al. 2023): semantic "
+    "near-dup removal with LEARNED k-means clusters as the blocking "
+    "key instead of labels or hash bands; within-cluster pairwise "
+    "cosine ≥ 0.35, lowest id survives, output = the drop list with "
+    "each victim's cluster, surviving witness and pair score. "
+    "Assignment is the Arrow assign_nearest kernel against the "
+    "id-ordered seed quantizer (the IVF convention — oracle replays "
+    "it in SQL with identical argmax tie-breaks); the pair stage is "
+    "the pairwise_near_duplicates shape with precomputed norms, raw "
+    "threshold, 6dp projection rounding. Scale: the paper's own "
+    "topology — k grows with N so per-cluster pair fan-out stays "
+    "bounded; vectors shuffle ONCE keyed by cluster; a mega-cluster "
+    "follows the count-first cap discipline "
+    "(operators/similarity.py).",
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(e, n_clusters=16, threshold=0.35)
+
+
+@query(
+    "decontaminate_embedding_cosine",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id AS bench_id, embedding AS bvec
+      FROM embeddings WHERE vec_id % 41 = 0
+    ),
+    corp AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 41 <> 0
+    ),
+    scored AS (
+      SELECT corp.vec_id, b.bench_id,
+             {_cos_sql("corp.embedding", "b.bvec")} AS s
+      FROM corp, b
+    ),
+    best AS (
+      SELECT vec_id, bench_id, round(s, 6) AS score,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, bench_id) AS rn
+      FROM scored
+    )
+    SELECT vec_id, bench_id, score
+    FROM best WHERE rn = 1 AND score >= 0.32
+    """,
+    doc="B17 decontamination, semantic form (cf. phi-1, Gunasekar et "
+    "al. 2023 §2.4): flag corpus vectors whose max cosine to the "
+    "held-out benchmark slice (deterministic id % 41 sample standing "
+    "in for the eval-suite embedding table) reaches 0.32 — catches "
+    "PARAPHRASED leakage the n-gram/Bloom family (which shares the "
+    "gate window) cannot see. Threshold on the 6dp-ROUNDED score (the "
+    "ivf_topk_scaled rounding contract) so a last-ulp fold divergence "
+    "cannot flip membership; nearest-bench tie → lowest bench id on "
+    "both engines. Scale: the benchmark suite is bounded (≤10⁵ "
+    "vectors) and rides task-local inside ONE Arrow assign_nearest "
+    "pass — no join, no N×B fan-out, ZERO shuffles; the corpus is "
+    "read exactly once (operators/similarity.py).",
+)
+def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return S.benchmark_decontaminate_embeddings(e, bench_mod=41, threshold=0.32)
+
+
+@query(
+    "sampling_epoch_upsample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'es' THEN 2
+                       WHEN 'fr' THEN 2 WHEN 'zh' THEN 3 ELSE 1 END AS base,
+             CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 250 WHEN 'es' THEN 500
+                       WHEN 'fr' THEN 250 WHEN 'zh' THEN 500 ELSE 0 END AS frac_k,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || 'epoch0'),
+                                  1, 15)) AS BIGINT) % 1000 AS hk
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, lang,
+             CAST(base + CASE WHEN hk < frac_k THEN 1 ELSE 0 END AS BIGINT)
+                 AS n_copies
+      FROM w
+    )
+    SELECT doc_id, lang, n_copies,
+           CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+    FROM n WHERE n_copies >= 1
+    """,
+    doc="LLM-pipeline data mixing: EPOCH UPSAMPLING — materialize a "
+    "mixture recipe (en 1.0 / de 2.25 / fr 2.25 / es 2.5 / zh 3.5, "
+    "the low-resource-language boost) as a reproducible expanded "
+    "epoch: floor(w) guaranteed copies per doc plus one more when the "
+    "portable 60-bit md5(id:seed) mod 1000 lands under the weight's "
+    "thousandths (cf. Muennighoff et al. 2023 — repeating "
+    "data-constrained corpora; integer-exact, so no float boundary "
+    "can flip a copy count between engines). Output = one row per "
+    "epoch occurrence with its copy index — the loader's provenance "
+    "map. Scale: pure map + bounded explode (≤⌈max w⌉ rows/doc), "
+    "ZERO exchanges; a new seed re-draws fractional copies per epoch "
+    "without touching the base corpus (operators/sampling.py).",
+)
+def sampling_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return SA.epoch_upsample(
+        d,
+        "doc_id",
+        "lang",
+        weights={"en": 1.0, "de": 2.25, "es": 2.5, "fr": 2.25, "zh": 3.5},
+        seed="epoch0",
+    )
+
+
+@query(
+    "sampling_soft_dedup_weights",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0
+    ), s AS (
+      SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS st FROM b
+    ), ch AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, st + 1, st + 64), ' '))
+                 AS chunk_hash
+      FROM s
+    ), g AS (
+      SELECT chunk_hash, count(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk_hash
+    ), per_doc AS (
+      SELECT ch.doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_shared
+      FROM ch JOIN g USING (chunk_hash) GROUP BY ch.doc_id
+    )
+    SELECT doc_id, n_chunks, n_shared,
+           round(CAST(n_shared AS DOUBLE) / n_chunks, 6) AS dup_frac,
+           round(1.0 / (1.0 + round(CAST(n_shared AS DOUBLE) / n_chunks, 6)), 6)
+               AS weight
+    FROM per_doc
+    """,
+    doc="B15 soft deduplication (He et al., ACL 2024 'SoftDedup'): "
+    "DOWN-WEIGHT duplicated content instead of dropping it — per-doc "
+    "commonness = fraction of its 64/48 chunk windows (the "
+    "dedup_chunk_hash axis) whose digest appears in >1 document; "
+    "training weight 1/(1+dup_frac). Keeps distribution coverage hard "
+    "dedup destroys while still discounting boilerplate. Scale: "
+    "zero-exchange chunking → ONE digest hash agg (vocabulary-sized) "
+    "→ digest-keyed join back (AQE broadcasts the small side) → "
+    "per-doc re-agg; chunk identity travels as 32-byte digests, "
+    "window text never rides an exchange (operators/dedup.py).",
+)
+def sampling_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return D.soft_dedup_weights(d, "doc_id", "text")
+
+
+@query(
+    "text_filter_ablation_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             round(CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+                   / len(tk), 4) AS mean_word_len,
+             round(CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))
+                        AS DOUBLE) / len(tk), 6) AS alpha_word_frac,
+             CAST(len(list_filter(tk, t -> lower(t) IN
+                  ('the','a','of','to','and','in','is'))) AS BIGINT) AS stop_hits
+      FROM s
+    ), flags AS (
+      SELECT n_words BETWEEN 50 AND 100000 AS rule_word_count,
+             mean_word_len BETWEEN 3.0 AND 10.0 AS rule_mean_len,
+             alpha_word_frac >= 0.8 AS rule_alpha_frac,
+             stop_hits >= 2 AS rule_stopwords
+      FROM m
+    ), combos AS (
+      SELECT rule_word_count, rule_mean_len, rule_alpha_frac, rule_stopwords,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM flags
+      GROUP BY rule_word_count, rule_mean_len, rule_alpha_frac, rule_stopwords
+    )
+    SELECT rule_word_count, rule_mean_len, rule_alpha_frac, rule_stopwords,
+           n_docs,
+           round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS share
+    FROM combos
+    """,
+    doc="B17 quality-filter ABLATION audit: population counts and "
+    "corpus shares for every observed combination of the four Gopher "
+    "rule outcomes (text_gopher_rules' battery) — the governance "
+    "table behind 'which filter drives removal' ablations (Rae et "
+    "al. 2021 §A2; RefinedWeb removal accounting). The all-True row "
+    "is the surviving population; each single-False row prices one "
+    "rule's marginal removal. Scale: zero-shuffle rule map + ONE "
+    "partial-aggregable hash agg with ≤2⁴ output rows — the share "
+    "window runs on a bounded frame; corpus touched exactly once "
+    "(operators/text.py).",
+)
+def text_filter_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return TX.filter_ablation_matrix(d, "doc_id", "text")
