@@ -170,6 +170,10 @@ EXTRA = [
     "sampling_soft_dedup_weights",
     "sampling_epoch_upsample",
     "text_filter_ablation_matrix",
+    # r14 wave 2: run governance
+    "sampling_mixture_divergence",
+    "text_vocab_coverage",
+    "dedup_split_leakage_audit",
 ]
 
 

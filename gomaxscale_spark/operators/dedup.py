@@ -1747,3 +1747,68 @@ def soft_dedup_weights(
             F.round(F.lit(1.0) / (F.lit(1.0) + F.col("dup_frac")), 6),
         )
     )
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Train/eval LEAKAGE matrix: near-duplicate pairs (the portable
+    MinHash-LSH candidates + exact-Jaccard verify pipeline) broken
+    down by which hash-split each side landed in — the audit that
+    catches evaluation contamination the split itself cannot prevent
+    (hash splitting assigns near-duplicates independently, so ~20% of
+    a duplicated document's copies leak into val/test). The
+    complement of sampling_leakage_safe_split: that entry PREVENTS
+    leakage by splitting on the dedup family; this one MEASURES what
+    a naive id-hash split leaks.
+
+    Output: one row per unordered split pair (least/greatest
+    canonicalization) with the pair count and the worst (max) jaccard
+    — max, not avg, because max is order-independent and therefore
+    engine-stable. Off-diagonal rows are the leaks.
+
+    Scale: the pair pipeline is the audited capped-LSH shape (band
+    keys are the only corpus-sized shuffle); the split is a PURE
+    FUNCTION of the id (Knuth multiplicative hash → bucket), so the
+    audit adds zero joins and zero exchanges on top of the pairs —
+    the matrix agg runs on the pair set, which is output-sized.
+    """
+    from .sampling import hash_bucket
+
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, portable=True,
+    )
+    pairs = verify_candidates_jaccard(
+        df, cands, id_col, text_col, threshold=threshold, shingle_n=shingle_n
+    )
+
+    def split_of(c: Column) -> Column:
+        b = hash_bucket(c)
+        return (
+            F.when(b < train_pct, F.lit("train"))
+            .when(b < train_pct + val_pct, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    sa, sb = split_of(F.col("id_a")), split_of(F.col("id_b"))
+    return (
+        pairs.select(
+            F.least(sa, sb).alias("split_lo"),
+            F.greatest(sa, sb).alias("split_hi"),
+            F.col("jaccard"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )

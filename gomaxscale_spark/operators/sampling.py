@@ -626,3 +626,46 @@ def epoch_upsample(
         )
         .withColumn("copy_idx", F.col("copy_idx").cast("long"))
     )
+
+
+def mixture_divergence(
+    df: DataFrame,
+    group_col: str,
+    target: dict[str, float],
+) -> DataFrame:
+    """Mixture-fit audit: per-group KL-divergence contributions of the
+    ACTUAL corpus mix against a TARGET mixture recipe (the DoReMi/Pile
+    weights a run was supposed to train on) — the governance check
+    that catches a drifted crawl or a broken upstream cap before it
+    trains. kl_term = p·ln(p/q); the sum over groups is KL(actual ‖
+    target), left to the consumer so every emitted double is a
+    same-expression/same-input computation (the DSIR ln precedent —
+    no cross-row float summation rides the contract).
+
+    Groups absent from the target map get NULL target/kl (surface
+    loudly rather than silently renormalize). Scale: ONE partial-
+    aggregable count per group; the total rides a window over the
+    group-count frame (≤|groups| rows at any corpus size).
+    """
+    if not target:
+        raise ValueError("mixture_divergence: empty target map")
+    tgt: Column | None = None
+    for g, q in target.items():
+        if q <= 0:
+            raise ValueError(f"mixture_divergence: non-positive target for {g!r}")
+        tgt = (
+            F.when(F.col(group_col) == g, F.lit(float(q)))
+            if tgt is None
+            else tgt.when(F.col(group_col) == g, F.lit(float(q)))
+        )
+    tgt = tgt.otherwise(F.lit(None).cast("double"))
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = F.sum("n_docs").over(W.partitionBy(F.lit(1)))
+    actual = F.col("n_docs").cast("double") / total
+    return counts.select(
+        group_col,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(actual, 6).alias("actual_share"),
+        tgt.alias("target_share"),
+        F.round(actual * F.log(actual / tgt), 6).alias("kl_term"),
+    )

@@ -747,3 +747,51 @@ def filter_ablation_matrix(df: DataFrame, id_col: str, text_col: str) -> DataFra
         F.col("n_docs").cast("long").alias("n_docs"),
         F.round(F.col("n_docs") / total, 6).alias("share"),
     )
+
+
+def vocab_coverage(df, id_col: str, text_col: str, vocab_size: int = 500) -> DataFrame:
+    """Tokenizer-coverage / OOV-rate audit: per-document fraction of
+    token occurrences falling outside the top-``vocab_size`` corpus
+    vocabulary (count desc, token asc — a deterministic total order,
+    so the vocabulary boundary is engine-stable). The fertility/
+    coverage statistic a tokenizer redesign is judged on: a rising
+    OOV tail per source or language flags content the vocabulary
+    under-serves.
+
+    Returns (id, n_tokens, n_oov, oov_rate); docs with zero tokens
+    emit nothing. Scale: the vocabulary stage is a map-side-folding
+    hash agg that collapses to vocabulary size, then a ``vocab_size``-
+    row BROADCAST back onto the token stream — the corpus-sized
+    exchanges carry (id, token) and (id, flag) narrow rows only, and
+    the per-doc re-agg is partial-aggregable.
+    """
+    from .dedup import tokenize
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("tok"))
+        .limit(int(vocab_size))
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )

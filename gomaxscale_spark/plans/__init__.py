@@ -255,6 +255,12 @@ _TIER2: list[str] = [
     "sampling_soft_dedup_weights",
     "sampling_epoch_upsample",
     "text_filter_ablation_matrix",
+    # r14 wave 2 — run governance: mixture-fit KL audit (actual vs
+    # target recipe), tokenizer OOV-coverage, and the train/eval
+    # near-dup leakage matrix (what a naive id-hash split ships).
+    "sampling_mixture_divergence",
+    "text_vocab_coverage",
+    "dedup_split_leakage_audit",
     "text_chunk_windows",
     "corpus_pack_sequences",
     "text_bpe_pair_counts",

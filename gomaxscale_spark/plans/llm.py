@@ -5550,3 +5550,126 @@ def sampling_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_filter_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return TX.filter_ablation_matrix(d, "doc_id", "text")
+
+
+@query(
+    "sampling_mixture_divergence",
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs,
+           round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6)
+               AS actual_share,
+           CASE lang WHEN 'en' THEN 0.45 WHEN 'de' THEN 0.15
+                     WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15
+                     WHEN 'zh' THEN 0.1 ELSE NULL END AS target_share,
+           round((CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ())
+                 * ln((CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ())
+                      / CASE lang WHEN 'en' THEN 0.45 WHEN 'de' THEN 0.15
+                                  WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15
+                                  WHEN 'zh' THEN 0.1 ELSE NULL END), 6)
+               AS kl_term
+    FROM c
+    """,
+    doc="LLM-pipeline mixing governance: per-group KL-divergence "
+    "contributions of the ACTUAL corpus mix vs the TARGET mixture "
+    "recipe (DoReMi/Pile-style weights as plan literals; en 0.45 / "
+    "de·es·fr 0.15 / zh 0.10) — the audit that catches a drifted "
+    "crawl or broken upstream cap before it trains. kl_term = "
+    "p·ln(p/q); the cross-group sum is left to the consumer so every "
+    "emitted double is same-expression/same-input (the DSIR ln "
+    "precedent — no float-summation parity risk rides the contract); "
+    "unknown groups surface as NULL rather than silently "
+    "renormalizing. Scale: ONE partial-aggregable group count; the "
+    "total is a window over the ≤|groups|-row agg output "
+    "(operators/sampling.py).",
+)
+def sampling_mixture_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return SA.mixture_divergence(
+        d, "lang",
+        target={"en": 0.45, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.10},
+    )
+
+
+@query(
+    "text_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+        FROM toks GROUP BY tok
+      ) WHERE rn <= 500
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.doc_id
+    """,
+    doc="B17 tokenizer-coverage audit: per-document OOV rate against "
+    "the top-500 corpus vocabulary (count desc, token asc — a "
+    "deterministic total order, so the vocabulary boundary is "
+    "engine-stable). The fertility/coverage statistic a tokenizer "
+    "redesign is judged on: a rising OOV tail per source or language "
+    "flags content the vocabulary under-serves. Scale: the vocab "
+    "stage is a map-side-folding hash agg collapsing to vocabulary "
+    "size, broadcast back onto the token stream; corpus-sized "
+    "exchanges carry (id, token)/(id, flag) narrow rows only "
+    "(operators/text.py).",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return TX.vocab_coverage(d, "doc_id", "text", vocab_size=500)
+
+
+@query(
+    "dedup_split_leakage_audit",
+    oracle="WITH " + _portable_lsh_pairs_ctes(threshold=0.8) + """, sp AS (
+      SELECT least(CASE WHEN (id_a * 2654435761) % 100 < 80 THEN 'train'
+                        WHEN (id_a * 2654435761) % 100 < 90 THEN 'val'
+                        ELSE 'test' END,
+                   CASE WHEN (id_b * 2654435761) % 100 < 80 THEN 'train'
+                        WHEN (id_b * 2654435761) % 100 < 90 THEN 'val'
+                        ELSE 'test' END) AS split_lo,
+             greatest(CASE WHEN (id_a * 2654435761) % 100 < 80 THEN 'train'
+                           WHEN (id_a * 2654435761) % 100 < 90 THEN 'val'
+                           ELSE 'test' END,
+                      CASE WHEN (id_b * 2654435761) % 100 < 80 THEN 'train'
+                           WHEN (id_b * 2654435761) % 100 < 90 THEN 'val'
+                           ELSE 'test' END) AS split_hi,
+             jaccard
+      FROM pairs
+    )
+    SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(max(jaccard), 6) AS max_jaccard
+    FROM sp GROUP BY split_lo, split_hi
+    """,
+    doc="B15 × splits governance: the train/eval LEAKAGE MATRIX — "
+    "near-duplicate pairs (portable MinHash-LSH candidates + exact-"
+    "Jaccard verify at 0.8, the dedup_minhash_lsh pipeline) broken "
+    "down by which id-hash split each side landed in; off-diagonal "
+    "rows are evaluation contamination a naive split ships (~20% of "
+    "a duplicated doc's copies land outside train). Complement of "
+    "sampling_leakage_safe_split: that PREVENTS leaks by splitting "
+    "on the dedup family, this MEASURES what the naive split leaks. "
+    "max (not avg) jaccard: order-independent, engine-stable. Scale: "
+    "the split is a PURE FUNCTION of the id — the audit adds zero "
+    "joins and zero exchanges on top of the audited pair pipeline; "
+    "the matrix agg runs on the output-sized pair set "
+    "(operators/dedup.py).",
+)
+def dedup_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return D.split_leakage_audit(d, "doc_id", "text", threshold=0.8)

@@ -225,3 +225,120 @@ def test_filter_ablation_matrix_counts_and_shares(spark, sf_dir):
         for r in rows
     }
     assert len(combos) == len(rows)  # one row per combination
+
+
+# ---------------------------------------------- wave 2: run governance
+
+
+def test_mixture_divergence_hand_computed(spark):
+    import math
+
+    from gomaxscale_spark.operators.sampling import mixture_divergence
+
+    d = spark.createDataFrame(
+        [(i, "en") for i in range(6)] + [(i, "zh") for i in range(6, 10)],
+        "doc_id long, lang string",
+    )
+    rows = {
+        r.lang: r
+        for r in mixture_divergence(d, "lang", {"en": 0.5, "zh": 0.5}).collect()
+    }
+    assert rows["en"].n_docs == 6 and rows["en"].actual_share == 0.6
+    assert rows["en"].target_share == 0.5
+    assert rows["en"].kl_term == round(0.6 * math.log(0.6 / 0.5), 6)
+    assert rows["zh"].kl_term == round(0.4 * math.log(0.4 / 0.5), 6)
+    # perfectly matched mix -> every term 0
+    d2 = spark.createDataFrame(
+        [(1, "en"), (2, "zh")], "doc_id long, lang string"
+    )
+    assert all(
+        r.kl_term == 0.0
+        for r in mixture_divergence(d2, "lang", {"en": 0.5, "zh": 0.5}).collect()
+    )
+
+
+def test_mixture_divergence_unknown_group_is_null_not_renormalized(spark):
+    from gomaxscale_spark.operators.sampling import mixture_divergence
+
+    d = spark.createDataFrame([(1, "xx"), (2, "en")], "doc_id long, lang string")
+    rows = {r.lang: r for r in mixture_divergence(d, "lang", {"en": 1.0}).collect()}
+    assert rows["xx"].target_share is None and rows["xx"].kl_term is None
+    assert rows["en"].actual_share == 0.5  # total still counts the stranger
+
+
+def test_mixture_divergence_rejects_bad_targets(spark):
+    import pytest as _pytest
+
+    from gomaxscale_spark.operators.sampling import mixture_divergence
+
+    d = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with _pytest.raises(ValueError):
+        mixture_divergence(d, "lang", {})
+    with _pytest.raises(ValueError):
+        mixture_divergence(d, "lang", {"en": 0.0})
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from gomaxscale_spark.operators.text import vocab_coverage
+
+    d = spark.createDataFrame(
+        [
+            (1, "a a a b"),  # a,b in a top-2 vocab
+            (2, "a b rare"),  # 1 oov of 3
+            (3, "rare weird odd"),  # all oov
+            (4, ""),  # emits nothing
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in vocab_coverage(d, "doc_id", "text", 2).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].n_oov == 0 and got[1].oov_rate == 0.0
+    assert got[2].n_tokens == 3 and got[2].n_oov == 1
+    assert got[2].oov_rate == round(1 / 3, 6)
+    assert got[3].n_oov == 3 and got[3].oov_rate == 1.0
+
+
+def test_vocab_coverage_boundary_is_deterministic(spark):
+    # counts all equal -> the vocab is the lexicographically first V
+    from gomaxscale_spark.operators.text import vocab_coverage
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    r = vocab_coverage(d, "doc_id", "text", 3).collect()[0]
+    assert r.n_tokens == 5 and r.n_oov == 2  # vocab = {a, b, c}
+
+
+def test_split_leakage_audit_measures_cross_split_near_dups(spark):
+    from gomaxscale_spark.operators.dedup import split_leakage_audit
+    from gomaxscale_spark.operators.sampling import hash_bucket
+
+    base = " ".join(f"w{i}" for i in range(40))
+    # two identical docs whose ids land in different splits, plus noise
+    rows = [(i, base) for i in (1, 2, 3)] + [
+        (100 + i, f"unique doc {i} " + " ".join(f"u{i}_{j}" for j in range(30)))
+        for i in range(5)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    buckets = {
+        r.doc_id: r.b
+        for r in d.select("doc_id", hash_bucket(F.col("doc_id")).alias("b")).collect()
+    }
+
+    def split(i):
+        return "train" if buckets[i] < 80 else ("val" if buckets[i] < 90 else "test")
+
+    expect = {}
+    import itertools
+
+    for a, b in itertools.combinations((1, 2, 3), 2):
+        key = tuple(sorted((split(a), split(b))))
+        expect[key] = expect.get(key, 0) + 1
+    got = {
+        (r.split_lo, r.split_hi): r.n_pairs
+        for r in split_leakage_audit(d, "doc_id", "text").collect()
+    }
+    assert got == expect
+    assert any(lo != hi for lo, hi in got), (
+        "ids 1/2/3 should not all share one split bucket"
+    )
