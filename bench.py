@@ -174,6 +174,9 @@ EXTRA = [
     "sampling_mixture_divergence",
     "text_vocab_coverage",
     "dedup_split_leakage_audit",
+    # r14 wave 3: DQ & design cards
+    "dq_cluster_label_purity",
+    "corpus_pack_efficiency",
 ]
 
 

@@ -669,3 +669,97 @@ def mixture_divergence(
         tgt.alias("target_share"),
         F.round(actual * F.log(actual / tgt), 6).alias("kl_term"),
     )
+
+
+def pack_efficiency(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budgets: tuple[int, ...] = (128, 256, 512),
+    n_shards: int = 8,
+    seed: str = "seed13",
+) -> DataFrame:
+    """Sequence-length DESIGN card: for each candidate token budget,
+    what the pack_sequences layout would cost — number of training
+    sequences, documents spanning a sequence boundary (their loss is
+    attention-truncated), total tokens and utilization. The table a
+    pretraining run consults ONCE to pick max_seq_len before packing
+    the corpus; re-cutting needs no reshuffle (the budgets share one
+    cumsum, which is the pack_sequences invariant this card exposes).
+
+    All counts are exact BIGINTs (ceil-division in integer arithmetic);
+    utilization is the one double, same-expression both engines.
+    Scale: ONE shard-keyed exchange + a partition-local cumsum window
+    (identical to pack_sequences); each budget arm is a map over that
+    frame and the final aggs run on |budgets|·n_shards rows.
+    """
+    if not budgets:
+        raise ValueError("pack_efficiency: empty budgets")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("__h")
+    )
+    base = df.select(
+        F.col(id_col),
+        h,
+        F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    ).withColumn("shard", F.col("__h") % F.lit(int(n_shards)))
+    w = W.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    frame = base.select(
+        "shard",
+        "n_tokens",
+        F.coalesce(
+            F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__before"),
+    )
+    arms = None
+    for b in budgets:
+        bb = int(b)
+        if bb <= 0:
+            raise ValueError(f"pack_efficiency: non-positive budget {b}")
+        arm = frame.select(
+            F.lit(bb).cast("long").alias("budget"),
+            "shard",
+            "n_tokens",
+            (
+                (F.col("__before") % F.lit(bb)) + F.col("n_tokens") > F.lit(bb)
+            ).cast("long").alias("__spans"),
+        )
+        arms = arm if arms is None else arms.unionAll(arm)
+    per_shard = arms.groupBy("budget", "shard").agg(
+        F.sum("n_tokens").alias("__tok"),
+        F.sum("__spans").alias("__spans"),
+    )
+    # ceil-division in integer arithmetic: (tok + b - 1) div b
+    n_seq = F.expr("(__tok + budget - 1) div budget")
+    return (
+        per_shard.groupBy("budget")
+        .agg(
+            F.sum(n_seq).cast("long").alias("n_sequences"),
+            F.sum("__spans").cast("long").alias("n_docs_spanning"),
+            F.sum("__tok").cast("long").alias("tokens_total"),
+        )
+        .select(
+            "budget",
+            "n_sequences",
+            "n_docs_spanning",
+            "tokens_total",
+            F.round(
+                F.col("tokens_total").cast("double")
+                / (F.col("n_sequences") * F.col("budget")),
+                6,
+            ).alias("utilization"),
+        )
+    )

@@ -1135,3 +1135,66 @@ def benchmark_decontaminate_embeddings(
         )
         .filter(F.col("score") >= F.lit(threshold))
     )
+
+
+def cluster_label_purity(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space QUALITY card: per-cluster label purity — assign
+    every vector to its nearest deterministic seed centroid and report,
+    per cluster, its population, majority label (tie → lowest label)
+    and purity = majority/total. The standard external-validation
+    readout for an embedding table that ships with any labeled slice
+    (cluster purity, cf. the classic IR clustering-evaluation measure):
+    a purity collapse after an embedding-model swap is the cheapest
+    early warning the downstream ANN/dedup families get.
+
+    Scale: assignment is ONE Arrow ``assign_nearest`` pass (quantizer
+    task-local); the only exchange carries (cluster_id, label) int
+    pairs; the rank/total windows run on the ≤k·|labels| agg output.
+    """
+    from . import vector_kernel as VK
+
+    seeds = (
+        embeddings.orderBy(id_col)
+        .limit(n_clusters)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    cent_ids, M = VK.collect_matrix(seeds, "cid", "cvec")
+    assign = VK.assign_nearest(list(range(1, len(cent_ids) + 1)), M)
+    assigned = parallelize_narrow_input(
+        embeddings.select(F.col(vec_col), F.col(label_col))
+    ).select(
+        assign(F.col(vec_col))["centroid_id"].alias("cluster_id"),
+        F.col(label_col),
+    )
+    counts = assigned.groupBy("cluster_id", label_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    rank = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(F.desc("__n"), F.asc(label_col))
+    )
+    total = F.sum("__n").over(W.partitionBy("cluster_id"))
+    return (
+        counts.select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col(label_col).alias("majority_label"),
+            F.col("__n"),
+            rank.alias("__rn"),
+            total.alias("__tot"),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("__tot").cast("long").alias("n_vectors"),
+            "majority_label",
+            F.col("__n").cast("long").alias("n_majority"),
+            F.round(F.col("__n").cast("double") / F.col("__tot"), 6).alias(
+                "purity"
+            ),
+        )
+    )

@@ -261,6 +261,12 @@ _TIER2: list[str] = [
     "sampling_mixture_divergence",
     "text_vocab_coverage",
     "dedup_split_leakage_audit",
+    # r14 wave 3 — DQ & design cards: per-cluster label purity (the
+    # external clustering-validation readout on the embedding table)
+    # and the sequence-length cost card (what each candidate budget
+    # would pay in sequences / boundary-spanning docs / utilization).
+    "dq_cluster_label_purity",
+    "corpus_pack_efficiency",
     "text_chunk_windows",
     "corpus_pack_sequences",
     "text_bpe_pair_counts",

@@ -5673,3 +5673,116 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return D.split_leakage_audit(d, "doc_id", "text", threshold=0.8)
+
+
+@query(
+    "dq_cluster_label_purity",
+    oracle=f"""
+    WITH c AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cluster_id,
+             embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, c.cluster_id,
+             {_cos_sql("e.embedding", "c.cvec")} AS s
+      FROM embeddings e, c
+    ),
+    assigned AS (
+      SELECT vec_id, label, cluster_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, cluster_id) AS rn
+      FROM scored
+    ),
+    m AS (SELECT label, cluster_id FROM assigned WHERE rn = 1),
+    counts AS (
+      SELECT cluster_id, label, count(*) AS n FROM m GROUP BY cluster_id, label
+    ),
+    r AS (
+      SELECT cluster_id, label, n,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n DESC, label) AS rn,
+             sum(n) OVER (PARTITION BY cluster_id) AS tot
+      FROM counts
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(tot AS BIGINT) AS n_vectors,
+           label AS majority_label,
+           CAST(n AS BIGINT) AS n_majority,
+           round(CAST(n AS DOUBLE) / tot, 6) AS purity
+    FROM r WHERE rn = 1
+    """,
+    doc="DQ × B16: embedding-space cluster-label PURITY card — assign "
+    "every vector to its nearest of 16 deterministic seed centroids "
+    "(the cluster_balanced/IVF quantizer convention) and report each "
+    "cluster's population, majority label (tie → lowest) and purity "
+    "= majority/total — the classic external clustering-validation "
+    "measure; a purity collapse after an embedding-model swap is the "
+    "cheapest early warning the ANN/dedup serving tiers get. Scale: "
+    "ONE Arrow assign_nearest pass; the only exchange carries "
+    "(cluster, label) int pairs; rank/total windows run on the "
+    "≤k·|labels| agg output (operators/similarity.py).",
+)
+def dq_cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return S.cluster_label_purity(e, n_clusters=16)
+
+
+@query(
+    "corpus_pack_efficiency",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || 'seed13'),
+                                  1, 15)) AS BIGINT) AS hh,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), r AS (
+      SELECT doc_id, hh % 8 AS shard, n_tokens,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY hh % 8
+                                          ORDER BY hh, doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS tok_before
+      FROM h
+    ), arms AS (
+      SELECT 128 AS budget, shard, n_tokens,
+             CASE WHEN (tok_before % 128) + n_tokens > 128 THEN 1 ELSE 0 END AS spans
+      FROM r
+      UNION ALL
+      SELECT 256, shard, n_tokens,
+             CASE WHEN (tok_before % 256) + n_tokens > 256 THEN 1 ELSE 0 END
+      FROM r
+      UNION ALL
+      SELECT 512, shard, n_tokens,
+             CASE WHEN (tok_before % 512) + n_tokens > 512 THEN 1 ELSE 0 END
+      FROM r
+    ), ps AS (
+      SELECT budget, shard, sum(n_tokens) AS tok, sum(spans) AS spans
+      FROM arms GROUP BY budget, shard
+    )
+    SELECT CAST(budget AS BIGINT) AS budget,
+           CAST(sum((tok + budget - 1) // budget) AS BIGINT) AS n_sequences,
+           CAST(sum(spans) AS BIGINT) AS n_docs_spanning,
+           CAST(sum(tok) AS BIGINT) AS tokens_total,
+           round(CAST(sum(tok) AS DOUBLE)
+                 / (sum((tok + budget - 1) // budget) * budget), 6)
+               AS utilization
+    FROM ps GROUP BY budget
+    """,
+    doc="Sequence assembly design card: for each candidate token "
+    "budget (128/256/512) what the corpus_pack_sequences layout would "
+    "cost — training-sequence count, documents spanning a sequence "
+    "boundary (attention-truncated loss), total tokens, utilization. "
+    "The table a pretraining run consults ONCE to pick max_seq_len; "
+    "the budgets share ONE cumsum because re-cutting never reshuffles "
+    "(the pack_sequences invariant, here exposed as a product). All "
+    "counts exact BIGINTs (integer ceil-division — double division "
+    "loses exactness past 2^53 tokens). Scale: one shard-keyed "
+    "exchange + partition-local cumsum, identical to pack_sequences; "
+    "budget arms are maps over that frame; final aggs run on "
+    "|budgets|·n_shards rows (operators/sampling.py).",
+)
+def corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return SA.pack_efficiency(d, "doc_id", "text", budgets=(128, 256, 512))

@@ -342,3 +342,91 @@ def test_split_leakage_audit_measures_cross_split_near_dups(spark):
     assert any(lo != hi for lo, hi in got), (
         "ids 1/2/3 should not all share one split bucket"
     )
+
+
+# ------------------------------------------- wave 3: DQ & design cards
+
+
+def test_cluster_label_purity_hand_computed(spark):
+    from gomaxscale_spark.operators.similarity import cluster_label_purity
+
+    e = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 7),   # seed of cluster 1
+            (2, [0.0, 1.0], 9),   # seed of cluster 2
+            (3, [0.9, 0.1], 7),   # cluster 1, label 7
+            (4, [0.95, 0.05], 8), # cluster 1, label 8 (minority)
+            (5, [0.1, 0.9], 9),   # cluster 2, label 9
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        r.cluster_id: r for r in cluster_label_purity(e, n_clusters=2).collect()
+    }
+    assert got[1].n_vectors == 3 and got[1].majority_label == 7
+    assert got[1].n_majority == 2 and got[1].purity == round(2 / 3, 6)
+    assert got[2].n_vectors == 2 and got[2].purity == 1.0
+
+
+def test_cluster_label_purity_majority_tie_prefers_lowest_label(spark):
+    from gomaxscale_spark.operators.similarity import cluster_label_purity
+
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0], 5), (2, [0.99, 0.01], 3)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = cluster_label_purity(e, n_clusters=1).collect()
+    assert rows[0].majority_label == 3 and rows[0].purity == 0.5
+
+
+def test_pack_efficiency_hand_computed(spark):
+    from gomaxscale_spark.operators.sampling import pack_efficiency
+
+    # one shard, known order: force with n_shards=1
+    d = spark.createDataFrame(
+        [(1, " ".join(["a"] * 10)), (2, " ".join(["b"] * 10))],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.budget: r
+        for r in pack_efficiency(
+            d, "doc_id", "text", budgets=(8, 32), n_shards=1
+        ).collect()
+    }
+    # 20 tokens total: budget 8 -> ceil(20/8)=3 seqs; both docs span a
+    # boundary (10 > 8 for the first; second starts at offset 10%8=2,
+    # 2+10 > 8); budget 32 -> 1 seq, nothing spans
+    assert rows[8].n_sequences == 3 and rows[8].n_docs_spanning == 2
+    assert rows[8].tokens_total == 20
+    assert rows[8].utilization == round(20 / 24, 6)
+    assert rows[32].n_sequences == 1 and rows[32].n_docs_spanning == 0
+    assert rows[32].utilization == round(20 / 32, 6)
+
+
+def test_pack_efficiency_consistent_with_pack_sequences(spark, sf_dir):
+    from gomaxscale_spark.operators.sampling import pack_efficiency, pack_sequences
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    card = {
+        r.budget: r
+        for r in pack_efficiency(d, "doc_id", "text", budgets=(256,)).collect()
+    }[256]
+    packed = pack_sequences(d, "doc_id", "text", budget=256)
+    # spanning docs per the card == docs whose offset+len crosses 256
+    spans = packed.filter(
+        (F.col("pack_offset") + F.col("n_tokens")) > 256
+    ).count()
+    assert card.n_docs_spanning == spans
+    assert card.tokens_total == packed.agg(F.sum("n_tokens")).collect()[0][0]
+
+
+def test_pack_efficiency_rejects_bad_budgets(spark):
+    import pytest as _pytest
+
+    from gomaxscale_spark.operators.sampling import pack_efficiency
+
+    d = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        pack_efficiency(d, "doc_id", "text", budgets=())
+    with _pytest.raises(ValueError):
+        pack_efficiency(d, "doc_id", "text", budgets=(0,))
