@@ -186,6 +186,7 @@ class IVFIndex:
         from . import pq as PQ
 
         out = df
+        code_src = self.vec_col
         if self.rotation is not None:
             out = out.select(
                 "*",
@@ -193,17 +194,17 @@ class IVFIndex:
                     "__rot"
                 ),
             )
-            layers = PQ.pq_code_layers(PQ._spark_idx("__rot"), self.codebooks)
-        else:
-            layers = PQ.pq_code_layers(
-                PQ._spark_idx(self.vec_col), self.codebooks
-            )
-        for layer in layers:
-            out = out.select("*", *[F.expr(sql).alias(a) for a, sql in layer])
-        drop = [a for layer in layers[:-1] for a, _ in layer]
+            code_src = "__rot"
+        # r14: encode via the Arrow pq_code_kernel (bit-equal to the
+        # literal chain, pytested) — the ~180 KB generated expression's
+        # parse/compile cost no longer rides every index build
+        enc = PQ.pq_code_kernel(self.codebooks)
+        out = out.select("*", enc(F.col(code_src)).alias("__w"))
+        out = PQ._project_code_words(out, len(self.codebooks))
+        drop = ["__w"] if "__w" in out.columns else []
         if self.rotation is not None:
             drop.append("__rot")
-        return out.drop(*drop)
+        return out.drop(*drop) if drop else out
 
     def _query_in_code_space(self, query_vec):
         """The vector the ADC LUT must be built from: rotated through

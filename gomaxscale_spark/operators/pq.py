@@ -393,17 +393,95 @@ def pq_unpack_sql(code_col: str, j: int, k: int) -> str:
 
 # ------------------------------------------------------------ operators
 
+def pq_code_kernel(codebooks: Sequence[Sequence[Sequence[float]]]):
+    """Arrow-batched PQ encode kernel: ``vector → array<long>`` of
+    packed code word(s), computed in vectorized numpy with EXACTLY the
+    operation sequence the SQL encode layers pin — per-centroid squared
+    distance as an explicit left-associated d8-term fold of
+    ``(e−c)·(e−c)`` doubles (``_subdist_sql``'s order), argmin tie →
+    lowest centroid (``np.argmin`` first-minimum == the CASE chain's
+    first match), word packing in exact int64 arithmetic. Bit-equality
+    of kernel and SQL codes is pytested on the real tables.
+
+    Why a kernel (the r14 instalment of the r6 codegen-ceiling /
+    r9 IVF-kernel lesson): the literal encode chain is a ~180 KB
+    generated expression whose ``F.expr`` PARSE alone costs ~5 s per
+    plan build at m=8 — more than the sf0.1 execution — and that
+    driver/JVM compile time is what made the ADC family's bench cells
+    host-state-sensitive across rounds (r13 VERDICT watch item). The
+    kernel ships the m·k·d8 codebook array task-local and touches the
+    parser not at all; the SQL form stays selectable because it IS the
+    oracle's exactness contract."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m, k = len(codebooks), len(codebooks[0])
+    d8 = len(codebooks[0][0])
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, k, d8)
+    n_words = -(-m // PQ_WORD)
+
+    @pandas_udf("array<long>")
+    def _enc(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array(vecs.tolist(), dtype=np.float64)  # float32 promotes exactly
+        n = X.shape[0]
+        codes = np.empty((n, m), dtype=np.int64)
+        for j in range(m):
+            sub = X[:, j * d8 : (j + 1) * d8]
+            dists = np.empty((n, k), dtype=np.float64)
+            for c in range(k):
+                d0 = sub[:, 0] - B[j, c, 0]
+                acc = d0 * d0
+                for t in range(1, d8):
+                    dt = sub[:, t] - B[j, c, t]
+                    acc = acc + dt * dt  # left-assoc == _subdist_sql
+                dists[:, c] = acc
+            codes[:, j] = np.argmin(dists, axis=1)  # first min == CASE order
+        words = np.zeros((n, n_words), dtype=np.int64)
+        for j in range(m):
+            words[:, j // PQ_WORD] += codes[:, j] * (k ** (j % PQ_WORD))
+        return pd.Series([w.tolist() for w in words])
+
+    return _enc
+
+
+def _project_code_words(out: DataFrame, m: int, word_arr: str = "__w") -> DataFrame:
+    """array<long> kernel output → the pq_code[_w] column contract."""
+    cols = [c for c in out.columns if c != word_arr]
+    return out.select(
+        *cols,
+        *[
+            F.element_at(F.col(word_arr), i + 1).alias(c)
+            for i, c in enumerate(pq_word_cols(m))
+        ],
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: Sequence[Sequence[Sequence[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "numpy",
 ) -> DataFrame:
     """(id, pq_code[, pq_code_1 …]): each vector quantized to packed
     BIGINT word(s) — the ingest-time map. One narrow projection chain,
     no shuffle; m > PQ_WORD subspaces emit one column per 8-subspace
-    word (the m=16 layout is 16 B/vector — still a 16× scan cut)."""
+    word (the m=16 layout is 16 B/vector — still a 16× scan cut).
+
+    ``kernel="numpy"`` (default, the execution path): one Arrow-batched
+    ``pq_code_kernel`` pass — same bits (pytested), none of the ~180 KB
+    literal chain's parse/compile cost. ``kernel="sql"`` is the
+    plan-literal reference form the DuckDB oracle replays."""
     out = parallelize_narrow_input(df.select(F.col(id_col), F.col(vec_col)))
+    if kernel == "numpy":
+        enc = pq_code_kernel(codebooks)
+        arr = out.select(F.col(id_col), enc(F.col(vec_col)).alias("__w"))
+        return _project_code_words(arr, len(codebooks))
+    if kernel != "sql":
+        raise ValueError(f"pq_encode: unknown kernel {kernel!r}")
     layers = pq_code_layers(_spark_idx(vec_col), codebooks)
     for layer in layers:
         out = out.select("*", *[F.expr(sql).alias(a) for a, sql in layer])
@@ -562,21 +640,24 @@ def opq_encode(
     dim = len(R)
     out = parallelize_narrow_input(df.select(F.col(id_col), F.col(vec_col)))
     if kernel == "numpy":
-        out = out.select(
+        # two chained Arrow passes: rotate, then encode — neither
+        # touches the SQL parser or the codegen method ceiling
+        rot = out.select(
             F.col(id_col), opq_rotate_kernel(R)(F.col(vec_col)).alias("__rot")
         )
-        layers = pq_code_layers(_spark_idx("__rot"), codebooks)
-    elif kernel == "sql":
-        out = out.select(
-            F.col(id_col),
-            *[
-                F.expr(rot_sql(_spark_idx(vec_col), R[i])).alias(f"__r{i + 1}")
-                for i in range(dim)
-            ],
-        )
-        layers = pq_code_layers(lambda i: f"__r{i}", codebooks)
-    else:
+        enc = pq_code_kernel(codebooks)
+        arr = rot.select(F.col(id_col), enc(F.col("__rot")).alias("__w"))
+        return _project_code_words(arr, len(codebooks))
+    if kernel != "sql":
         raise ValueError(f"opq_encode: unknown kernel {kernel!r}")
+    out = out.select(
+        F.col(id_col),
+        *[
+            F.expr(rot_sql(_spark_idx(vec_col), R[i])).alias(f"__r{i + 1}")
+            for i in range(dim)
+        ],
+    )
+    layers = pq_code_layers(lambda i: f"__r{i}", codebooks)
     for layer in layers:
         out = out.select("*", *[F.expr(sql).alias(a) for a, sql in layer])
     return out.select(

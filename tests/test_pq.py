@@ -701,3 +701,33 @@ def test_auto_ivf_index_skewed_corpus_builds_opq(spark, tmp_path):
     got = idx.probe_adc(spark, q, k=5, n_probe=2).collect()
     assert len(got) == 5
     assert got[0]["vec_id"] == 0  # the query vector itself ranks first
+
+
+def test_pq_encode_kernel_bit_equal_to_sql(spark, sf_dir):
+    """r14: the Arrow encode kernel must reproduce the literal-chain
+    codes EXACTLY — same subdist fold order, same argmin tie, same
+    packing — on the real table, for both word layouts."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books8 = PQ.pq_codebooks_lcg()
+    a = {r.vec_id: r.pq_code for r in PQ.pq_encode(emb, books8).collect()}
+    b = {
+        r.vec_id: r.pq_code
+        for r in PQ.pq_encode(emb, books8, kernel="sql").collect()
+    }
+    assert a == b
+    books16 = PQ.pq_codebooks_lcg(m=16)
+    a16 = {
+        r.vec_id: (r.pq_code_0, r.pq_code_1)
+        for r in PQ.pq_encode(emb, books16).collect()
+    }
+    b16 = {
+        r.vec_id: (r.pq_code_0, r.pq_code_1)
+        for r in PQ.pq_encode(emb, books16, kernel="sql").collect()
+    }
+    assert a16 == b16
+
+
+def test_pq_encode_rejects_unknown_kernel(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError):
+        PQ.pq_encode(emb, PQ.pq_codebooks_lcg(), kernel="nope")
