@@ -177,6 +177,8 @@ EXTRA = [
     # r14 wave 3: DQ & design cards
     "dq_cluster_label_purity",
     "corpus_pack_efficiency",
+    # r14 wave 4: the 8th real-engine streaming entry
+    "streaming_mixture_monitor_availablenow",
 ]
 
 

@@ -267,6 +267,12 @@ _TIER2: list[str] = [
     # would pay in sequences / boundary-spanning docs / utilization).
     "dq_cluster_label_purity",
     "corpus_pack_efficiency",
+    # r14 wave 4 — the EIGHTH real-engine streaming entry at tier-2
+    # head: the windowed traffic-mix drift monitor (per-hour event-type
+    # shares + KL vs the expected mix, counts maintained by the real
+    # engine under availableNow, shares computed on the serving read —
+    # the BM25-lake split). First in line for a B14 window rotation.
+    "streaming_mixture_monitor_availablenow",
     "text_chunk_windows",
     "corpus_pack_sequences",
     "text_bpe_pair_counts",

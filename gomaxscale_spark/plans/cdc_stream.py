@@ -890,3 +890,111 @@ def streaming_bm25_lake_availablenow(spark: SparkSession, sf_dir: str) -> DataFr
     finally:
         shutil.rmtree(replay_dir, ignore_errors=True)
         shutil.rmtree(lake_path, ignore_errors=True)
+
+
+@query(
+    "streaming_mixture_monitor_availablenow",
+    oracle="""
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY window_start), 6) AS share,
+           CASE event_type WHEN 'view' THEN 0.4 WHEN 'click' THEN 0.3
+                           WHEN 'purchase' THEN 0.1 WHEN 'signup' THEN 0.1
+                           WHEN 'error' THEN 0.1 ELSE NULL END AS target_share,
+           round((CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY window_start))
+                 * ln((CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY window_start))
+                      / CASE event_type WHEN 'view' THEN 0.4 WHEN 'click' THEN 0.3
+                                        WHEN 'purchase' THEN 0.1
+                                        WHEN 'signup' THEN 0.1
+                                        WHEN 'error' THEN 0.1 ELSE NULL END), 6)
+               AS kl_term
+    FROM c
+    """,
+    doc="B14 × run governance, the EIGHTH real-engine streaming gate "
+    "entry: a windowed TRAFFIC-MIX DRIFT MONITOR on the CDC event "
+    "stream — per hourly window, each event type's observed share vs "
+    "the expected mix (plan-literal target: view 0.4 / click 0.3 / "
+    "purchase·signup·error 0.1) with its KL contribution, the alarm a "
+    "pipeline owner pages on when an upstream producer breaks or a "
+    "bot floods one event type. The STREAMING side maintains exactly "
+    "the per-(window, type) counts (the minimal keyed state — bounded "
+    "by windows × types whatever the throughput); shares and KL terms "
+    "are computed on the serving read over the complete-mode result, "
+    "the lake-then-serve split the BM25 gate entry established. "
+    "Engine surface covered: state store, watermark bookkeeping, "
+    "micro-batch planning under availableNow. Oracle = the batch twin "
+    "(complete mode emits every window). Scale: ONE streaming shuffle "
+    "keyed by (window, type); the share window runs on the "
+    "windows×types result frame, never the event stream.",
+)
+def streaming_mixture_monitor_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from ..session import configure
+
+    configure(spark)
+    replay_dir = tempfile.mkdtemp(prefix="events_replay_")
+    try:
+        os.symlink(f"{sf_dir}/events.parquet", f"{replay_dir}/events.parquet")
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(schema).format("parquet").load(replay_dir)
+        )
+        stream = event_ts_as_timestamp(stream)
+        counts = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "event_type",
+                "n",
+            )
+        )
+        name = f"stream_mix_{uuid.uuid4().hex[:8]}"
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "mixture monitor ingest did not terminate within 300 s"
+            )
+        tbl = spark.table(name)
+        target = (
+            F.when(F.col("event_type") == "view", F.lit(0.4))
+            .when(F.col("event_type") == "click", F.lit(0.3))
+            .when(F.col("event_type") == "purchase", F.lit(0.1))
+            .when(F.col("event_type") == "signup", F.lit(0.1))
+            .when(F.col("event_type") == "error", F.lit(0.1))
+            .otherwise(F.lit(None).cast("double"))
+        )
+        share = F.col("n").cast("double") / F.sum("n").over(
+            W.partitionBy("window_start")
+        )
+        return tbl.select(
+            "window_start",
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(share, 6).alias("share"),
+            target.alias("target_share"),
+            F.round(share * F.log(share / target), 6).alias("kl_term"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
