@@ -3114,11 +3114,19 @@ def dq_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(1, dim + 1)
         ]
     )
+    # r14: the squared-sum accumulates in DECIMAL(38,0), not BIGINT —
+    # Σ q² with |q| ≈ 1.25e5 µ-ints overflows int64 at ~5e8 vectors
+    # (a corpus 100 TB genuinely reaches; ANSI Spark would throw, but
+    # throwing at 5e8 rows is still a scale wall). DuckDB's sum(BIGINT)
+    # is already HUGEINT, and both engines CAST the exact integer to
+    # DOUBLE identically, so parity is unchanged by construction.
     agg = q.agg(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(F.col(f"q{i}")).alias(f"s{i}") for i in range(1, dim + 1)],
         *[
-            F.sum(F.col(f"q{i}") * F.col(f"q{i}")).alias(f"ss{i}")
+            F.sum(
+                F.col(f"q{i}").cast("decimal(38,0)") * F.col(f"q{i}")
+            ).alias(f"ss{i}")
             for i in range(1, dim + 1)
         ],
     )
