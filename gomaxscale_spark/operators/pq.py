@@ -796,11 +796,15 @@ def embedding_variance_card(
             for i in range(1, dim + 1)
         ]
     )
+    # squared sums in DECIMAL(38,0): Σ q² overflows int64 at ~5e8
+    # vectors (same fix as dq_embedding_profile, r14)
     row = q.agg(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(F.col(f"q{i}")).alias(f"s{i}") for i in range(1, dim + 1)],
         *[
-            F.sum(F.col(f"q{i}") * F.col(f"q{i}")).alias(f"ss{i}")
+            F.sum(
+                F.col(f"q{i}").cast("decimal(38,0)") * F.col(f"q{i}")
+            ).alias(f"ss{i}")
             for i in range(1, dim + 1)
         ],
     ).collect()[0]
@@ -808,7 +812,7 @@ def embedding_variance_card(
     if not n:
         raise ValueError("embedding_variance_card: empty corpus")
     return [
-        (row[f"ss{i}"] / n - (row[f"s{i}"] / n) ** 2) / 1e12
+        (float(row[f"ss{i}"]) / n - (row[f"s{i}"] / n) ** 2) / 1e12
         for i in range(1, dim + 1)
     ]
 
