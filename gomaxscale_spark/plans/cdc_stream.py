@@ -439,6 +439,53 @@ def retention_daily_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_replay_dir(spark: SparkSession, sf_dir: str):
+    """Expose the single events.parquet through a symlinked temp dir
+    (the streaming file source wants a directory; no data copy) and
+    return ``(replay_dir, schema)``.  Callers MUST rmtree the dir in a
+    ``finally`` block — r14 VERDICT flagged the six older gates for
+    leaking these across repeated bench/gate replays."""
+    import os
+    import tempfile
+
+    replay_dir = tempfile.mkdtemp(prefix="events_replay_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{replay_dir}/events.parquet")
+    # physical ts encoding varies; normalized by event_ts_as_timestamp
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return replay_dir, schema
+
+
+def _drain_to_memory_sink(spark: SparkSession, df: DataFrame, prefix: str,
+                          mode: str) -> DataFrame:
+    """Drive ``df`` through a memory sink under availableNow and return
+    the MATERIALIZED result with the sink released.
+
+    ``awaitTermination(timeout)`` returns False on timeout with the
+    query STILL RUNNING — reading the sink then would serve a
+    partially-ingested table and silently mismatch the oracle
+    (r13 ADVICE; pattern applied uniformly to all gates in r15).
+    ``localCheckpoint(eager=True)`` truncates lineage off the sink so
+    the uuid-named temp view can be dropped immediately instead of
+    retaining the complete-mode result in driver memory for the
+    session (r14 ADVICE)."""
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"{prefix} ingest did not terminate within 300 s")
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 @query(
     "streaming_tumbling_availablenow",
     oracle="""
@@ -454,45 +501,33 @@ def retention_daily_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "itself — state store, watermark bookkeeping, micro-batch planning.",
 )
 def streaming_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-    import uuid
+    import shutil
 
     from ..session import configure
 
     configure(spark)
-    # the streaming file source wants a directory; expose the single
-    # parquet file through a symlinked temp dir (no data copy)
-    replay_dir = tempfile.mkdtemp(prefix="events_replay_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{replay_dir}/events.parquet")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # physical ts encoding varies; normalized below
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .load(replay_dir)
-    )
-    stream = event_ts_as_timestamp(stream)
-    agg = (
-        stream.withWatermark("ts", "2 hours")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(
-            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
-            "event_type",
-            "n",
-            "sum_value",
+    replay_dir, schema = _events_replay_dir(spark, sf_dir)
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(replay_dir)
         )
-    )
-    name = f"stream_gate_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+        stream = event_ts_as_timestamp(stream)
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "event_type",
+                "n",
+                "sum_value",
+            )
+        )
+        return _drain_to_memory_sink(spark, agg, "stream_gate", "complete")
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
 
 
 @query(
@@ -524,47 +559,37 @@ def streaming_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFra
     "session_window_per_user).",
 )
 def streaming_session_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-    import uuid
+    import shutil
 
     from ..session import configure
 
     configure(spark)
-    replay_dir = tempfile.mkdtemp(prefix="events_replay_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{replay_dir}/events.parquet")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # physical ts encoding varies; normalized below
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .load(replay_dir)
-    )
-    stream = event_ts_as_timestamp(stream)
-    agg = (
-        stream.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+    replay_dir, schema = _events_replay_dir(spark, sf_dir)
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(replay_dir)
         )
-        .select(
-            "user_id",
-            F.date_trunc("second", F.col("sw.start"))
-            .cast("timestamp_ntz")
-            .alias("session_start"),
-            "n_events",
-            "sum_value",
+        stream = event_ts_as_timestamp(stream)
+        agg = (
+            stream.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                "user_id",
+                F.date_trunc("second", F.col("sw.start"))
+                .cast("timestamp_ntz")
+                .alias("session_start"),
+                "n_events",
+                "sum_value",
+            )
         )
-    )
-    name = f"stream_session_gate_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+        return _drain_to_memory_sink(spark, agg, "stream_session_gate", "complete")
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
 
 
 @query(
@@ -580,33 +605,23 @@ def streaming_session_availablenow(spark: SparkSession, sf_dir: str) -> DataFram
     "where state expiry matters.",
 )
 def streaming_dedup_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-    import uuid
+    import shutil
 
     from ..session import configure
 
     configure(spark)
-    replay_dir = tempfile.mkdtemp(prefix="events_replay_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{replay_dir}/events.parquet")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .load(replay_dir)
-        .select("user_id", "event_type")
-        .dropDuplicates(["user_id", "event_type"])
-    )
-    name = f"stream_dedup_gate_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+    replay_dir, schema = _events_replay_dir(spark, sf_dir)
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(replay_dir)
+            .select("user_id", "event_type")
+            .dropDuplicates(["user_id", "event_type"])
+        )
+        return _drain_to_memory_sink(spark, stream, "stream_dedup_gate", "append")
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
 
 
 @query(
@@ -626,44 +641,34 @@ def streaming_dedup_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream-stream join instead.",
 )
 def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-    import uuid
+    import shutil
 
     from ..session import configure
     from ..catalog import load_table
 
     configure(spark)
-    replay_dir = tempfile.mkdtemp(prefix="events_replay_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{replay_dir}/events.parquet")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    dim = F.broadcast(
-        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
-            "c_custkey", "n_name"
+    replay_dir, schema = _events_replay_dir(spark, sf_dir)
+    try:
+        c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        dim = F.broadcast(
+            c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+                "c_custkey", "n_name"
+            )
         )
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .load(replay_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "value")
-    )
-    joined = stream.join(dim, stream["user_id"] == dim["c_custkey"]).select(
-        "event_id", "user_id", "n_name", "value"
-    )
-    name = f"stream_enrich_gate_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(replay_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "value")
+        )
+        joined = stream.join(dim, stream["user_id"] == dim["c_custkey"]).select(
+            "event_id", "user_id", "n_name", "value"
+        )
+        return _drain_to_memory_sink(spark, joined, "stream_enrich_gate", "append")
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
 
 
 @query(
@@ -686,39 +691,29 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batch twin sliding_window_counts.",
 )
 def streaming_sliding_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-    import uuid
+    import shutil
 
     from ..session import configure
 
     configure(spark)
-    replay_dir = tempfile.mkdtemp(prefix="events_replay_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{replay_dir}/events.parquet")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .load(replay_dir)
-    )
-    stream = event_ts_as_timestamp(stream)
-    agg = (
-        stream.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(
-            F.col("w.start").cast("timestamp_ntz").alias("window_start"), "n", "sum_value"
+    replay_dir, schema = _events_replay_dir(spark, sf_dir)
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(replay_dir)
         )
-    )
-    name = f"stream_sliding_gate_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+        stream = event_ts_as_timestamp(stream)
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"), "n", "sum_value"
+            )
+        )
+        return _drain_to_memory_sink(spark, agg, "stream_sliding_gate", "complete")
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
 
 
 @query(
@@ -740,16 +735,12 @@ def streaming_sliding_availablenow(spark: SparkSession, sf_dir: str) -> DataFram
     "both sides shuffle on user_id once.",
 )
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-    import uuid
+    import shutil
 
     from ..session import configure
 
     configure(spark)
-    replay_dir = tempfile.mkdtemp(prefix="events_replay_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{replay_dir}/events.parquet")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    replay_dir, schema = _events_replay_dir(spark, sf_dir)
 
     def side(event_type: str, prefix: str):
         return (
@@ -766,28 +757,22 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withWatermark(f"{prefix}_ts", "2 hours")
         )
 
-    purchases = side("purchase", "p")
-    clicks = side("click", "c")
-    joined = purchases.join(
-        clicks,
-        F.expr(
-            "p_uid = c_uid AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
-        ),
-    ).select(
-        F.col("p_id").alias("purchase_id"),
-        F.col("c_id").alias("click_id"),
-        F.col("p_uid").alias("user_id"),
-    )
-    name = f"stream_ssjoin_gate_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+    try:
+        purchases = side("purchase", "p")
+        clicks = side("click", "c")
+        joined = purchases.join(
+            clicks,
+            F.expr(
+                "p_uid = c_uid AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+            ),
+        ).select(
+            F.col("p_id").alias("purchase_id"),
+            F.col("c_id").alias("click_id"),
+            F.col("p_uid").alias("user_id"),
+        )
+        return _drain_to_memory_sink(spark, joined, "stream_ssjoin_gate", "append")
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
 
 
 @query(
@@ -935,20 +920,15 @@ def streaming_bm25_lake_availablenow(spark: SparkSession, sf_dir: str) -> DataFr
 def streaming_mixture_monitor_availablenow(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import os
     import shutil
-    import tempfile
-    import uuid
 
     from pyspark.sql import Window as W
 
     from ..session import configure
 
     configure(spark)
-    replay_dir = tempfile.mkdtemp(prefix="events_replay_")
+    replay_dir, schema = _events_replay_dir(spark, sf_dir)
     try:
-        os.symlink(f"{sf_dir}/events.parquet", f"{replay_dir}/events.parquet")
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         stream = (
             spark.readStream.schema(schema).format("parquet").load(replay_dir)
         )
@@ -963,20 +943,7 @@ def streaming_mixture_monitor_availablenow(
                 "n",
             )
         )
-        name = f"stream_mix_{uuid.uuid4().hex[:8]}"
-        q = (
-            counts.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "mixture monitor ingest did not terminate within 300 s"
-            )
-        tbl = spark.table(name)
+        tbl = _drain_to_memory_sink(spark, counts, "stream_mix", "complete")
         target = (
             F.when(F.col("event_type") == "view", F.lit(0.4))
             .when(F.col("event_type") == "click", F.lit(0.3))
@@ -995,6 +962,6 @@ def streaming_mixture_monitor_availablenow(
             F.round(share, 6).alias("share"),
             target.alias("target_share"),
             F.round(share * F.log(share / target), 6).alias("kl_term"),
-        ).localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(replay_dir, ignore_errors=True)

@@ -337,3 +337,29 @@ def test_rocksdb_state_store_batch_equals_stream(spark, sf_dir, events_stream_so
     assert any(k.startswith("rocksdb") for k in metric_keys), (
         f"RocksDB provider metrics absent — provider did not engage: {sorted(metric_keys)[:8]}"
     )
+
+
+def test_gate_releases_sink_and_replay_dir(spark, sf_dir):
+    """r14 VERDICT item 2 / ADVICE item 4: every availableNow gate must
+    (a) assert awaitTermination's boolean, (b) remove its mkdtemp
+    replay dir, and (c) drop the uuid-named memory-sink temp view after
+    materializing — otherwise repeated bench/gate replays accumulate
+    /tmp litter and retain complete-mode results in driver memory for
+    the whole session.  Pin one older gate (tumbling) end-to-end."""
+    import glob
+
+    from gomaxscale_spark.plans.cdc_stream import (
+        streaming_tumbling_availablenow,
+    )
+
+    def temp_views():
+        return {t.name for t in spark.catalog.listTables() if t.isTemporary}
+
+    views_before = temp_views()
+    dirs_before = set(glob.glob("/tmp/events_replay_*"))
+    out = streaming_tumbling_availablenow(spark, sf_dir)
+    # result is materialized: collectable even though sink + dir are gone
+    assert out.count() > 0
+    assert not {v for v in temp_views() - views_before if v.startswith("stream_gate_")}
+    dirs_after = set(glob.glob("/tmp/events_replay_*"))
+    assert dirs_after - dirs_before == set()
