@@ -22,8 +22,20 @@ KNUTH_MULT = 2654435761
 
 
 def hash_bucket(id_col: Column, n_buckets: int = 100) -> Column:
-    """Deterministic bucket in [0, n_buckets) from an integer id."""
-    return (id_col.cast("long") * F.lit(KNUTH_MULT)) % F.lit(int(n_buckets))
+    """Deterministic bucket in [0, n_buckets) from a nonnegative id.
+
+    Overflow-safe Knuth multiplicative bucket (r14 ADVICE): the naive
+    ``(id * KNUTH_MULT) % m`` overflows int64 at id ≈ 3.46e9 — Spark
+    silently wraps while DuckDB raises, and ~3.3e9 docs is plausible
+    at 100 TB.  Reduce BOTH factors mod m first:
+    ``(a*b) % m == ((a%m) * (b%m)) % m`` exactly in unbounded
+    arithmetic, so every bucket value for in-range ids is unchanged
+    and the product is now bounded by m² (< 1e6) — no overflow on
+    either engine at any id.  The SQL oracle twins use the same
+    reduced form.
+    """
+    m = int(n_buckets)
+    return ((id_col.cast("long") % m) * F.lit(KNUTH_MULT % m)) % F.lit(m)
 
 
 def hash_split(
@@ -582,10 +594,28 @@ def epoch_upsample(
         raise ValueError("epoch_upsample: empty weights map")
     base_expr: Column | None = None
     frac_expr: Column | None = None
+    from decimal import Decimal
+
     for g, w in weights.items():
         if w < 0:
             raise ValueError(f"epoch_upsample: negative weight for {g!r}")
-        b, fk = int(w), round((w - int(w)) * 1000)
+        # Quantize via Decimal(str(w)) (r14 ADVICE): the float form
+        # round((w - int(w)) * 1000) uses banker's rounding on top of
+        # binary representation error — e.g. w=1.0005 yields frac_k=0
+        # (half-to-even) and a weight not exactly representable at 3dp
+        # lands a thousandth off the documented contract, silently
+        # changing expected copy counts. Decimal(str(w)) reads the
+        # weight at its printed precision; reject anything finer than
+        # thousandths instead of rounding it silently.
+        d = Decimal(str(w))
+        milli = d * 1000
+        if milli != int(milli):
+            raise ValueError(
+                f"epoch_upsample: weight for {g!r} ({w}) is not exactly "
+                "representable in thousandths — the fractional draw is "
+                "quantized to 3 decimal places"
+            )
+        b, fk = int(d), int(milli) - int(d) * 1000
         base_expr = (
             F.when(F.col(group_col) == g, F.lit(b))
             if base_expr is None

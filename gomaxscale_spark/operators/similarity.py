@@ -1067,7 +1067,15 @@ def semantic_dedup(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "__raw",
-            dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")),
+            # 6dp-rounded BEFORE the threshold (r14 ADVICE): a last-ulp
+            # fold divergence between the Arrow/JVM dot and the oracle's
+            # SQL fold must not flip pair membership — the same rounded-
+            # score discipline as benchmark_decontaminate_embeddings.
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ),
         )
         .filter(F.col("__raw") >= threshold)
     )
@@ -1075,7 +1083,7 @@ def semantic_dedup(
         pairs.groupBy(F.col("id_b").alias(id_col), "cluster_id")
         .agg(
             F.min("id_a").alias("witness_id"),
-            F.round(F.min_by("__raw", "id_a"), 6).alias("witness_score"),
+            F.min_by("__raw", "id_a").alias("witness_score"),
         )
         .select(
             id_col,

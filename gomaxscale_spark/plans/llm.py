@@ -1756,9 +1756,9 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sampling_hash_split",
     oracle="""
     SELECT doc_id,
-           CAST((doc_id * 2654435761) % 100 AS BIGINT) AS bucket,
-           CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-                WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+           CAST(((doc_id % 100) * (2654435761 % 100)) % 100 AS BIGINT) AS bucket,
+           CASE WHEN ((doc_id % 100) * (2654435761 % 100)) % 100 < 80 THEN 'train'
+                WHEN ((doc_id % 100) * (2654435761 % 100)) % 100 < 90 THEN 'val'
                 ELSE 'test' END AS split
     FROM documents
     """,
@@ -1779,7 +1779,7 @@ def sampling_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH r AS (
       SELECT doc_id, lang,
              row_number() OVER (PARTITION BY lang
-                                ORDER BY (doc_id * 2654435761) % 997, doc_id) AS rn,
+                                ORDER BY ((doc_id % 997) * (2654435761 % 997)) % 997, doc_id) AS rn,
              count(*) OVER (PARTITION BY lang) AS n
       FROM documents
     )
@@ -2044,7 +2044,7 @@ def dedup_keep_representatives_lsh(spark: SparkSession, sf_dir: str) -> DataFram
     "text_contamination_ngram",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,
+      SELECT doc_id, ((doc_id % 100) * (2654435761 % 100)) % 100 AS bucket,
              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
       FROM documents
     ), sh AS (
@@ -2146,7 +2146,7 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT doc_id, text, lang, n_chars,
-             (doc_id * 2654435761) % 100 AS bucket, md5(text) AS digest
+             ((doc_id % 100) * (2654435761 % 100)) % 100 AS bucket, md5(text) AS digest
       FROM documents
     ), fresh AS (
       SELECT * FROM b WHERE bucket >= 80
@@ -2185,7 +2185,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), r AS (
       SELECT doc_id, lang,
              row_number() OVER (PARTITION BY lang
-               ORDER BY (doc_id * 2654435761) % 997, doc_id) AS rn
+               ORDER BY ((doc_id % 997) * (2654435761 % 997)) % 997, doc_id) AS rn
       FROM documents
     )
     SELECT doc_id, lang, rn FROM r, q WHERE rn <= q.quota
@@ -2439,7 +2439,7 @@ def timeseries_topk_similar_scaled(spark: SparkSession, sf_dir: str) -> DataFram
     "pipeline_training_corpus",
     oracle="""
     WITH b AS (
-      SELECT *, (doc_id * 2654435761) % 100 AS bucket FROM documents
+      SELECT *, ((doc_id % 100) * (2654435761 % 100)) % 100 AS bucket FROM documents
     ), s AS (
       SELECT doc_id,
              CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS n_toks,
@@ -2618,7 +2618,7 @@ def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), r AS (
       SELECT doc_id, lang,
              row_number() OVER (PARTITION BY lang
-               ORDER BY (doc_id * 2654435761) % 997, doc_id) AS rn
+               ORDER BY ((doc_id % 997) * (2654435761 % 997)) % 997, doc_id) AS rn
       FROM documents
     )
     SELECT r.doc_id, r.lang, r.rn
@@ -3335,8 +3335,8 @@ def dedup_family_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPLIT_CASE_SQL = """CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-                WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+_SPLIT_CASE_SQL = """CASE WHEN ((doc_id % 100) * (2654435761 % 100)) % 100 < 80 THEN 'train'
+                WHEN ((doc_id % 100) * (2654435761 % 100)) % 100 < 90 THEN 'val'
                 ELSE 'test' END"""
 
 
@@ -4828,7 +4828,7 @@ def _bloom_decontaminate_sql() -> str:
     p, m, w = MINHASH_P, BLOOM_M, BLOOM_WORD_BITS
     return f"""
     WITH toks AS (
-      SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,
+      SELECT doc_id, ((doc_id % 100) * (2654435761 % 100)) % 100 AS bucket,
              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
       FROM documents
     ), sh AS (
@@ -5344,14 +5344,14 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT vec_id, embedding, cluster_id FROM assigned WHERE rn = 1),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, b.cluster_id,
-             {_cos_sql("a.embedding", "b.embedding")} AS s
+             round({_cos_sql("a.embedding", "b.embedding")}, 6) AS s
       FROM m a JOIN m b
         ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-      WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.35
+      WHERE round({_cos_sql("a.embedding", "b.embedding")}, 6) >= 0.35
     )
     SELECT id_b AS vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
            min(id_a) AS witness_id,
-           round(arg_min(s, id_a), 6) AS witness_score
+           arg_min(s, id_a) AS witness_score
     FROM pairs GROUP BY id_b, cluster_id
     """,
     doc="B15/B16 bridge — SemDeDup (Abbas et al. 2023): semantic "
@@ -5362,8 +5362,9 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Assignment is the Arrow assign_nearest kernel against the "
     "id-ordered seed quantizer (the IVF convention — oracle replays "
     "it in SQL with identical argmax tie-breaks); the pair stage is "
-    "the pairwise_near_duplicates shape with precomputed norms, raw "
-    "threshold, 6dp projection rounding. Scale: the paper's own "
+    "the pairwise_near_duplicates shape with precomputed norms and a "
+    "6dp-ROUNDED threshold (ulp-stable pair membership across "
+    "engines). Scale: the paper's own "
     "topology — k grows with N so per-cluster pair fan-out stays "
     "bounded; vectors shuffle ONCE keyed by cluster; a mega-cluster "
     "follows the count-first cap discipline "
@@ -5645,17 +5646,17 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_split_leakage_audit",
     oracle="WITH " + _portable_lsh_pairs_ctes(threshold=0.8) + """, sp AS (
-      SELECT least(CASE WHEN (id_a * 2654435761) % 100 < 80 THEN 'train'
-                        WHEN (id_a * 2654435761) % 100 < 90 THEN 'val'
+      SELECT least(CASE WHEN ((id_a % 100) * (2654435761 % 100)) % 100 < 80 THEN 'train'
+                        WHEN ((id_a % 100) * (2654435761 % 100)) % 100 < 90 THEN 'val'
                         ELSE 'test' END,
-                   CASE WHEN (id_b * 2654435761) % 100 < 80 THEN 'train'
-                        WHEN (id_b * 2654435761) % 100 < 90 THEN 'val'
+                   CASE WHEN ((id_b % 100) * (2654435761 % 100)) % 100 < 80 THEN 'train'
+                        WHEN ((id_b % 100) * (2654435761 % 100)) % 100 < 90 THEN 'val'
                         ELSE 'test' END) AS split_lo,
-             greatest(CASE WHEN (id_a * 2654435761) % 100 < 80 THEN 'train'
-                           WHEN (id_a * 2654435761) % 100 < 90 THEN 'val'
+             greatest(CASE WHEN ((id_a % 100) * (2654435761 % 100)) % 100 < 80 THEN 'train'
+                           WHEN ((id_a % 100) * (2654435761 % 100)) % 100 < 90 THEN 'val'
                            ELSE 'test' END,
-                      CASE WHEN (id_b * 2654435761) % 100 < 80 THEN 'train'
-                           WHEN (id_b * 2654435761) % 100 < 90 THEN 'val'
+                      CASE WHEN ((id_b % 100) * (2654435761 % 100)) % 100 < 80 THEN 'train'
+                           WHEN ((id_b % 100) * (2654435761 % 100)) % 100 < 90 THEN 'val'
                            ELSE 'test' END) AS split_hi,
              jaccard
       FROM pairs

@@ -430,3 +430,18 @@ def test_pack_efficiency_rejects_bad_budgets(spark):
         pack_efficiency(d, "doc_id", "text", budgets=())
     with _pytest.raises(ValueError):
         pack_efficiency(d, "doc_id", "text", budgets=(0,))
+
+
+def test_epoch_upsample_decimal_quantization(spark):
+    """r14 ADVICE: frac_k must come from Decimal(str(w)), not float
+    round() — w=0.6 is not exactly representable in binary (float
+    arithmetic can land a thousandth off), and w=1.0005 hits banker's
+    rounding (round() → 0). The contract: exact thousandths or raise."""
+    d = spark.createDataFrame([(7, "en")], "doc_id long, lang string")
+    # 0.6 → frac_k exactly 600: h % 1000 = 283 for id 7 → extra copy
+    h = int(hashlib.md5(b"7:epoch0").hexdigest()[:15], 16)
+    rows = epoch_upsample(d, "doc_id", "lang", weights={"en": 1.6}).collect()
+    assert rows[0].n_copies == 1 + (1 if h % 1000 < 600 else 0)
+    # finer than thousandths: loud rejection, not silent rounding
+    with pytest.raises(ValueError, match="thousandths"):
+        epoch_upsample(d, "doc_id", "lang", weights={"en": 1.0005})
