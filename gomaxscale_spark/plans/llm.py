@@ -3092,59 +3092,32 @@ def _emb_profile_oracle(dim: int = 64) -> str:
     "the engines aggregate INTEGERS (order-free, the DSIR trick), so "
     "no float-summation-order divergence exists by construction; the "
     "float finishing (two divisions per row over 64 rows) is a fixed "
-    "deterministic sequence mirrored in the oracle. Scale: zero row "
-    "fan-out — 128 partial-agged integer aggregates collapse the "
-    "corpus to ONE row (map-side combine; no explode of N×64 rows), "
-    "then the 64-row unpivot is driver-trivial.",
+    "deterministic sequence mirrored in the oracle. r15: the integer "
+    "moments come from the Arrow moment_partials kernel (one np.sum "
+    "per moment per batch, bit-equal µ-quantizer pinned in "
+    "test_vector_kernel.py) — the expression form was correct but "
+    "codegen-bound (64 extracts + 129 agg buffers per row; the cell "
+    "oscillated 1.5-3.8 s with host JIT state, r13/r14 watch item), "
+    "the same parse/codegen disease the ADC family had. Scale: zero "
+    "row fan-out — per-partition integer partials (64 rows each) "
+    "collapse the corpus map-side; cross-partition Σq² rides "
+    "DECIMAL(38,0) (int64 dies at ~5e8 vectors).",
 )
 def dq_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.bucketing import parallelize_narrow_input
+    from ..operators import vector_kernel as VK
 
-    dim = 64
-    # the per-row cost is 64 extracts + 128 agg-buffer updates, so task
-    # parallelism is the wall — replica/test parquet arrives as 1-2
-    # files and would otherwise run ~2 tasks (the r8 study gotcha)
-    e = parallelize_narrow_input(t(spark, sf_dir, "embeddings"))
-    q = e.select(
-        *[
-            F.expr(
-                f"CAST(round(CAST(element_at(embedding, {i}) AS DOUBLE)"
-                " * 1000000) AS BIGINT)"
-            ).alias(f"q{i}")
-            for i in range(1, dim + 1)
-        ]
-    )
-    # r14: the squared-sum accumulates in DECIMAL(38,0), not BIGINT —
-    # Σ q² with |q| ≈ 1.25e5 µ-ints overflows int64 at ~5e8 vectors
-    # (a corpus 100 TB genuinely reaches; ANSI Spark would throw, but
-    # throwing at 5e8 rows is still a scale wall). DuckDB's sum(BIGINT)
-    # is already HUGEINT, and both engines CAST the exact integer to
-    # DOUBLE identically, so parity is unchanged by construction.
-    agg = q.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.col(f"q{i}")).alias(f"s{i}") for i in range(1, dim + 1)],
-        *[
-            F.sum(
-                F.col(f"q{i}").cast("decimal(38,0)") * F.col(f"q{i}")
-            ).alias(f"ss{i}")
-            for i in range(1, dim + 1)
-        ],
-    )
-    row = agg.select(
-        "n",
-        F.posexplode(
-            F.arrays_zip(
-                F.array(*[F.col(f"s{i}") for i in range(1, dim + 1)]).alias("s"),
-                F.array(*[F.col(f"ss{i}") for i in range(1, dim + 1)]).alias("ss"),
-            )
-        ).alias("pos", "z"),
-    )
-    return row.select(
-        (F.col("pos") + 1).cast("int").alias("dim"),
-        F.expr("round(CAST(z.s AS DOUBLE) / n / 1000000.0, 6)").alias("mean_val"),
+    # NO parallelize_narrow_input here (unlike the shingling family):
+    # the kernel's per-row cost is one amortized np.sum, so fanning a
+    # small frame to 32 Python workers costs more than it buys; at
+    # lake scale the scan's own partitioning (maxPartitionBytes)
+    # already gives the pure map full parallelism.
+    m = VK.moment_partials(t(spark, sf_dir, "embeddings"), "embedding", dim=64)
+    return m.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.expr("round(CAST(s AS DOUBLE) / n / 1000000.0, 6)").alias("mean_val"),
         F.expr(
-            "round((CAST(z.ss AS DOUBLE) / n"
-            " - (CAST(z.s AS DOUBLE) / n) * (CAST(z.s AS DOUBLE) / n))"
+            "round((CAST(ss AS DOUBLE) / n"
+            " - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))"
             " / 1000000000000.0, 8)"
         ).alias("var_val"),
     ).orderBy("dim")
