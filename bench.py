@@ -179,6 +179,9 @@ EXTRA = [
     "corpus_pack_efficiency",
     # r14 wave 4: the 8th real-engine streaming entry
     "streaming_mixture_monitor_availablenow",
+    # r15: the capped composition of the leakage audit (VERDICT r14
+    # item 5 — the bounded-by-construction production form)
+    "dedup_split_leakage_audit_capped",
 ]
 
 

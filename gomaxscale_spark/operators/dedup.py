@@ -1759,6 +1759,7 @@ def split_leakage_audit(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Train/eval LEAKAGE matrix: near-duplicate pairs (the portable
     MinHash-LSH candidates + exact-Jaccard verify pipeline) broken
@@ -1780,12 +1781,19 @@ def split_leakage_audit(
     FUNCTION of the id (Knuth multiplicative hash → bucket), so the
     audit adds zero joins and zero exchanges on top of the pairs —
     the matrix agg runs on the pair set, which is output-sized.
+    ``max_bucket_size`` routes the pair stage through the count-first
+    cap (the dedup_minhash_lsh_capped discipline): at corpus scale a
+    hot boilerplate bucket would otherwise expand quadratically
+    INSIDE the audit — SCALING.md's r14 addendum measured the uncapped
+    form superlinear on the replicas; the capped composition keeps the
+    audit bounded and the over-cap buckets flow to the usual review
+    queue, not this matrix.
     """
     from .sampling import hash_bucket
 
     cands = minhash_lsh_candidates(
         df, id_col, text_col, num_hashes=num_hashes, bands=bands,
-        shingle_n=shingle_n, portable=True,
+        shingle_n=shingle_n, max_bucket_size=max_bucket_size, portable=True,
     )
     pairs = verify_candidates_jaccard(
         df, cands, id_col, text_col, threshold=threshold, shingle_n=shingle_n

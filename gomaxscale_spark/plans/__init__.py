@@ -67,6 +67,12 @@ _PRIORITY: list[str] = [
     # pure codegen map whose shape the quality family already covers,
     # and it stays full-catalog oracle-replayed at tier-2 head).
     "streaming_bm25_lake_availablenow",
+    # r15 (VERDICT r14 item 3): the EIGHTH real-engine streaming gate —
+    # the windowed traffic-mix drift monitor (per-hour event-type
+    # shares + KL vs the plan-literal expected mix; engine maintains
+    # the minimal keyed counts, shares/KL computed on the serving
+    # read). Funded by the cdc_snapshot_latest_state_salted demotion.
+    "streaming_mixture_monitor_availablenow",
     "flagship_user_activity",
     # sampling / splits
     "sampling_hash_split",
@@ -74,13 +80,13 @@ _PRIORITY: list[str] = [
     "cdc_event_routing",
     "cdc_snapshot_latest_state",
     "cdc_transaction_stitching",
-    # r6 (VERDICT r5 item 7): the skew-proof salted max_by fold earns a
-    # driver row alongside the classic Window form — it is the 100 TB
-    # path when one hot key dominates the change stream. Its slot comes
-    # from dedup_embedding_cosine (label-blocked quadratic semantics
-    # twin — its scale successor dedup_embedding_lsh_scaled already
-    # holds a window row), demoted to tier-2 head.
-    "cdc_snapshot_latest_state_salted",
+    # r6 (VERDICT r5 item 7) promoted the skew-proof salted max_by fold;
+    # r15 (VERDICT r14 item 3) rotated it back to tier-2 head to fund
+    # the streaming_mixture_monitor promotion — it is the long-tail
+    # TWIN of cdc_snapshot_latest_state (same semantics, salted fold),
+    # its skew behavior stays pinned by test_stateful_skew's
+    # result-equality tests, and it remains full-catalog
+    # oracle-replayed every suite run.
     # B15 dedup (incl. the incremental batch-vs-lake capstone). The CC
     # and keep-representatives slots carry the bounded LSH compositions
     # (r5, per VERDICT r4): the (lang, len_band)-blocked exact twins
@@ -152,14 +158,26 @@ _PRIORITY: list[str] = [
     # honest one-shot table where fixed wins because the adaptive forms
     # deliberately move cost to amortized ingest). Fixed twins stay in
     # tier 2, full-catalog oracle-replayed.
-    "similarity_lsh_bucketed_scaled",
+    # r15 (VERDICT r14 item 3): similarity_lsh_bucketed_scaled rotated
+    # to tier-2 head to fund the corpus_pack_sequences promotion — B16
+    # held four window rows and the adaptive-IVF row below covers the
+    # same bucketed-ANN serving story (count-derived probe width,
+    # zero-exchange probe); the LSH form stays full-catalog
+    # oracle-replayed every suite run and its adaptive-width plan shape
+    # stays pinned in test_plan_shapes.py.
     "similarity_ivf_topk_scaled",
-    # r6 (VERDICT r5 item 1): the window slot carries the ADAPTIVE-width
-    # banded sign-LSH — the fixed 8-bit form DNF'd (>15 min) at the 30×
-    # replica while this one finished in 37 s (SCALING.md); at gate
-    # scale the derived width coincides with the classic 8 bits, so
-    # driver semantics are unchanged. Fixed-width twin lives in tier 2.
-    "dedup_embedding_lsh_scaled",
+    # r6 (VERDICT r5 item 1) put the ADAPTIVE-width banded sign-LSH in
+    # the window (fixed 8-bit form DNF'd at the 30× replica); r15
+    # (VERDICT r14 item 3) rotated it to tier-2 head to fund the
+    # dedup_semantic_cluster promotion — the embedding near-dup
+    # modality's gate coverage now flows through SemDeDup (the modern
+    # web-scale semantic-dedup topology: learned k-means blocking
+    # instead of sign-LSH bands, measured k-grown-linear at x30 where
+    # fixed-k went quadratic). The adaptive sign-LSH form stays
+    # full-catalog oracle-replayed every suite run; the r5 invariant
+    # (the FIXED form never returns to the window) is unchanged and
+    # still pinned in test_catalog_window.py.
+    "dedup_semantic_cluster",
     # r11 (VERDICT r10 item 3): the PQ/IVF-PQ serving tier gets a gate
     # row — ADC top-k over literal codebooks, oracle-exact. r12 (VERDICT
     # r11 item 1): the slot swaps to the m=16 two-word layout — the
@@ -220,6 +238,12 @@ _PRIORITY: list[str] = [
     # fan-out+window form at x100, quota ranks on the 6dp-rounded score).
     # Funded by the text_quality_score demotion above.
     "sampling_cluster_balanced",
+    # r15 (VERDICT r14 item 3): the training-sequence assembly spine —
+    # token-budget sequence packing (GPT-style concat order as a
+    # provenance map: ONE shard-keyed cumsum exchange, measured linear
+    # at the replicas). The r14 sequence-assembly family's gate row.
+    # Funded by the similarity_lsh_bucketed_scaled demotion.
+    "corpus_pack_sequences",
     # data-quality gate
     "dq_referential_orphans",
     # r13 (VERDICT r12 item 1): the per-dimension embedding data card —
@@ -236,6 +260,19 @@ _PRIORITY: list[str] = [
 #: Tier 2: nearest-miss variants of families already represented above —
 #: first in line if the gate window ever widens.
 _TIER2: list[str] = [
+    # r15 NEW at tier-2 head: the capped composition of the leakage
+    # audit (VERDICT r14 item 5) — identical split arithmetic over the
+    # count-first-capped pair pipeline, the form whose cost is bounded
+    # before any pair exists. Oracle-twinned; first in line for a
+    # window rotation.
+    "dedup_split_leakage_audit_capped",
+    # r15 demotions (VERDICT r14 item 3 — funded the semantic-dedup /
+    # pack-sequences / mixture-monitor promotions; rationale at each
+    # _PRIORITY swap comment). All three stay full-catalog
+    # oracle-replayed every suite run.
+    "dedup_embedding_lsh_scaled",
+    "similarity_lsh_bucketed_scaled",
+    "cdc_snapshot_latest_state_salted",
     # r14 NEW MODALITY at tier-2 head (standing pattern): sequence
     # assembly — the last mile between a curated corpus and a
     # training/RAG consumer: context-window chunking, fixed-budget
@@ -250,7 +287,6 @@ _TIER2: list[str] = [
     # et al. 2024), mixture-epoch upsampling (integer-exact fractional
     # copies), and the Gopher-rule ablation matrix. All five
     # oracle-checked at both SFs.
-    "dedup_semantic_cluster",
     "decontaminate_embedding_cosine",
     "sampling_soft_dedup_weights",
     "sampling_epoch_upsample",
@@ -272,9 +308,7 @@ _TIER2: list[str] = [
     # shares + KL vs the expected mix, counts maintained by the real
     # engine under availableNow, shares computed on the serving read —
     # the BM25-lake split). First in line for a B14 window rotation.
-    "streaming_mixture_monitor_availablenow",
     "text_chunk_windows",
-    "corpus_pack_sequences",
     "text_bpe_pair_counts",
     # r14: chunk-level duplication — the exact-dedup shape on the
     # chunk axis (what a RAG chunk store checks before indexing)

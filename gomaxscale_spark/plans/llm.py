@@ -298,12 +298,13 @@ def _portable_lsh_base_ctes(
     )"""
 
 
-def _portable_lsh_capped_oracle(
+def _portable_lsh_capped_pairs_ctes(
     threshold: float, cap: int, num_hashes: int = 64, bands: int = 16, shingle_n: int = 2
 ) -> str:
-    """Replay of the count-first capped pipeline: bucket sizes from a
-    pure count; pairs expand only inside buckets with 2 ≤ n ≤ cap;
-    over-cap buckets surface as 'hot_bucket' review rows instead."""
+    """CTE chain ending in the count-first CAPPED ``pairs`` (and the
+    ``cnt`` bucket counts): bucket sizes from a pure count; pairs
+    expand only inside buckets with 2 ≤ n ≤ cap. Shared by the capped
+    dedup entry and the capped leakage audit."""
     br_arms = "\n      UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, k{b} AS band_key FROM bk" for b in range(bands)
     )
@@ -328,7 +329,17 @@ def _portable_lsh_capped_oracle(
       JOIN sh x ON x.doc_id = c.id_a
       JOIN sh y ON y.doc_id = c.id_b
       WHERE {jac} >= {threshold}
-    )
+    )"""
+
+
+def _portable_lsh_capped_oracle(
+    threshold: float, cap: int, num_hashes: int = 64, bands: int = 16, shingle_n: int = 2
+) -> str:
+    """Replay of the count-first capped pipeline: capped pairs plus
+    over-cap buckets surfaced as 'hot_bucket' review rows."""
+    return _portable_lsh_capped_pairs_ctes(
+        threshold, cap, num_hashes, bands, shingle_n
+    ) + f"""
     SELECT 'pair' AS kind, id_a, id_b, jaccard,
            NULL::BIGINT AS band_id, NULL::BIGINT AS band_key,
            NULL::BIGINT AS n_members
@@ -5655,6 +5666,49 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return D.split_leakage_audit(d, "doc_id", "text", threshold=0.8)
+
+
+def _split_case_sql(idc: str) -> str:
+    """The naive Knuth-bucket split of ``idc`` as a CASE expression
+    (overflow-safe reduced form — both factors mod 100 first)."""
+    b = f"(({idc} % 100) * (2654435761 % 100)) % 100"
+    return (
+        f"CASE WHEN {b} < 80 THEN 'train' "
+        f"WHEN {b} < 90 THEN 'val' ELSE 'test' END"
+    )
+
+
+@query(
+    "dedup_split_leakage_audit_capped",
+    oracle="WITH " + _portable_lsh_capped_pairs_ctes(threshold=0.8, cap=2) + f""", sp AS (
+      SELECT least({_split_case_sql("id_a")}, {_split_case_sql("id_b")}) AS split_lo,
+             greatest({_split_case_sql("id_a")}, {_split_case_sql("id_b")}) AS split_hi,
+             jaccard
+      FROM pairs
+    )
+    SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(max(jaccard), 6) AS max_jaccard
+    FROM sp GROUP BY split_lo, split_hi
+    """,
+    doc="The PRODUCTION form of the leakage matrix (VERDICT r14 item "
+    "5): identical split arithmetic composed over the COUNT-FIRST "
+    "CAPPED pair pipeline (dedup_minhash_lsh_capped, cap 2 at gate "
+    "scale) instead of the uncapped candidates — SCALING.md's r14 "
+    "addendum measured the uncapped audit superlinear on the "
+    "replicas because a hot boilerplate bucket expands quadratically "
+    "inside the audit itself. Here bucket sizes come from the "
+    "skew-immune count pre-pass, only 2 ≤ n ≤ cap buckets expand, "
+    "and over-cap keys flow to the standing review queue "
+    "(lsh_hot_buckets) rather than this matrix — so the audit's "
+    "cost is bounded BEFORE any pair exists, at any corpus size. "
+    "The split is still a pure id function: zero joins, zero "
+    "exchanges on top of the audited pipeline.",
+)
+def dedup_split_leakage_audit_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return D.split_leakage_audit(
+        d, "doc_id", "text", threshold=0.8, max_bucket_size=2
+    )
 
 
 @query(

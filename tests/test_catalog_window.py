@@ -40,6 +40,8 @@ FAMILY_REPRESENTATIVES = {
         "streaming_stream_stream_join",
         # r14: the BM25 term-statistics lake — the 7th real-engine gate
         "streaming_bm25_lake_availablenow",
+        # r15: the traffic-mix drift monitor — the 8th real-engine gate
+        "streaming_mixture_monitor_availablenow",
     ],
     # r12 window swap: the scale-safe capped LSH form is B15's MinHash
     # slot-holder (uncapped + exact demoted to tier-2 head to fund the
@@ -97,7 +99,7 @@ def test_every_family_inside_window():
     assert not missing, f"families with no representative in the first {WINDOW}: {missing}"
 
 
-def test_b14_all_seven_streaming_gates_inside_window():
+def test_b14_all_eight_streaming_gates_inside_window():
     window = set(list(all_queries())[:WINDOW])
     gates = set(FAMILY_REPRESENTATIVES["B14 streaming gates"])
     assert gates <= window, f"streaming gates outside window: {gates - window}"
@@ -221,14 +223,40 @@ def test_r11_modalities_hold_gate_rows():
     assert "dedup_exact_documents" not in window
 
 
-def test_scale_safe_embedding_lsh_holds_the_window_slot():
-    """VERDICT r5 item 1: the driver-checked embedding-LSH slot must
-    carry the adaptive-width form; the fixed 8-bit signature gives
-    N²/256 candidate growth and DNF'd (>15 min) at the 30× replica
-    (SCALING.md) while the adaptive twin finished in 37 s."""
+def test_scale_safe_embedding_neardup_holds_the_window_slot():
+    """VERDICT r5 item 1 established that the driver-checked embedding
+    near-dup slot carries a SCALE-SAFE form only: the fixed 8-bit
+    signature gives N²/256 candidate growth and DNF'd (>15 min) at the
+    30× replica (SCALING.md). r15 (VERDICT r14 item 3): the slot
+    rotated from the adaptive sign-LSH to dedup_semantic_cluster —
+    SemDeDup's k-means blocking, itself measured k-grown-linear at x30
+    where fixed-k went quadratic — and the adaptive sign-LSH form moved
+    to tier-2 head (full-catalog oracle-replayed). The standing
+    invariant: the FIXED sign-LSH form never returns to the window."""
     window = list(all_queries())[:WINDOW]
-    assert "dedup_embedding_lsh_scaled" in window
+    assert "dedup_semantic_cluster" in window
     assert "dedup_embedding_lsh" not in window
+
+
+def test_r14_families_hold_gate_rows():
+    """VERDICT r14 item 3 (standing r10-r13 promotion policy): the r14
+    families earn hard per-round CORRECTNESS rows — dedup_semantic_
+    cluster (the web-scale semantic-dedup topology), corpus_pack_
+    sequences (the training-sequence assembly spine), and streaming_
+    mixture_monitor_availablenow (the 8th real-engine gate). Funded by
+    dedup_embedding_lsh_scaled, similarity_lsh_bucketed_scaled, and
+    cdc_snapshot_latest_state_salted — each the long-tail twin of a
+    family that keeps in-window coverage; all three at tier-2 head,
+    full-catalog oracle-replayed every suite run."""
+    window = set(list(all_queries())[:WINDOW])
+    assert {
+        "dedup_semantic_cluster",
+        "corpus_pack_sequences",
+        "streaming_mixture_monitor_availablenow",
+    } <= window
+    assert "dedup_embedding_lsh_scaled" not in window
+    assert "similarity_lsh_bucketed_scaled" not in window
+    assert "cdc_snapshot_latest_state_salted" not in window
 
 
 def test_window_entries_all_have_oracles():
