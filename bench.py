@@ -180,8 +180,10 @@ EXTRA = [
     # r14 wave 4: the 8th real-engine streaming entry
     "streaming_mixture_monitor_availablenow",
     # r15: the capped composition of the leakage audit (VERDICT r14
-    # item 5 — the bounded-by-construction production form)
+    # item 5 — the bounded-by-construction production form) and the
+    # iterated-BPE tokenizer-training capstone (item 6)
     "dedup_split_leakage_audit_capped",
+    "text_bpe_merges",
 ]
 
 

@@ -795,3 +795,91 @@ def vocab_coverage(df, id_col: str, text_col: str, vocab_size: int = 500) -> Dat
             ).alias("oov_rate"),
         )
     )
+
+
+def bpe_merges(df: DataFrame, text_col: str, n_merges: int = 4) -> DataFrame:
+    """Iterated BPE merge induction (Sennrich et al., ACL 2016): the
+    first ``n_merges`` merge rules learned from the corpus, each row
+    one round — (merge_idx, left_tok, right_tok, merged,
+    n_occurrences). Round r counts adjacent TOKEN-pair frequencies
+    (weighted by corpus word frequency) over the vocabulary with
+    rounds 1..r-1 already applied, picks the argmax (count desc, then
+    (left, right) asc — a deterministic total order), and applies it
+    greedy-leftmost-non-overlapping to every word.
+
+    The merge application is an ``F.aggregate`` fold: append each
+    token unless the accumulator tail equals ``left`` and the token
+    equals ``right``, in which case the tail becomes the merged
+    token. The fold IS leftmost-non-overlapping: a produced token
+    ``left||right`` can never re-match as ``left`` within the round
+    (it is strictly longer), so overlapping candidate chains resolve
+    to even offsets — the run-parity rule the DuckDB oracle replays
+    with gaps-and-islands windows (pytested against a pure-Python BPE
+    reference as well).
+
+    Scale (the ``bpe_pair_counts`` story, iterated): stage 1 collapses
+    the corpus to its VOCABULARY once — the only corpus-sized
+    exchange; each round then costs one vocabulary-sized pair
+    aggregation plus a zero-exchange fold map over the cached vocab
+    frame. The per-round argmax is ONE collected row (bounded by
+    definition — K rows total ride the driver, never the corpus), the
+    unrolled-fixpoint discipline of graph_pagerank_dedup. Vocabulary
+    state is exactly what a tokenizer trainer keeps; corpus-free
+    after stage 1.
+    """
+    vocab = (
+        df.select(F.explode(tokenize(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .withColumn("toks", F.split("w", ""))
+        .persist()
+    )
+    try:
+        rounds: list[tuple] = []
+        cur = vocab
+        for idx in range(1, int(n_merges) + 1):
+            pairs = (
+                cur.select(
+                    "wc",
+                    F.posexplode(F.slice("toks", 1, F.size("toks") - 1)).alias(
+                        "i", "l"
+                    ),
+                    F.col("toks"),
+                )
+                .select(
+                    "wc", "l", F.element_at("toks", F.col("i") + 2).alias("r")
+                )
+                .groupBy("l", "r")
+                .agg(F.sum("wc").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not pairs:  # vocabulary fully merged / empty corpus
+                break
+            l, r, cnt = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["cnt"])
+            rounds.append((idx, l, r, l + r, cnt))
+            lc, rc = F.lit(l), F.lit(r)
+            cur = cur.withColumn(
+                "toks",
+                F.aggregate(
+                    "toks",
+                    F.expr("CAST(array() AS array<string>)"),
+                    lambda acc, x: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == lc)
+                        & (x == rc),
+                        F.concat(
+                            F.slice(acc, F.lit(1), F.size(acc) - 1),
+                            F.array(F.concat(lc, rc)),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(x))),
+                ),
+            )
+        return df.sparkSession.createDataFrame(
+            rounds,
+            "merge_idx int, left_tok string, right_tok string, "
+            "merged string, n_occurrences long",
+        )
+    finally:
+        vocab.unpersist()

@@ -310,6 +310,10 @@ _TIER2: list[str] = [
     # the BM25-lake split). First in line for a B14 window rotation.
     "text_chunk_windows",
     "text_bpe_pair_counts",
+    # r15 (VERDICT r14 item 6): the iterated-merge capstone of the
+    # tokenizer-training story — K=4 unrolled BPE rounds, vocab-sized
+    # state, oracle-twinned via CTE rounds + pure-Python-pytested.
+    "text_bpe_merges",
     # r14: chunk-level duplication — the exact-dedup shape on the
     # chunk axis (what a RAG chunk store checks before indexing)
     "dedup_chunk_hash",

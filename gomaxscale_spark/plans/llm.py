@@ -5303,6 +5303,94 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_pair_counts(d, "text", k=20)
 
 
+def _bpe_merges_oracle(n_merges: int) -> str:
+    """Replay of ``bpe_merges``: K unrolled rounds. Each round's merge
+    application uses the run-parity rule (gaps-and-islands over
+    candidate adjacencies: within a maximal run of overlapping
+    candidates, even offsets are taken) — provably identical to the
+    Spark side's greedy-leftmost fold, and pytested against a pure-
+    Python BPE reference in test_sequence_assembly.py."""
+    ctes = ["""v1 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS wc, string_split(w, '') AS toks
+      FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY w
+    )"""]
+    tops = []
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""cnt{r} AS (
+      SELECT toks[i] AS l, toks[i+1] AS r, SUM(wc) AS cnt
+      FROM (SELECT wc, toks, unnest(range(1, len(toks))) AS i FROM v{r})
+      GROUP BY 1, 2
+    )""")
+        ctes.append(
+            f"top{r} AS (SELECT l, r, cnt FROM cnt{r} "
+            "ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        tops.append(
+            f"SELECT {r} AS merge_idx, l AS left_tok, r AS right_tok, "
+            f"l || r AS merged, CAST(cnt AS BIGINT) AS n_occurrences FROM top{r}"
+        )
+        if r < n_merges:
+            ctes.append(f"""pos{r} AS (
+      SELECT x.w, x.wc, CAST(x.i AS BIGINT) AS i, x.toks[x.i] AS tok,
+             (x.toks[x.i] = t.l AND coalesce(x.toks[x.i+1] = t.r, FALSE)) AS cand
+      FROM (SELECT w, wc, toks, unnest(range(1, len(toks)+1)) AS i
+            FROM v{r}) x, top{r} t
+    )""")
+            ctes.append(f"""isl{r} AS (
+      SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+      FROM pos{r} WHERE cand
+    )""")
+            ctes.append(f"""tkn{r} AS (
+      SELECT w, i, ((i - min(i) OVER (PARTITION BY w, grp)) % 2 = 0) AS taken
+      FROM isl{r}
+    )""")
+            ctes.append(f"""v{r + 1} AS (
+      SELECT p.w, any_value(p.wc) AS wc,
+             list(CASE WHEN coalesce(t1.taken, FALSE) THEN t.l || t.r
+                       ELSE p.tok END ORDER BY p.i)
+               FILTER (WHERE coalesce(t1.taken, FALSE)
+                          OR NOT coalesce(t0.taken, FALSE)) AS toks
+      FROM pos{r} p
+      CROSS JOIN top{r} t
+      LEFT JOIN tkn{r} t1 ON t1.w = p.w AND t1.i = p.i
+      LEFT JOIN tkn{r} t0 ON t0.w = p.w AND t0.i = p.i - 1
+      GROUP BY p.w
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL ".join(tops)
+    )
+
+
+@query(
+    "text_bpe_merges",
+    oracle=_bpe_merges_oracle(4),
+    doc="Tokenizer TRAINING capstone (VERDICT r14 item 6): the first "
+    "FOUR iterated BPE merges (Sennrich et al., ACL 2016) — each "
+    "round counts adjacent token-pair frequencies over the vocabulary "
+    "with earlier merges applied, argmaxes (count desc, pair asc), "
+    "and applies the rule greedy-leftmost-non-overlapping. Completes "
+    "the tokenizer-training story text_bpe_pair_counts (round 1's "
+    "statistic) and text_vocab_coverage (the trained vocabulary's "
+    "audit) bracket. The Spark merge application is an F.aggregate "
+    "fold; the oracle replays it with the equivalent run-parity rule "
+    "(even offsets within overlapping candidate runs) — both pytested "
+    "against a pure-Python BPE reference. Scale: the corpus collapses "
+    "to its VOCABULARY once (the only corpus-sized exchange — the "
+    "unrolled-fixpoint discipline of graph_pagerank_dedup); each "
+    "round is one vocabulary-sized pair agg + a zero-exchange fold "
+    "map over the cached vocab frame, and the per-round argmax is ONE "
+    "collected row (K rows total ride the driver, never the corpus).",
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return TX.bpe_merges(d, "text", n_merges=4)
+
+
 # ------------------------------------------------- r14: corpus hygiene & mixing
 
 

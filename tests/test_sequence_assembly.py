@@ -122,3 +122,80 @@ def test_bpe_pair_counts_weights_by_word_frequency(spark):
         (r.pair, r.n_occurrences) for r in bpe_pair_counts(d, "text").collect()
     )
     assert got == {"th": 3, "he": 3, "xy": 1}
+
+
+# ------------------------------------------------ iterated BPE (r15)
+
+
+def _python_bpe(texts, n_merges):
+    """Straight-line BPE reference: vocab of whitespace words,
+    greedy-leftmost merge application, (count desc, pair asc) argmax."""
+    import re
+    from collections import Counter
+
+    vocab: dict[tuple, int] = {}
+    for txt in texts:
+        for w in re.split(r"\s+", txt.lower()):
+            if w:
+                k = tuple(w)
+                vocab[k] = vocab.get(k, 0) + 1
+    out = []
+    for idx in range(1, n_merges + 1):
+        pc: Counter = Counter()
+        for toks, c in vocab.items():
+            for a, b in zip(toks, toks[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((idx, l, r, l + r, cnt))
+        nv: dict[tuple, int] = {}
+        for toks, c in vocab.items():
+            acc: list = []
+            for x in toks:
+                if acc and acc[-1] == l and x == r:
+                    acc[-1] = l + r
+                else:
+                    acc.append(x)
+            k = tuple(acc)
+            nv[k] = nv.get(k, 0) + c
+        vocab = nv
+    return out
+
+
+def test_bpe_merges_matches_python_reference_adversarial(spark):
+    """Overlapping-candidate chains (aaa/aaaa), a merged token that is
+    the LEFT of a later rule, and count ties broken by pair order —
+    the cases where greedy-leftmost and naive pair replacement
+    diverge."""
+    from gomaxscale_spark.operators.text import bpe_merges
+
+    texts = [
+        "aaaa aaa aa ab",
+        "aaaa bb bb cc",
+        "abab abab baba",
+        "xy xy xz xz",  # tie on count -> pair asc decides
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.merge_idx, r.left_tok, r.right_tok, r.merged, r.n_occurrences)
+        for r in bpe_merges(df, "text", n_merges=5)
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    assert got == _python_bpe(texts, 5)
+
+
+def test_bpe_merges_matches_python_reference_corpus(spark, sf_dir):
+    from gomaxscale_spark.operators.text import bpe_merges
+    from gomaxscale_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    texts = [r.text for r in docs.select("text").collect()]
+    got = [
+        (r.merge_idx, r.left_tok, r.right_tok, r.merged, r.n_occurrences)
+        for r in bpe_merges(docs, "text", n_merges=4)
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    assert got == _python_bpe(texts, 4)
