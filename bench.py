@@ -184,6 +184,12 @@ EXTRA = [
     # iterated-BPE tokenizer-training capstone (item 6)
     "dedup_split_leakage_audit_capped",
     "text_bpe_merges",
+    # r15 new families: corpus versioning, tokenizer application,
+    # curriculum ordering
+    "corpus_version_diff",
+    "corpus_release_delta_card",
+    "text_bpe_fertility_card",
+    "corpus_curriculum_order",
 ]
 
 

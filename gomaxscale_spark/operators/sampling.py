@@ -793,3 +793,72 @@ def pack_efficiency(
             ).alias("utilization"),
         )
     )
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    difficulty_col: str,
+) -> DataFrame:
+    """Curriculum DATA ORDERING: a deterministic global training order
+    that is (a) easy-to-hard WITHIN each stratum (difficulty asc, id
+    tie-break — the classic length/score curriculum) and (b)
+    round-robin ACROSS strata, so no source streak ever forms (the
+    anti-clustering property a shuffled loader wants but a plain
+    ORDER BY difficulty destroys). Returns (id, stratum,
+    rank_in_stratum, position) with position a total order 1..N:
+    rank-1 of every stratum first (stratum asc), then rank-2, …;
+    exhausted strata simply drop out of later rounds.
+
+    Scale — the point of this formulation: the global position is a
+    CLOSED FORM, not a global window. With per-stratum counts c_s
+    (ONE bounded agg, |strata| rows, collected and folded as a plan
+    literal — the IVF-quantizer collect discipline), the item at rank
+    k in stratum s sits at
+
+        position = Σ_s' min(c_s', k-1)  +  |{s' ≤ s : c_s' ≥ k}|
+
+    (items from earlier rounds, plus this round's earlier strata).
+    So the plan is: one exchange for the per-stratum rank window —
+    keyed by stratum, the same partitioning the curriculum WRITE
+    wants — then a pure map; there is NO single-reducer global
+    row_number anywhere, at any corpus size.
+    """
+    counts = sorted(
+        (r[0], int(r[1]))
+        for r in df.groupBy(stratum_col).count().collect()
+    )
+    rank = F.row_number().over(
+        W.partitionBy(stratum_col).orderBy(
+            F.col(difficulty_col).asc(), F.col(id_col).asc()
+        )
+    )
+    ranked = df.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        F.col(difficulty_col),
+    ).withColumn("rank_in_stratum", rank)
+    k = F.col("rank_in_stratum").cast("long")
+    before = None
+    ties = None
+    for s, c in counts:
+        b = F.least(F.lit(int(c)), k - 1)
+        t_ = (
+            (F.lit(s) <= F.col(stratum_col)) & (F.lit(int(c)) >= k)
+        ).cast("long")
+        before = b if before is None else before + b
+        ties = t_ if ties is None else ties + t_
+    if before is None:  # empty input
+        return ranked.select(
+            id_col,
+            stratum_col,
+            F.col("rank_in_stratum").cast("long"),
+            F.lit(None).cast("long").alias("position"),
+        )
+    return ranked.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        k.alias("rank_in_stratum"),
+        (before + ties).alias("position"),
+    )

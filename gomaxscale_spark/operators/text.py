@@ -827,59 +827,135 @@ def bpe_merges(df: DataFrame, text_col: str, n_merges: int = 4) -> DataFrame:
     state is exactly what a tokenizer trainer keeps; corpus-free
     after stage 1.
     """
-    vocab = (
-        df.select(F.explode(tokenize(F.lower(F.col(text_col)))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("wc"))
-        .withColumn("toks", F.split("w", ""))
-        .persist()
-    )
+    vocab = _bpe_vocab(df, text_col).persist()
     try:
-        rounds: list[tuple] = []
-        cur = vocab
-        for idx in range(1, int(n_merges) + 1):
-            pairs = (
-                cur.select(
-                    "wc",
-                    F.posexplode(F.slice("toks", 1, F.size("toks") - 1)).alias(
-                        "i", "l"
-                    ),
-                    F.col("toks"),
-                )
-                .select(
-                    "wc", "l", F.element_at("toks", F.col("i") + 2).alias("r")
-                )
-                .groupBy("l", "r")
-                .agg(F.sum("wc").alias("cnt"))
-                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-                .limit(1)
-                .collect()
-            )
-            if not pairs:  # vocabulary fully merged / empty corpus
-                break
-            l, r, cnt = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["cnt"])
-            rounds.append((idx, l, r, l + r, cnt))
-            lc, rc = F.lit(l), F.lit(r)
-            cur = cur.withColumn(
-                "toks",
-                F.aggregate(
-                    "toks",
-                    F.expr("CAST(array() AS array<string>)"),
-                    lambda acc, x: F.when(
-                        (F.size(acc) > 0)
-                        & (F.element_at(acc, -1) == lc)
-                        & (x == rc),
-                        F.concat(
-                            F.slice(acc, F.lit(1), F.size(acc) - 1),
-                            F.array(F.concat(lc, rc)),
-                        ),
-                    ).otherwise(F.concat(acc, F.array(x))),
-                ),
-            )
+        rounds, _ = _bpe_rounds(vocab, int(n_merges), apply_last=False)
         return df.sparkSession.createDataFrame(
             rounds,
             "merge_idx int, left_tok string, right_tok string, "
             "merged string, n_occurrences long",
+        )
+    finally:
+        vocab.unpersist()
+
+
+def _bpe_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus → (w, wc, toks) vocabulary frame, toks = characters."""
+    return (
+        df.select(F.explode(tokenize(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .withColumn("toks", F.split("w", ""))
+    )
+
+
+def _bpe_merge_fold(l: str, r: str):
+    """Greedy-leftmost-non-overlapping application of merge (l, r) to
+    a token array, as an ``F.aggregate`` fold column function."""
+    lc, rc = F.lit(l), F.lit(r)
+
+    def apply(toks_col):
+        return F.aggregate(
+            toks_col,
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == lc)
+                & (x == rc),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.concat(lc, rc)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    return apply
+
+
+def _bpe_rounds(vocab: DataFrame, n_merges: int, apply_last: bool):
+    """Run ``n_merges`` BPE rounds over an (already persisted)
+    vocabulary frame; return (merge rows, per-round vocab states
+    v1..). Callers own the persist/unpersist scope — every returned
+    state is lazy over ``vocab``."""
+    rounds: list[tuple] = []
+    states = [vocab]
+    cur = vocab
+    for idx in range(1, n_merges + 1):
+        pairs = (
+            cur.select(
+                "wc",
+                F.posexplode(F.slice("toks", 1, F.size("toks") - 1)).alias(
+                    "i", "l"
+                ),
+                F.col("toks"),
+            )
+            .select(
+                "wc", "l", F.element_at("toks", F.col("i") + 2).alias("r")
+            )
+            .groupBy("l", "r")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:  # vocabulary fully merged / empty corpus
+            break
+        l, r, cnt = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["cnt"])
+        rounds.append((idx, l, r, l + r, cnt))
+        if idx < n_merges or apply_last:
+            cur = cur.withColumn(
+                "toks", _bpe_merge_fold(l, r)(F.col("toks"))
+            )
+            states.append(cur)
+    return rounds, states
+
+
+def bpe_fertility(df: DataFrame, text_col: str, n_merges: int = 4) -> DataFrame:
+    """Tokenizer COMPRESSION curve: for each merge count 0..K, the
+    corpus-level token statistics under the first ``n_merges`` learned
+    BPE rules — (n_merges, total_tokens, tokens_per_word,
+    chars_per_token). Round 0 is raw characters (chars_per_token
+    exactly 1.0); each merge monotonically shrinks total_tokens. The
+    table a tokenizer-budget decision reads: where the curve flattens
+    is where additional merges stop paying.
+
+    Exactness: token totals are exact integer sums Σ wc·|toks| folded
+    from the SAME vocabulary states the merge chain produced; the two
+    ratios are 6dp-rounded ENGINE-side (Spark round ≡ oracle round on
+    these fixed division sequences). Scale: identical to bpe_merges —
+    the corpus collapses to its vocabulary once; each readout is one
+    vocabulary-sized aggregation collapsing to ONE row.
+    """
+    vocab = _bpe_vocab(df, text_col).persist()
+    try:
+        _, states = _bpe_rounds(vocab, int(n_merges), apply_last=True)
+        rows: list[tuple] = []
+        for k, frame in enumerate(states):
+            stat = frame.agg(
+                F.sum(F.col("wc") * F.size("toks")).alias("total_tokens"),
+                F.round(
+                    F.sum(F.col("wc") * F.size("toks")).cast("double")
+                    / F.sum("wc"),
+                    6,
+                ).alias("tokens_per_word"),
+                F.round(
+                    F.sum(F.col("wc") * F.length("w")).cast("double")
+                    / F.sum(F.col("wc") * F.size("toks")),
+                    6,
+                ).alias("chars_per_token"),
+            ).collect()[0]
+            rows.append(
+                (
+                    k,
+                    int(stat["total_tokens"]),
+                    stat["tokens_per_word"],
+                    stat["chars_per_token"],
+                )
+            )
+        return df.sparkSession.createDataFrame(
+            rows,
+            "n_merges int, total_tokens long, tokens_per_word double, "
+            "chars_per_token double",
         )
     finally:
         vocab.unpersist()

@@ -260,6 +260,18 @@ _PRIORITY: list[str] = [
 #: Tier 2: nearest-miss variants of families already represented above —
 #: first in line if the gate window ever widens.
 _TIER2: list[str] = [
+    # r15 NEW FAMILIES at tier-2 head (standing pattern): corpus
+    # versioning & release management (content-addressed release
+    # diffing — per-doc delta + the per-source sign-off card; digests
+    # only in the shuffle), tokenizer application (the BPE compression
+    # curve over the learned merge chain), and curriculum data
+    # ordering (easy-to-hard within stratum, round-robin across — the
+    # closed-form position that removes the global row_number). All
+    # oracle-checked at both SFs.
+    "corpus_version_diff",
+    "corpus_release_delta_card",
+    "text_bpe_fertility_card",
+    "corpus_curriculum_order",
     # r15 NEW at tier-2 head: the capped composition of the leakage
     # audit (VERDICT r14 item 5) — identical split arithmetic over the
     # count-first-capped pair pipeline, the form whose cost is bounded

@@ -5303,13 +5303,16 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_pair_counts(d, "text", k=20)
 
 
-def _bpe_merges_oracle(n_merges: int) -> str:
-    """Replay of ``bpe_merges``: K unrolled rounds. Each round's merge
-    application uses the run-parity rule (gaps-and-islands over
-    candidate adjacencies: within a maximal run of overlapping
-    candidates, even offsets are taken) — provably identical to the
-    Spark side's greedy-leftmost fold, and pytested against a pure-
-    Python BPE reference in test_sequence_assembly.py."""
+def _bpe_round_ctes(n_rounds: int, apply_last: bool) -> tuple[list, list]:
+    """Shared CTE chain for the iterated-BPE oracles: vocabulary v1,
+    then per round r a pair-count cnt{r}, argmax top{r}, and (when the
+    next round — or a fertility readout — needs it) the merge
+    APPLICATION pos/isl/tkn/v{r+1} using the run-parity rule
+    (gaps-and-islands over candidate adjacencies: within a maximal run
+    of overlapping candidates, even offsets are taken) — provably
+    identical to the Spark side's greedy-leftmost fold, and pytested
+    against a pure-Python BPE reference in test_sequence_assembly.py.
+    Returns (ctes, top_selects)."""
     ctes = ["""v1 AS (
       SELECT w, CAST(count(*) AS BIGINT) AS wc, string_split(w, '') AS toks
       FROM (
@@ -5319,7 +5322,7 @@ def _bpe_merges_oracle(n_merges: int) -> str:
       ) GROUP BY w
     )"""]
     tops = []
-    for r in range(1, n_merges + 1):
+    for r in range(1, n_rounds + 1):
         ctes.append(f"""cnt{r} AS (
       SELECT toks[i] AS l, toks[i+1] AS r, SUM(wc) AS cnt
       FROM (SELECT wc, toks, unnest(range(1, len(toks))) AS i FROM v{r})
@@ -5333,7 +5336,7 @@ def _bpe_merges_oracle(n_merges: int) -> str:
             f"SELECT {r} AS merge_idx, l AS left_tok, r AS right_tok, "
             f"l || r AS merged, CAST(cnt AS BIGINT) AS n_occurrences FROM top{r}"
         )
-        if r < n_merges:
+        if r < n_rounds or apply_last:
             ctes.append(f"""pos{r} AS (
       SELECT x.w, x.wc, CAST(x.i AS BIGINT) AS i, x.toks[x.i] AS tok,
              (x.toks[x.i] = t.l AND coalesce(x.toks[x.i+1] = t.r, FALSE)) AS cand
@@ -5360,9 +5363,37 @@ def _bpe_merges_oracle(n_merges: int) -> str:
       LEFT JOIN tkn{r} t0 ON t0.w = p.w AND t0.i = p.i - 1
       GROUP BY p.w
     )""")
+    return ctes, tops
+
+
+def _bpe_merges_oracle(n_merges: int) -> str:
+    """Replay of ``bpe_merges``: K unrolled rounds (see
+    ``_bpe_round_ctes`` for the merge-application equivalence)."""
+    ctes, tops = _bpe_round_ctes(n_merges, apply_last=False)
     return (
         "WITH " + ",\n    ".join(ctes) + "\n    "
         + "\n    UNION ALL ".join(tops)
+    )
+
+
+def _bpe_fertility_oracle(n_merges: int) -> str:
+    """Replay of ``bpe_fertility``: the v{r} vocab states of the merge
+    chain read out as the corpus compression curve — after r merges,
+    total tokens, tokens/word and chars/token (round 0 = raw chars)."""
+    ctes, _ = _bpe_round_ctes(n_merges, apply_last=True)
+    arms = [
+        f"""SELECT {r - 1} AS n_merges,
+           CAST(SUM(wc * len(toks)) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(wc * len(toks)) AS DOUBLE) / SUM(wc), 6)
+             AS tokens_per_word,
+           round(CAST(SUM(wc * length(w)) AS DOUBLE)
+                 / SUM(wc * len(toks)), 6) AS chars_per_token
+    FROM v{r}"""
+        for r in range(1, n_merges + 2)
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL ".join(arms)
     )
 
 
@@ -5910,3 +5941,160 @@ def dq_cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return SA.pack_efficiency(d, "doc_id", "text", budgets=(128, 256, 512))
+
+
+# ------------------------------------------------------------------
+# r15: corpus versioning & release management — release-over-release
+# dataset diffing, the dataset-ops review a 100 TB corpus ships with.
+# Both entries derive two deterministic "versions" from the documents
+# table so the diff semantics are oracle-replayable: v_old drops
+# doc_id % 13 == 0, v_new drops doc_id % 17 == 0 and revises the text
+# of doc_id % 11 == 0 — giving non-empty added/removed/changed arms
+# at every SF.
+
+_VERSIONS_SQL = """old AS (
+      SELECT doc_id, text, source FROM documents WHERE doc_id % 13 <> 0
+    ), new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text,
+             source
+      FROM documents WHERE doc_id % 17 <> 0
+    )"""
+
+
+def _corpus_versions(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    old = d.filter(F.col("doc_id") % 13 != 0).select("doc_id", "text", "source")
+    new = d.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    )
+    return old, new
+
+
+@query(
+    "corpus_version_diff",
+    oracle="WITH " + _VERSIONS_SQL + """,
+    j AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             md5(o.text) AS old_digest, md5(n.text) AS new_digest,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT doc_id, change, old_digest, new_digest
+    FROM j WHERE change <> 'unchanged'
+    """,
+    doc="r15 corpus VERSIONING: the per-document delta between two "
+    "corpus releases — content-addressed set algebra returning one "
+    "row per added/removed/changed id with both md5 digests "
+    "(unchanged rows filtered, so the output is delta-sized). The "
+    "review every dataset release needs: a takedown pass must show "
+    "only 'removed', a filter re-run only 'removed'+'changed'. "
+    "Scale: each side collapses to (id, digest) AT ITS SCAN — the "
+    "full-outer join shuffles 40-byte rows keyed by id and the text "
+    "column never moves (the dedup_exact_hashed no-string-shuffle "
+    "discipline); in production the digest projection is the "
+    "manifest a lakehouse snapshot already stores "
+    "(operators/versioning.py).",
+)
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import versioning as V
+
+    old, new = _corpus_versions(t(spark, sf_dir, "documents"))
+    return V.corpus_version_diff(old, new, "doc_id", "text")
+
+
+@query(
+    "corpus_release_delta_card",
+    oracle="WITH " + _VERSIONS_SQL + """,
+    j AS (
+      SELECT coalesce(n.source, o.source) AS source,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+                  ELSE 'unchanged' END AS change,
+             coalesce(length(n.text), 0) - coalesce(length(o.text), 0)
+               AS delta
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT source, change, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(delta) AS BIGINT) AS char_delta
+    FROM j GROUP BY source, change
+    """,
+    doc="r15 corpus versioning, the sign-off CARD: per (source, "
+    "change) document counts and net character delta — the "
+    "composition-shift summary a release review reads (did the crawl "
+    "refresh silently halve a source? did 'remove-only' really only "
+    "remove?). Unchanged rows ARE counted (char_delta 0) so each "
+    "source's rows sum to its population. Scale: the same "
+    "digest-projection join as corpus_version_diff plus 8-byte "
+    "lengths computed at the scan; the card agg collapses to "
+    "≤ sources × 4 rows map-side (operators/versioning.py).",
+)
+def corpus_release_delta_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import versioning as V
+
+    old, new = _corpus_versions(t(spark, sf_dir, "documents"))
+    return V.release_delta_card(old, new, "doc_id", "text", "source")
+
+
+@query(
+    "text_bpe_fertility_card",
+    oracle=_bpe_fertility_oracle(4),
+    doc="r15 tokenizer application: the corpus COMPRESSION CURVE under "
+    "the first 0..4 learned BPE merges — per merge count, exact total "
+    "tokens (Σ wc·|toks| over the merge chain's own vocabulary "
+    "states), tokens/word and chars/token (round 0 = raw characters, "
+    "chars_per_token exactly 1.0). The table a tokenizer-budget "
+    "decision reads: where the curve flattens, additional merges stop "
+    "paying — completing the training story text_bpe_merges (the "
+    "rules) and text_vocab_coverage (the trained vocabulary's OOV "
+    "audit) began. Scale: identical to bpe_merges — the corpus "
+    "collapses to its vocabulary ONCE; each of the K+1 readouts is "
+    "one vocabulary-sized aggregation collapsing to one row "
+    "(operators/text.py).",
+)
+def text_bpe_fertility_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return TX.bpe_fertility(d, "text", n_merges=4)
+
+
+@query(
+    "corpus_curriculum_order",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rank_in_stratum
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rank_in_stratum AS BIGINT) AS rank_in_stratum,
+           CAST(row_number() OVER (ORDER BY rank_in_stratum, source)
+                AS BIGINT) AS position
+    FROM r
+    """,
+    doc="r15 curriculum DATA ORDERING: a deterministic global training "
+    "order — easy-to-hard within each source (n_chars asc, the classic "
+    "length curriculum; id tie-break) and round-robin ACROSS sources "
+    "so no source streak forms (the anti-clustering property a plain "
+    "ORDER BY difficulty destroys; cf. Bengio et al. 2009 curriculum "
+    "learning). Scale — why this beats the oracle's own formulation: "
+    "the global position is a CLOSED FORM over per-stratum counts "
+    "(position = Σ min(c_s', k-1) + |{s' ≤ s : c_s' ≥ k}|), so the "
+    "plan is ONE stratum-keyed exchange for the rank window plus a "
+    "pure map — there is NO single-reducer global row_number anywhere "
+    "(the oracle's OVER (ORDER BY …) is exactly the anti-pattern the "
+    "closed form removes; counts ride as a |strata|-row plan literal, "
+    "the IVF-quantizer collect discipline). Equality of the two "
+    "formulations is pytested (operators/sampling.py).",
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return SA.curriculum_interleave(d, "doc_id", "source", "n_chars")
