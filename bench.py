@@ -190,6 +190,8 @@ EXTRA = [
     "corpus_release_delta_card",
     "text_bpe_fertility_card",
     "corpus_curriculum_order",
+    # r15: the 9th real-engine streaming entry (manifest-lake diff)
+    "streaming_version_diff_availablenow",
 ]
 
 

@@ -42,7 +42,20 @@ def corpus_version_diff(
     n = new.select(
         F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("new_digest")
     )
-    j = o.join(n, "__id", "full_outer")
+    return manifest_diff(o, n, id_col)
+
+
+def manifest_diff(
+    old_manifest: DataFrame,
+    new_manifest: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """The digest-level core of ``corpus_version_diff``: diff two
+    (``__id``, old_digest) / (``__id``, new_digest) MANIFEST frames —
+    what a lakehouse snapshot or the streaming manifest lake already
+    stores, so production diffs never touch content at all. Same
+    output contract as ``corpus_version_diff``."""
+    j = old_manifest.join(new_manifest, "__id", "full_outer")
     change = (
         F.when(F.col("old_digest").isNull(), F.lit("added"))
         .when(F.col("new_digest").isNull(), F.lit("removed"))

@@ -272,6 +272,11 @@ _TIER2: list[str] = [
     "corpus_release_delta_card",
     "text_bpe_fertility_card",
     "corpus_curriculum_order",
+    # r15: the NINTH real-engine streaming entry — incremental release
+    # diffing against the epoch-committed (id, digest) manifest lake
+    # (ingest reads text once; the diff is manifest-vs-manifest).
+    # First in line for a B14 window rotation.
+    "streaming_version_diff_availablenow",
     # r15 NEW at tier-2 head: the capped composition of the leakage
     # audit (VERDICT r14 item 5) — identical split arithmetic over the
     # count-first-capped pair pipeline, the form whose cost is bounded

@@ -965,3 +965,78 @@ def streaming_mixture_monitor_availablenow(
         )
     finally:
         shutil.rmtree(replay_dir, ignore_errors=True)
+
+
+from .llm import _VERSIONS_SQL, _corpus_versions  # noqa: E402
+
+
+@query(
+    "streaming_version_diff_availablenow",
+    oracle="WITH " + _VERSIONS_SQL + """,
+    j AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             md5(o.text) AS old_digest, md5(n.text) AS new_digest,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT doc_id, change, old_digest, new_digest
+    FROM j WHERE change <> 'unchanged'
+    """,
+    doc="B14 × versioning, the NINTH real-engine streaming gate entry: "
+    "INCREMENTAL release diffing — the new corpus version re-"
+    "partitioned into 4 files, readStream with maxFilesPerTrigger=1 → "
+    "4 foreachBatch micro-batches into ManifestLakeSink (each epoch "
+    "lands its (id, md5) manifest behind EpochCommit), then the old "
+    "version diffed AGAINST THE LAKE's committed manifest — digest vs "
+    "digest, the new version's text read exactly once (at ingest) and "
+    "never again. Micro-batches are id-disjoint so the manifest union "
+    "is batch-split-INVARIANT, which is what makes a streaming ingest "
+    "oracle-checkable by the same SQL as the batch corpus_version_diff "
+    "operator. The lake-then-serve split of the BM25-lake gate, "
+    "applied to dataset ops: at 100 TB the manifest is KBs per GB of "
+    "corpus and a release diff costs two (id, 32-byte) scans — "
+    "content is never re-read, never shuffled "
+    "(streaming/manifest_lake.py).",
+)
+def streaming_version_diff_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..session import configure
+    from ..streaming.manifest_lake import ManifestLakeSink
+
+    configure(spark)
+    docs = t(spark, sf_dir, "documents")
+    old, new = _corpus_versions(docs)
+    replay_dir = tempfile.mkdtemp(prefix="vdiff_replay_")
+    lake_path = tempfile.mkdtemp(prefix="manifest_lake_gate_")
+    try:
+        new.repartition(4).write.mode("overwrite").parquet(replay_dir)
+        sink = ManifestLakeSink(lake_path, "doc_id", "text")
+        stream = (
+            spark.readStream.schema(new.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(replay_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .queryName(f"stream_vdiff_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "manifest lake ingest did not terminate within 300 s"
+            )
+        return sink.diff_against(old, "doc_id", "text").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+        shutil.rmtree(lake_path, ignore_errors=True)

@@ -136,3 +136,57 @@ def test_curriculum_round_robin_and_easy_first(spark):
     # rounds 2-3: remaining a's easy-to-hard
     assert [r.id for r in rows] == [2, 4, 1, 3]
     assert [r.position for r in rows] == [1, 2, 3, 4]
+
+
+# ---------------------------------------------- manifest lake (r15)
+
+
+def test_manifest_lake_batch_split_invariant(spark, sf_dir, tmp_path):
+    """The lake's manifest union must be identical whatever batch
+    split delivered the corpus — the invariant that makes the
+    streaming version-diff oracle-checkable by the batch SQL."""
+    from gomaxscale_spark.streaming.manifest_lake import ManifestLakeSink
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    one = ManifestLakeSink(str(tmp_path / "one"))
+    one.apply_batch(d, 0)
+    four = ManifestLakeSink(str(tmp_path / "four"))
+    for i in range(4):
+        four.apply_batch(d.filter(F.col("doc_id") % 4 == i), i)
+    a = {(r["__id"], r["digest"]) for r in one.read_manifest(spark).collect()}
+    b = {(r["__id"], r["digest"]) for r in four.read_manifest(spark).collect()}
+    assert a == b and len(a) == d.count()
+
+
+def test_manifest_lake_retried_epoch_is_noop_and_diff_serves(spark, tmp_path):
+    from gomaxscale_spark.streaming.manifest_lake import ManifestLakeSink
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    newv = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], "doc_id long, text string"
+    )
+    sink = ManifestLakeSink(str(tmp_path / "lake"))
+    sink.apply_batch(newv.filter(F.col("doc_id") <= 3), 0)
+    sink.apply_batch(newv.filter(F.col("doc_id") > 3), 1)
+    # retried epoch: committed -> no-op (no duplicate rows)
+    sink.apply_batch(newv.filter(F.col("doc_id") <= 3), 0)
+    assert sink.read_manifest(spark).count() == 3
+    rows = {r.doc_id: r.change for r in
+            sink.diff_against(old, "doc_id", "text").collect()}
+    assert rows == {1: "removed", 3: "changed", 4: "added"}
+    # compact to one epoch; diff unchanged
+    sink.compact(spark)
+    rows2 = {r.doc_id: r.change for r in
+             sink.diff_against(old, "doc_id", "text").collect()}
+    assert rows2 == rows
+
+
+def test_manifest_lake_empty_serves_all_removed(spark, tmp_path):
+    from gomaxscale_spark.streaming.manifest_lake import ManifestLakeSink
+
+    old = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    sink = ManifestLakeSink(str(tmp_path / "lake0"))
+    rows = sink.diff_against(old, "doc_id", "text").collect()
+    assert len(rows) == 1 and rows[0].change == "removed"
