@@ -192,6 +192,7 @@ EXTRA = [
     "corpus_curriculum_order",
     # r15: the 9th real-engine streaming entry (manifest-lake diff)
     "streaming_version_diff_availablenow",
+    "text_bpe_fertility_by_source",
 ]
 
 

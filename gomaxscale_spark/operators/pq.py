@@ -784,35 +784,28 @@ def embedding_variance_card(
     """Per-dimension population variance — the ``dq_embedding_profile``
     aggregation collapsed to a list (same µ-scale BIGINT quantization,
     so the integer sums are order-immune and the result is
-    deterministic). Scale: 2·dim+1 partial-agged integer aggregates
-    collapse the corpus to ONE driver row — no explode, no collect of
-    vectors."""
-    q = embeddings.select(
-        *[
-            F.expr(
-                f"CAST(round(CAST(element_at({vec_col}, {i}) AS DOUBLE)"
-                " * 1000000) AS BIGINT)"
-            ).alias(f"q{i}")
-            for i in range(1, dim + 1)
-        ]
-    )
-    # squared sums in DECIMAL(38,0): Σ q² overflows int64 at ~5e8
-    # vectors (same fix as dq_embedding_profile, r14)
-    row = q.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.col(f"q{i}")).alias(f"s{i}") for i in range(1, dim + 1)],
-        *[
-            F.sum(
-                F.col(f"q{i}").cast("decimal(38,0)") * F.col(f"q{i}")
-            ).alias(f"ss{i}")
-            for i in range(1, dim + 1)
-        ],
-    ).collect()[0]
-    n = row["n"]
-    if not n:
+    deterministic). Scale: one Arrow kernel pass collapses the corpus
+    to dim-row integer partials (collected: 64 rows) — no explode, no
+    collect of vectors."""
+    # r15: moments come from the Arrow moment_partials kernel — the
+    # expression form was codegen-bound (129 agg buffers per row, the
+    # dq_embedding_profile disease); the kernel's mu_quantize is
+    # bit-equality-pinned to the SQL chain and partials accumulate in
+    # DECIMAL(38,0) (Σ q² overflows int64 at ~5e8 vectors, r14 fix).
+    from . import vector_kernel as VK
+
+    rows = {
+        r["dim"]: (int(r["n"]), int(r["s"]), int(r["ss"]))
+        for r in VK.moment_partials(embeddings, vec_col, dim).collect()
+    }
+    if not rows:
         raise ValueError("embedding_variance_card: empty corpus")
     return [
-        (float(row[f"ss{i}"]) / n - (row[f"s{i}"] / n) ** 2) / 1e12
+        (
+            float(rows[i][2]) / rows[i][0]
+            - (rows[i][1] / rows[i][0]) ** 2
+        )
+        / 1e12
         for i in range(1, dim + 1)
     ]
 

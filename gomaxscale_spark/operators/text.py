@@ -959,3 +959,69 @@ def bpe_fertility(df: DataFrame, text_col: str, n_merges: int = 4) -> DataFrame:
         )
     finally:
         vocab.unpersist()
+
+
+def bpe_fertility_by_source(
+    df: DataFrame,
+    text_col: str,
+    stratum_col: str,
+    n_merges: int = 4,
+) -> DataFrame:
+    """Per-stratum tokenizer FERTILITY under the GLOBALLY learned BPE
+    rules: (stratum, total_words, total_tokens, tokens_per_word,
+    chars_per_token) after ``n_merges`` merges — the audit that shows
+    which source/language the shared tokenizer under-serves (high
+    tokens/word = the vocabulary wasn't learned for it), the
+    per-source complement of ``bpe_fertility``'s corpus curve and
+    ``vocab_coverage``'s OOV rate.
+
+    The key identity that keeps this cheap: a word's tokenization
+    under K merges is a pure function of the WORD — source plays no
+    role — so the per-stratum totals are the per-(stratum, word)
+    counts JOINED against the global chain's final vocabulary state
+    (Σ wc_{s,w} · |toks_K(w)|). No second merge application, no
+    per-document fold: one extra corpus-collapsing agg + one
+    vocabulary-sized join. Scale: both frames are vocabulary-keyed;
+    the join shuffles (word, counts) rows only.
+    """
+    vocab = _bpe_vocab(df, text_col).persist()
+    try:
+        _, states = _bpe_rounds(vocab, int(n_merges), apply_last=True)
+        final = states[-1].select(
+            "w", F.size("toks").cast("long").alias("__n_toks")
+        )
+        by_src = (
+            df.select(
+                F.col(stratum_col),
+                F.explode(tokenize(F.lower(F.col(text_col)))).alias("w"),
+            )
+            .groupBy(stratum_col, "w")
+            .agg(F.count(F.lit(1)).alias("wc"))
+        )
+        return (
+            by_src.join(final, "w")
+            .groupBy(stratum_col)
+            .agg(
+                F.sum("wc").alias("total_words"),
+                F.sum(F.col("wc") * F.col("__n_toks")).alias("total_tokens"),
+                F.round(
+                    F.sum(F.col("wc") * F.col("__n_toks")).cast("double")
+                    / F.sum("wc"),
+                    6,
+                ).alias("tokens_per_word"),
+                F.round(
+                    F.sum(F.col("wc") * F.length("w")).cast("double")
+                    / F.sum(F.col("wc") * F.col("__n_toks")),
+                    6,
+                ).alias("chars_per_token"),
+            )
+            .select(
+                stratum_col,
+                F.col("total_words").cast("long"),
+                F.col("total_tokens").cast("long"),
+                "tokens_per_word",
+                "chars_per_token",
+            )
+        )
+    finally:
+        vocab.unpersist()

@@ -272,6 +272,7 @@ _TIER2: list[str] = [
     "corpus_release_delta_card",
     "text_bpe_fertility_card",
     "corpus_curriculum_order",
+    "text_bpe_fertility_by_source",
     # r15: the NINTH real-engine streaming entry — incremental release
     # diffing against the epoch-committed (id, digest) manifest lake
     # (ingest reads text once; the diff is manifest-vs-manifest).

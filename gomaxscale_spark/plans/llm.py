@@ -5312,8 +5312,12 @@ def _bpe_round_ctes(n_rounds: int, apply_last: bool) -> tuple[list, list]:
     of overlapping candidates, even offsets are taken) — provably
     identical to the Spark side's greedy-leftmost fold, and pytested
     against a pure-Python BPE reference in test_sequence_assembly.py.
+    Every CTE is AS MATERIALIZED: pos{r} is referenced three times per
+    application and DuckDB re-inlines plain CTEs per reference, which
+    compounds ~3^K across the unrolled rounds (measured 143 s -> 0.2 s
+    at sf0.001 for the K=4 fertility chain; results bit-identical).
     Returns (ctes, top_selects)."""
-    ctes = ["""v1 AS (
+    ctes = ["""v1 AS MATERIALIZED (
       SELECT w, CAST(count(*) AS BIGINT) AS wc, string_split(w, '') AS toks
       FROM (
         SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
@@ -5323,13 +5327,13 @@ def _bpe_round_ctes(n_rounds: int, apply_last: bool) -> tuple[list, list]:
     )"""]
     tops = []
     for r in range(1, n_rounds + 1):
-        ctes.append(f"""cnt{r} AS (
+        ctes.append(f"""cnt{r} AS MATERIALIZED (
       SELECT toks[i] AS l, toks[i+1] AS r, SUM(wc) AS cnt
       FROM (SELECT wc, toks, unnest(range(1, len(toks))) AS i FROM v{r})
       GROUP BY 1, 2
     )""")
         ctes.append(
-            f"top{r} AS (SELECT l, r, cnt FROM cnt{r} "
+            f"top{r} AS MATERIALIZED (SELECT l, r, cnt FROM cnt{r} "
             "ORDER BY cnt DESC, l, r LIMIT 1)"
         )
         tops.append(
@@ -5337,21 +5341,21 @@ def _bpe_round_ctes(n_rounds: int, apply_last: bool) -> tuple[list, list]:
             f"l || r AS merged, CAST(cnt AS BIGINT) AS n_occurrences FROM top{r}"
         )
         if r < n_rounds or apply_last:
-            ctes.append(f"""pos{r} AS (
+            ctes.append(f"""pos{r} AS MATERIALIZED (
       SELECT x.w, x.wc, CAST(x.i AS BIGINT) AS i, x.toks[x.i] AS tok,
              (x.toks[x.i] = t.l AND coalesce(x.toks[x.i+1] = t.r, FALSE)) AS cand
       FROM (SELECT w, wc, toks, unnest(range(1, len(toks)+1)) AS i
             FROM v{r}) x, top{r} t
     )""")
-            ctes.append(f"""isl{r} AS (
+            ctes.append(f"""isl{r} AS MATERIALIZED (
       SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
       FROM pos{r} WHERE cand
     )""")
-            ctes.append(f"""tkn{r} AS (
+            ctes.append(f"""tkn{r} AS MATERIALIZED (
       SELECT w, i, ((i - min(i) OVER (PARTITION BY w, grp)) % 2 = 0) AS taken
       FROM isl{r}
     )""")
-            ctes.append(f"""v{r + 1} AS (
+            ctes.append(f"""v{r + 1} AS MATERIALIZED (
       SELECT p.w, any_value(p.wc) AS wc,
              list(CASE WHEN coalesce(t1.taken, FALSE) THEN t.l || t.r
                        ELSE p.tok END ORDER BY p.i)
@@ -6098,3 +6102,58 @@ def text_bpe_fertility_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return SA.curriculum_interleave(d, "doc_id", "source", "n_chars")
+
+
+def _bpe_fertility_by_source_oracle(n_merges: int) -> str:
+    """Per-source fertility off the GLOBAL merge chain: a word's
+    tokenization under K merges is a pure function of the word, so the
+    per-source totals are the (source, word) counts joined against the
+    final vocabulary state v{K+1}."""
+    ctes, _ = _bpe_round_ctes(n_merges, apply_last=True)
+    ctes.append("""wsrc AS MATERIALIZED (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS wc
+      FROM (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY source, w
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT s.source,
+           CAST(SUM(s.wc) AS BIGINT) AS total_words,
+           CAST(SUM(s.wc * len(v.toks)) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(s.wc * len(v.toks)) AS DOUBLE) / SUM(s.wc), 6)
+             AS tokens_per_word,
+           round(CAST(SUM(s.wc * length(s.w)) AS DOUBLE)
+                 / SUM(s.wc * len(v.toks)), 6) AS chars_per_token
+    FROM wsrc s JOIN v{n_merges + 1} v ON v.w = s.w
+    GROUP BY s.source
+    """
+    )
+
+
+@query(
+    "text_bpe_fertility_by_source",
+    oracle=_bpe_fertility_by_source_oracle(4),
+    doc="r15 tokenizer application, the per-SOURCE audit: fertility "
+    "(tokens/word, chars/token) of each source under the GLOBALLY "
+    "learned 4-merge BPE chain — the readout that shows which source "
+    "or language a shared tokenizer under-serves (high tokens/word = "
+    "the vocabulary wasn't learned for it; cf. the fertility metric "
+    "of multilingual-tokenizer audits), complementing the corpus "
+    "curve (text_bpe_fertility_card) and the OOV rate "
+    "(text_vocab_coverage). The identity that keeps it cheap: a "
+    "word's tokenization under K merges is a pure function of the "
+    "WORD — source plays no role — so per-source totals are the "
+    "(source, word) counts JOINED against the global chain's final "
+    "vocabulary state; no second merge application, no per-document "
+    "fold. Scale: one extra corpus-collapsing (source, word) agg + "
+    "one vocabulary-keyed join; the corpus text is read exactly "
+    "twice (global vocab + per-source vocab), shuffles carry word "
+    "rows only (operators/text.py).",
+)
+def text_bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return TX.bpe_fertility_by_source(d, "text", "source", n_merges=4)

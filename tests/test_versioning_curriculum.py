@@ -190,3 +190,21 @@ def test_manifest_lake_empty_serves_all_removed(spark, tmp_path):
     sink = ManifestLakeSink(str(tmp_path / "lake0"))
     rows = sink.diff_against(old, "doc_id", "text").collect()
     assert len(rows) == 1 and rows[0].change == "removed"
+
+
+def test_bpe_fertility_by_source_consistent_with_corpus_curve(spark, sf_dir):
+    """Per-source fertility under the global rules must aggregate back
+    to the corpus curve's final round: Σ_source total_tokens equals
+    the corpus total at the same merge count (the word-purity identity
+    the operator is built on)."""
+    from gomaxscale_spark.operators.text import bpe_fertility_by_source
+
+    d = load_table(spark, sf_dir, "documents")
+    per_src = bpe_fertility_by_source(d, "text", "source", n_merges=3).collect()
+    corpus = {
+        r.n_merges: r.total_tokens
+        for r in bpe_fertility(d, "text", n_merges=3).collect()
+    }
+    assert sum(r.total_tokens for r in per_src) == corpus[3]
+    assert all(r.tokens_per_word >= 1.0 for r in per_src)
+    assert len(per_src) == d.select("source").distinct().count()
