@@ -193,6 +193,7 @@ EXTRA = [
     # r15: the 9th real-engine streaming entry (manifest-lake diff)
     "streaming_version_diff_availablenow",
     "text_bpe_fertility_by_source",
+    "corpus_release_gate",
 ]
 
 

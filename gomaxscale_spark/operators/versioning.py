@@ -123,3 +123,71 @@ def release_delta_card(
             F.sum("__delta").alias("char_delta"),
         )
     )
+
+
+#: Plan-literal release-gate thresholds (fractions of the union
+#: population). A refresh that ADDS half the corpus or REMOVES a fifth
+#: without a sign-off is the canonical dataset incident.
+RELEASE_GATE_MAX_ADDED = 0.50
+RELEASE_GATE_MAX_REMOVED = 0.20
+RELEASE_GATE_MAX_CHANGED = 0.30
+
+
+def release_version_gate(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_added: float = RELEASE_GATE_MAX_ADDED,
+    max_removed: float = RELEASE_GATE_MAX_REMOVED,
+    max_changed: float = RELEASE_GATE_MAX_CHANGED,
+) -> DataFrame:
+    """Release GO/NO-GO gate: one row per check — (check, n_docs,
+    frac, threshold, passed) — the verdict a dataset-release pipeline
+    pages on (the versioning family's capstone, shaped like the
+    contamination family's release_report). Fractions are of the
+    union population (every id in either version), thresholds are
+    plan literals, and a 'removed' burst (takedown gone wrong) or an
+    'added' burst (crawler duplication) fails its row.
+
+    Scale: one digest-projection full-outer join (the
+    corpus_version_diff plan — 40-byte rows, text never shuffles)
+    collapsed to a ≤4-row conditional-sum aggregate; the gate maths
+    run on that single row.
+    """
+    o = old.select(
+        F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("old_digest")
+    )
+    n = new.select(
+        F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("new_digest")
+    )
+    j = o.join(n, "__id", "full_outer")
+    change = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    agg = j.select(change.alias("c")).agg(
+        F.count(F.lit(1)).alias("total"),
+        *[
+            F.sum((F.col("c") == k).cast("long")).alias(k)
+            for k in ("added", "removed", "changed")
+        ],
+    )
+    checks = None
+    for name, thr in (
+        ("added", float(max_added)),
+        ("removed", float(max_removed)),
+        ("changed", float(max_changed)),
+    ):
+        frac = F.round(F.col(name).cast("double") / F.col("total"), 6)
+        arm = agg.select(
+            F.lit(name).alias("check"),
+            F.col(name).cast("long").alias("n_docs"),
+            frac.alias("frac"),
+            F.lit(thr).alias("threshold"),
+            (frac <= F.lit(thr)).alias("passed"),
+        )
+        checks = arm if checks is None else checks.unionAll(arm)
+    return checks

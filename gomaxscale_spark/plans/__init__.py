@@ -273,6 +273,7 @@ _TIER2: list[str] = [
     "text_bpe_fertility_card",
     "corpus_curriculum_order",
     "text_bpe_fertility_by_source",
+    "corpus_release_gate",
     # r15: the NINTH real-engine streaming entry — incremental release
     # diffing against the epoch-committed (id, digest) manifest lake
     # (ingest reads text once; the diff is manifest-vs-manifest).

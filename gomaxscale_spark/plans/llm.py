@@ -6157,3 +6157,53 @@ def _bpe_fertility_by_source_oracle(n_merges: int) -> str:
 def text_bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return TX.bpe_fertility_by_source(d, "text", "source", n_merges=4)
+
+
+@query(
+    "corpus_release_gate",
+    oracle="WITH " + _VERSIONS_SQL + """,
+    j AS (
+      SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+                  ELSE 'unchanged' END AS c
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    ), a AS (
+      SELECT count(*) AS total,
+             sum(CASE WHEN c = 'added' THEN 1 ELSE 0 END) AS added,
+             sum(CASE WHEN c = 'removed' THEN 1 ELSE 0 END) AS removed,
+             sum(CASE WHEN c = 'changed' THEN 1 ELSE 0 END) AS changed
+      FROM j
+    )
+    SELECT 'added' AS check, CAST(added AS BIGINT) AS n_docs,
+           round(CAST(added AS DOUBLE) / total, 6) AS frac,
+           0.5 AS threshold,
+           round(CAST(added AS DOUBLE) / total, 6) <= 0.5 AS passed
+    FROM a
+    UNION ALL
+    SELECT 'removed', CAST(removed AS BIGINT),
+           round(CAST(removed AS DOUBLE) / total, 6), 0.2,
+           round(CAST(removed AS DOUBLE) / total, 6) <= 0.2
+    FROM a
+    UNION ALL
+    SELECT 'changed', CAST(changed AS BIGINT),
+           round(CAST(changed AS DOUBLE) / total, 6), 0.3,
+           round(CAST(changed AS DOUBLE) / total, 6) <= 0.3
+    FROM a
+    """,
+    doc="r15 versioning capstone: the release GO/NO-GO gate — one row "
+    "per check (added/removed/changed fraction of the union "
+    "population vs its plan-literal threshold, with the boolean "
+    "verdict), the page a dataset-release pipeline fires on when a "
+    "takedown over-deletes or a crawler refresh duplicates half the "
+    "corpus. Shaped like the contamination family's release_report: "
+    "bounded verdict rows over an audited pipeline. Scale: the "
+    "corpus_version_diff digest join (40-byte rows, text never "
+    "shuffles) collapsed to ONE conditional-sum row; gate maths on "
+    "that row (operators/versioning.py).",
+)
+def corpus_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import versioning as V
+
+    old, new = _corpus_versions(t(spark, sf_dir, "documents"))
+    return V.release_version_gate(old, new, "doc_id", "text")

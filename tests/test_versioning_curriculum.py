@@ -208,3 +208,22 @@ def test_bpe_fertility_by_source_consistent_with_corpus_curve(spark, sf_dir):
     assert sum(r.total_tokens for r in per_src) == corpus[3]
     assert all(r.tokens_per_word >= 1.0 for r in per_src)
     assert len(per_src) == d.select("source").distinct().count()
+
+
+def test_release_gate_verdicts(spark):
+    """A takedown-gone-wrong (most ids removed) must fail the removed
+    row and pass the added row; fractions are of the union."""
+    from gomaxscale_spark.operators.versioning import release_version_gate
+
+    old = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 11)], "id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 4)], "id long, text string"
+    )
+    rows = {r.check: r for r in
+            release_version_gate(old, new, "id", "text").collect()}
+    assert rows["removed"].n_docs == 7 and rows["removed"].frac == 0.7
+    assert not rows["removed"].passed
+    assert rows["added"].n_docs == 0 and rows["added"].passed
+    assert rows["changed"].passed
