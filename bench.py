@@ -194,6 +194,7 @@ EXTRA = [
     "streaming_version_diff_availablenow",
     "text_bpe_fertility_by_source",
     "corpus_release_gate",
+    "decontaminate_incremental_delta",
 ]
 
 

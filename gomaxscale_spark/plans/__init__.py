@@ -274,6 +274,7 @@ _TIER2: list[str] = [
     "corpus_curriculum_order",
     "text_bpe_fertility_by_source",
     "corpus_release_gate",
+    "decontaminate_incremental_delta",
     # r15: the NINTH real-engine streaming entry — incremental release
     # diffing against the epoch-committed (id, digest) manifest lake
     # (ingest reads text once; the diff is manifest-vs-manifest).

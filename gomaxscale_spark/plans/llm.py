@@ -6207,3 +6207,83 @@ def corpus_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     old, new = _corpus_versions(t(spark, sf_dir, "documents"))
     return V.release_version_gate(old, new, "doc_id", "text")
+
+
+@query(
+    "decontaminate_incremental_delta",
+    oracle="WITH " + _VERSIONS_SQL + """,
+    delta AS (
+      SELECT n.doc_id, n.text,
+             CASE WHEN o.doc_id IS NULL THEN 'added' ELSE 'changed' END AS change
+      FROM new n LEFT JOIN old o ON o.doc_id = n.doc_id
+      WHERE o.doc_id IS NULL OR md5(o.text) <> md5(n.text)
+    ),
+    toksb AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM new
+      WHERE ((doc_id % 100) * (2654435761 % 100)) % 100 < 5
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS g
+      FROM toksb WHERE len(toks) >= 4
+    ),
+    toksd AS (
+      SELECT d.doc_id, d.change,
+             list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '') AS toks
+      FROM delta d
+      WHERE ((d.doc_id % 100) * (2654435761 % 100)) % 100 >= 5
+    ),
+    expl AS (
+      SELECT doc_id, change, unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS g
+      FROM toksd WHERE len(toks) >= 4
+    ),
+    scored AS (
+      SELECT e.doc_id, any_value(e.change) AS change,
+             count(b.g) AS hits, count(*) AS total_ngrams
+      FROM expl e LEFT JOIN bench b ON e.g = b.g
+      GROUP BY e.doc_id
+    )
+    SELECT doc_id, change, hits, total_ngrams,
+           round(CAST(hits AS DOUBLE) / total_ngrams, 6) AS contamination
+    FROM scored WHERE hits > 0
+    """,
+    doc="r15 versioning × decontamination: INCREMENTAL benchmark "
+    "decontamination at release cadence — only the release DELTA "
+    "(added + changed docs of the new version, from the digest diff) "
+    "is re-checked for 4-gram overlap with the benchmark slice; "
+    "absorbed content is never rescanned. This is the production "
+    "form of the decontamination family at 100 TB: per release the "
+    "check costs O(|delta|) corpus work + the broadcast benchmark "
+    "n-gram set, instead of a full-corpus pass (the same "
+    "never-rescan discipline the manifest lake gives the diff "
+    "itself). Output = the parent entry's contract (hits > 0 rows) "
+    "plus the delta arm each doc came from. Scale: diff join carries "
+    "(id, digest) only; the delta explodes to (doc_id, gram) and "
+    "joins the broadcast bench set map-side; one per-doc partial "
+    "agg.",
+)
+def decontaminate_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = _corpus_versions(t(spark, sf_dir, "documents"))
+    o = old.select("doc_id", F.md5("text").alias("__od"))
+    delta = (
+        new.join(o, "doc_id", "left")
+        .filter(F.col("__od").isNull() | (F.md5("text") != F.col("__od")))
+        .select(
+            "doc_id",
+            "text",
+            F.when(F.col("__od").isNull(), F.lit("added"))
+            .otherwise(F.lit("changed"))
+            .alias("change"),
+        )
+    )
+    bench = new.filter(SA.hash_bucket(F.col("doc_id")) < 5)
+    corpus = delta.filter(SA.hash_bucket(F.col("doc_id")) >= 5)
+    scored = TX.benchmark_contamination(corpus, bench, "doc_id", "text", n=4)
+    return (
+        scored.join(corpus.select("doc_id", "change"), "doc_id")
+        .select("doc_id", "change", "hits", "total_ngrams", "contamination")
+        .filter(F.col("hits") > 0)
+    )
