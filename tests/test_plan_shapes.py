@@ -722,3 +722,24 @@ def test_gopher_rules_zero_shuffle(spark, sf_dir):
     someone broke the pure-map contract."""
     p = plan_str(spark, sf_dir, "text_gopher_rules")
     assert "Exchange" not in p, p[:1500]
+
+
+def test_curriculum_has_no_global_window(spark, sf_dir):
+    """corpus_curriculum_order's scale contract: the global position is
+    a closed form over per-stratum counts — the physical plan must
+    contain NO unpartitioned Window node (the single-reducer global
+    row_number the formulation exists to remove). The only Window is
+    the per-stratum rank (partitioned by source)."""
+    from gomaxscale_spark.operators.sampling import curriculum_interleave
+    from gomaxscale_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = curriculum_interleave(d, "doc_id", "source", "n_chars")._jdf \
+        .queryExecution().executedPlan().toString()
+    windows = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert windows, "expected the per-stratum rank window"
+    for ln in windows:
+        # Spark prints the partition spec inside the Window node; an
+        # empty spec would read "Window [..., row_number() ...], [ts ASC" 
+        # with no partition columns — require the source partitioning
+        assert "source" in ln, f"unpartitioned Window in plan: {ln}"
