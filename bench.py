@@ -195,6 +195,11 @@ EXTRA = [
     "text_bpe_fertility_by_source",
     "corpus_release_gate",
     "decontaminate_incremental_delta",
+    # r16: the tokenizer loop closed (BPE-encode + real-token packing,
+    # VERDICT r15 item 3) and the release-pipeline capstone (item 4)
+    "corpus_tokenize_bpe",
+    "corpus_pack_sequences_bpe",
+    "corpus_release_pipeline",
 ]
 
 

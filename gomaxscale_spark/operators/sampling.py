@@ -128,6 +128,29 @@ def pack_sequences(
     partition-local window cumsum; changing the seed re-packs an
     epoch, changing ``budget`` re-cuts sequences without reshuffling.
     """
+    counts = df.select(
+        F.col(id_col),
+        F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return pack_sequences_from_counts(
+        counts, id_col, budget=budget, n_shards=n_shards, seed=seed
+    )
+
+
+def pack_sequences_from_counts(
+    counts: DataFrame,
+    id_col: str,
+    budget: int = 256,
+    n_shards: int = 8,
+    seed: str = "seed13",
+) -> DataFrame:
+    """The packing core of ``pack_sequences`` over a PRECOMPUTED
+    (id, n_tokens) frame — so callers can budget REAL tokenizer
+    tokens (``text.bpe_token_counts``) instead of whitespace words
+    (r16, VERDICT r15 item 3) while keeping the identical shuffle
+    order, shard assignment and integer-exact pack arithmetic."""
     h = (
         F.conv(
             F.substring(
@@ -142,12 +165,8 @@ def pack_sequences(
         .alias("__h")
     )
     base = (
-        df.select(
-            F.col(id_col),
-            h,
-            F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
-            .cast("long")
-            .alias("n_tokens"),
+        counts.select(
+            F.col(id_col), h, F.col("n_tokens").cast("long").alias("n_tokens")
         )
         .withColumn("shard", F.col("__h") % F.lit(int(n_shards)))
     )
@@ -825,10 +844,25 @@ def curriculum_interleave(
     wants — then a pure map; there is NO single-reducer global
     row_number anywhere, at any corpus size.
     """
-    counts = sorted(
-        (r[0], int(r[1]))
-        for r in df.groupBy(stratum_col).count().collect()
-    )
+    count_rows = df.groupBy(stratum_col).count().collect()
+    if any(r[0] is None for r in count_rows):
+        raise ValueError(
+            "curriculum_interleave: NULL stratum values are unsupported — "
+            "the closed-form position folds per-stratum counts as plan "
+            "literals ordered by stratum, and NULL has no place in that "
+            "total order; filter or coalesce the stratum column first"
+        )
+    # plan-literal discipline bound (r16 ADVICE): the position is an
+    # O(|strata|)-term chained CASE per row — sound for low-cardinality
+    # source/language strata, pathological for an unbounded key
+    if len(count_rows) > 4096:
+        raise ValueError(
+            f"curriculum_interleave: {len(count_rows)} strata exceed the "
+            "4096 plan-literal bound (the closed form builds an "
+            "O(|strata|)-term expression per row); bucket the stratum "
+            "column first"
+        )
+    counts = sorted((r[0], int(r[1])) for r in count_rows)
     rank = F.row_number().over(
         W.partitionBy(stratum_col).orderBy(
             F.col(difficulty_col).asc(), F.col(id_col).asc()

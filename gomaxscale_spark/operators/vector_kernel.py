@@ -305,17 +305,25 @@ def mu_quantize(y: np.ndarray) -> np.ndarray:
     IEEE rint: ``0.49999999999999994`` rounds to 0, while the classic
     ``floor(y + 0.5)`` trick yields 1 (the +0.5 sum rounds up to 1.0).
     Fast path: ``floor(y + 0.5)`` — exact whenever the fractional part
-    is farther than ~4e-9 from .5 (half the double spacing at |y| ≈
-    1e7, our µ-scale ceiling). Near-half stragglers (measure-zero in
-    real batches) take the exact slow path: ``Decimal(repr(y))``
-    HALF_UP — Python repr is the same shortest round-trip decimal as
-    Java's ``Double.toString``, so the decision is identical.
-    Pinned bit-equal to the SQL chain in test_vector_kernel.py."""
+    is farther from .5 than the rounding error of the ``y + 0.5`` sum
+    (≤ half the double spacing at y). The guard width is
+    ``max(4e-9, 4·spacing(|y|))`` (r16 ADVICE): the fixed 4e-9 covers
+    the µ-scale |y| ≲ 1e7 domain, and the spacing term keeps the
+    contract sound for arbitrarily large magnitudes — above ~3.6e7 the
+    double spacing exceeds 4e-9, where a fixed guard would let
+    ``floor(y+0.5)`` silently disagree with BigDecimal HALF_UP.
+    Near-half stragglers (measure-zero in real batches) take the exact
+    slow path: ``Decimal(repr(y))`` HALF_UP — Python repr is the same
+    shortest round-trip decimal as Java's ``Double.toString``, so the
+    decision is identical. Pinned bit-equal to the SQL chain in
+    test_vector_kernel.py."""
     from decimal import ROUND_HALF_UP, Decimal
 
     out = np.floor(y + 0.5).astype(np.int64)
     frac = y - np.floor(y)
-    near_half = np.abs(frac - 0.5) < 4e-9
+    near_half = np.abs(frac - 0.5) < np.maximum(
+        4e-9, 4.0 * np.spacing(np.abs(y))
+    )
     if near_half.any():
         flat_y, flat_out = y.reshape(-1), out.reshape(-1)
         for idx in np.flatnonzero(near_half.reshape(-1)):

@@ -260,6 +260,16 @@ _PRIORITY: list[str] = [
 #: Tier 2: nearest-miss variants of families already represented above —
 #: first in line if the gate window ever widens.
 _TIER2: list[str] = [
+    # r16 NEW at tier-2 head (standing pattern): the tokenizer loop
+    # CLOSED (VERDICT r15 item 3) — BPE-encode the corpus into token
+    # IDs under the learned merge chain, and the pack-sequences twin
+    # that budgets real BPE tokens instead of whitespace words; plus
+    # the versioning family's end-to-end capstone (item 4) chaining
+    # diff → delta card → incremental decon → go/no-go gate over one
+    # shared digest-diff frame. All oracle-checked at both SFs.
+    "corpus_tokenize_bpe",
+    "corpus_pack_sequences_bpe",
+    "corpus_release_pipeline",
     # r15 NEW FAMILIES at tier-2 head (standing pattern): corpus
     # versioning & release management (content-addressed release
     # diffing — per-doc delta + the per-source sign-off card; digests

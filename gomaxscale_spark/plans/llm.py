@@ -5316,6 +5316,11 @@ def _bpe_round_ctes(n_rounds: int, apply_last: bool) -> tuple[list, list]:
     application and DuckDB re-inlines plain CTEs per reference, which
     compounds ~3^K across the unrolled rounds (measured 143 s -> 0.2 s
     at sf0.001 for the K=4 fertility chain; results bit-identical).
+    Fixed-point carry (r16 ADVICE): when a round's top{r} is EMPTY
+    (corpus supports fewer than K merges), v{r+1} falls back to v{r}
+    via the NOT EXISTS union arm — matching the engine's fixed-point
+    padding, instead of collapsing to an empty CTE whose readout arm
+    would emit a NULL-aggregate row while the engine emitted none.
     Returns (ctes, top_selects)."""
     ctes = ["""v1 AS MATERIALIZED (
       SELECT w, CAST(count(*) AS BIGINT) AS wc, string_split(w, '') AS toks
@@ -5366,6 +5371,9 @@ def _bpe_round_ctes(n_rounds: int, apply_last: bool) -> tuple[list, list]:
       LEFT JOIN tkn{r} t1 ON t1.w = p.w AND t1.i = p.i
       LEFT JOIN tkn{r} t0 ON t0.w = p.w AND t0.i = p.i - 1
       GROUP BY p.w
+      UNION ALL
+      SELECT w, wc, toks FROM v{r}
+      WHERE NOT EXISTS (SELECT 1 FROM top{r})
     )""")
     return ctes, tops
 
@@ -6286,4 +6294,329 @@ def decontaminate_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFra
         scored.join(corpus.select("doc_id", "change"), "doc_id")
         .select("doc_id", "change", "hits", "total_ngrams", "contamination")
         .filter(F.col("hits") > 0)
+    )
+
+
+# ------------------- r16 (VERDICT r15 item 3): closing the tokenizer loop —
+# APPLY the learned BPE chain (encode the corpus into token IDs) and budget
+# sequence packing with REAL BPE tokens instead of whitespace words.
+
+
+def _bpe_encode_ctes(n_merges: int) -> list[str]:
+    """Shared CTEs for the tokenizer-APPLICATION oracles: the merge
+    chain's final state v{K+1}, the dense token-id table (row_number
+    over the ≤ |alphabet|+K subword set — a bounded tokenizer
+    artifact, not corpus data), the per-word token-id arrays (the
+    word-purity identity: tokenization is a pure function of the
+    word), and the positional (doc, word) stream."""
+    ctes, _ = _bpe_round_ctes(n_merges, apply_last=True)
+    v = f"v{n_merges + 1}"
+    ctes.append(f"""tok_vocab AS MATERIALIZED (
+      SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS token_id
+      FROM (SELECT DISTINCT unnest(toks) AS tok FROM {v})
+    )""")
+    ctes.append(f"""wmap AS MATERIALIZED (
+      SELECT wt.w, list(tv.token_id ORDER BY wt.pos) AS tok_ids
+      FROM (SELECT w, unnest(toks) AS tok,
+                   unnest(range(1, len(toks) + 1)) AS pos
+            FROM {v}) wt
+      JOIN tok_vocab tv ON tv.tok = wt.tok
+      GROUP BY wt.w
+    )""")
+    ctes.append("""docw AS MATERIALIZED (
+      SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS wpos
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents)
+    )""")
+    return ctes
+
+
+@query(
+    "corpus_tokenize_bpe",
+    oracle="WITH " + ",\n    ".join(_bpe_encode_ctes(4)) + """
+    SELECT d.doc_id,
+           flatten(list(m.tok_ids ORDER BY d.wpos)) AS token_ids,
+           CAST(len(flatten(list(m.tok_ids ORDER BY d.wpos))) AS BIGINT)
+             AS n_tokens
+    FROM docw d JOIN wmap m ON m.w = d.w
+    GROUP BY d.doc_id
+    """,
+    doc="r16 tokenizer APPLICATION (VERDICT r15 item 3 — the family "
+    "trained rules and audited fertility but never encoded): per "
+    "document, the token-ID sequence under the first 4 learned BPE "
+    "merges, ids dense-ranked over the final vocabulary state's "
+    "subword set (bounded by |alphabet|+K — the artifact a tokenizer "
+    "ships). The word-purity identity keeps this ONE vocabulary-"
+    "keyed join instead of a second merge application: per-word "
+    "token-id arrays are computed once on the vocabulary frame; "
+    "documents join word → array and flatten in word order. Scale: "
+    "the merge chain costs what bpe_merges costs (corpus collapses "
+    "to its vocabulary once); doc-side exchanges carry (id, "
+    "word-pos) rows plus the per-doc reassembly agg keyed by id — "
+    "the one corpus-sized exchange any per-doc-array output needs "
+    "(operators/text.py).",
+)
+def corpus_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return TX.bpe_encode(d, "doc_id", "text", n_merges=4)
+
+
+@query(
+    "corpus_pack_sequences_bpe",
+    oracle="WITH " + ",\n    ".join(_bpe_encode_ctes(4)) + """,
+    cnt AS MATERIALIZED (
+      SELECT dw.doc_id, CAST(SUM(dw.c * len(v.toks)) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id, w, count(*) AS c FROM docw GROUP BY doc_id, w) dw
+      JOIN v5 v ON v.w = dw.w
+      GROUP BY dw.doc_id
+    ),
+    h AS (
+      SELECT d.doc_id,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || 'seed13'),
+                                  1, 15)) AS BIGINT) AS hh,
+             COALESCE(c.n_tokens, 0) AS n_tokens
+      FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+    ), r AS (
+      SELECT doc_id, hh % 8 AS shard, n_tokens,
+             CAST(row_number() OVER (PARTITION BY hh % 8
+                                     ORDER BY hh, doc_id) AS BIGINT)
+                 AS position,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY hh % 8
+                                          ORDER BY hh, doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS tok_before
+      FROM h
+    )
+    SELECT doc_id, shard, position, n_tokens,
+           CAST(tok_before // 256 AS BIGINT) AS pack_id,
+           CAST(tok_before % 256 AS BIGINT) AS pack_offset
+    FROM r
+    """,
+    doc="r16 sequence assembly × tokenizer (VERDICT r15 item 3): the "
+    "corpus_pack_sequences provenance map budgeting REAL BPE tokens "
+    "— n_tokens = Σ_w count(doc, w)·|toks_K(w)| under the learned "
+    "4-merge chain (the word-purity identity: one corpus-collapsing "
+    "(id, word) agg joined to the vocabulary's final token lengths; "
+    "no per-document merge application) — instead of the whitespace "
+    "words the r14 entry counts. Same reproducible md5 shuffle "
+    "order, same shard keying, same integer-exact div/mod pack "
+    "arithmetic; zero-word docs pack with n_tokens 0. Scale: the "
+    "pack half is unchanged (ONE shard-keyed exchange, partition-"
+    "local cumsum); the count half shuffles word keys and (id, "
+    "count) rows only (operators/sampling.py, operators/text.py).",
+)
+def corpus_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    counts = TX.bpe_token_counts(d, "doc_id", "text", n_merges=4)
+    return SA.pack_sequences_from_counts(
+        counts, "doc_id", budget=256, n_shards=8, seed="seed13"
+    )
+
+
+@query(
+    "corpus_release_pipeline",
+    oracle="WITH " + _VERSIONS_SQL + """,
+    j AS MATERIALIZED (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    ),
+    counts AS MATERIALIZED (
+      SELECT change, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY change
+    ),
+    a AS (
+      SELECT SUM(n) AS total,
+             COALESCE(SUM(n) FILTER (WHERE change = 'added'), 0) AS added,
+             COALESCE(SUM(n) FILTER (WHERE change = 'removed'), 0) AS removed,
+             COALESCE(SUM(n) FILTER (WHERE change = 'changed'), 0) AS changed
+      FROM counts
+    ),
+    gate AS (
+      SELECT 'added' AS item, CAST(added AS BIGINT) AS n_docs,
+             round(CAST(added AS DOUBLE) / total, 6) AS metric,
+             round(CAST(added AS DOUBLE) / total, 6) <= 0.5 AS passed
+      FROM a
+      UNION ALL
+      SELECT 'removed', CAST(removed AS BIGINT),
+             round(CAST(removed AS DOUBLE) / total, 6),
+             round(CAST(removed AS DOUBLE) / total, 6) <= 0.2
+      FROM a
+      UNION ALL
+      SELECT 'changed', CAST(changed AS BIGINT),
+             round(CAST(changed AS DOUBLE) / total, 6),
+             round(CAST(changed AS DOUBLE) / total, 6) <= 0.3
+      FROM a
+    ),
+    toksb AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM new
+      WHERE ((doc_id % 100) * (2654435761 % 100)) % 100 < 5
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS g
+      FROM toksb WHERE len(toks) >= 4
+    ),
+    toksd AS (
+      SELECT n2.doc_id,
+             list_filter(string_split_regex(n2.text, '\\s+'), x -> x <> '') AS toks
+      FROM new n2 JOIN j ON j.doc_id = n2.doc_id
+      WHERE j.change IN ('added', 'changed')
+        AND ((n2.doc_id % 100) * (2654435761 % 100)) % 100 >= 5
+    ),
+    expl AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS g
+      FROM toksd WHERE len(toks) >= 4
+    ),
+    scored AS (
+      SELECT e.doc_id, count(b.g) AS hits, count(*) AS total_ngrams
+      FROM expl e LEFT JOIN bench b ON e.g = b.g
+      GROUP BY e.doc_id
+    ),
+    decon AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_flagged,
+             MAX(CASE WHEN hits > 0
+                      THEN round(CAST(hits AS DOUBLE) / total_ngrams, 6)
+                 END) AS max_contam
+      FROM scored
+    )
+    SELECT 'diff' AS stage, change AS item, n AS n_docs,
+           CAST(NULL AS DOUBLE) AS metric, CAST(NULL AS BOOLEAN) AS passed
+    FROM counts
+    UNION ALL
+    SELECT 'gate', item, n_docs, metric, passed FROM gate
+    UNION ALL
+    SELECT 'decontamination', 'delta_flagged', n_flagged, max_contam,
+           n_flagged = 0
+    FROM decon
+    UNION ALL
+    SELECT 'release', 'verdict',
+           (SELECT CAST(added + removed + changed AS BIGINT) FROM a),
+           CAST(NULL AS DOUBLE),
+           (SELECT bool_and(passed) FROM gate)
+             AND (SELECT n_flagged = 0 FROM decon)
+    """,
+    doc="r16 versioning CAPSTONE (VERDICT r15 item 4): the end-to-end "
+    "release pipeline — diff → sign-off counts → incremental "
+    "decontamination of the delta → go/no-go gate → one release "
+    "verdict row — chained over ONE shared digest-classification "
+    "frame (materialize-once discipline: the full-outer digest join "
+    "is computed exactly once; the diff counts, the gate fractions, "
+    "the delta selection for decontamination, and the verdict all "
+    "read it). Output ≤ 9 rows: (stage, item, n_docs, metric, "
+    "passed) — 'diff' populations per change arm, the three 'gate' "
+    "checks (gate_checks over the SAME counts, no re-derived join — "
+    "item 5's one-pass explode form), the delta-decontamination "
+    "summary (flagged count + max 4-gram contamination, the "
+    "decontaminate_incremental_delta arm aggregated), and the "
+    "release verdict (all gates pass AND zero contaminated delta "
+    "docs). Scale: the classification frame shuffles 40-byte "
+    "(id, change) rows; decon re-reads text for the DELTA only "
+    "(O(|delta|), the never-rescan discipline); everything else is "
+    "bounded-row arithmetic (operators/versioning.py, "
+    "operators/text.py).",
+)
+def corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import versioning as V
+
+    old, new = _corpus_versions(t(spark, sf_dir, "documents"))
+    o = old.select(
+        F.col("doc_id").alias("__id"), F.md5("text").alias("old_digest")
+    )
+    n = new.select(
+        F.col("doc_id").alias("__id"), F.md5("text").alias("new_digest")
+    )
+    change = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    cls = materialize_once(
+        o.join(n, "__id", "full_outer").select(
+            F.col("__id").alias("doc_id"), change.alias("change")
+        )
+    )
+    counts = materialize_once(
+        cls.groupBy("change").agg(F.count(F.lit(1)).alias("n"))
+    )
+    piv = counts.agg(
+        F.sum("n").alias("total"),
+        *[
+            F.sum(F.when(F.col("change") == k, F.col("n")).otherwise(0)).alias(k)
+            for k in ("added", "removed", "changed")
+        ],
+    )
+    gate = V.gate_checks(piv)
+
+    delta_ids = cls.filter(F.col("change").isin("added", "changed")).select(
+        "doc_id"
+    )
+    bench = new.filter(SA.hash_bucket(F.col("doc_id")) < 5)
+    corpus_delta = new.join(delta_ids, "doc_id").filter(
+        SA.hash_bucket(F.col("doc_id")) >= 5
+    )
+    scored = TX.benchmark_contamination(corpus_delta, bench, "doc_id", "text", n=4)
+    decon = scored.agg(
+        F.coalesce(F.sum((F.col("hits") > 0).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.max(F.when(F.col("hits") > 0, F.col("contamination"))).alias(
+            "max_contam"
+        ),
+    )
+
+    diff_rows = counts.select(
+        F.lit("diff").alias("stage"),
+        F.col("change").alias("item"),
+        F.col("n").cast("long").alias("n_docs"),
+        F.lit(None).cast("double").alias("metric"),
+        F.lit(None).cast("boolean").alias("passed"),
+    )
+    gate_rows = gate.select(
+        F.lit("gate").alias("stage"),
+        F.col("check").alias("item"),
+        F.col("n_docs"),
+        F.col("frac").alias("metric"),
+        F.col("passed"),
+    )
+    decon_row = decon.select(
+        F.lit("decontamination").alias("stage"),
+        F.lit("delta_flagged").alias("item"),
+        F.col("n_flagged").alias("n_docs"),
+        F.col("max_contam").alias("metric"),
+        (F.col("n_flagged") == 0).alias("passed"),
+    )
+    verdict = (
+        gate.agg(
+            (F.sum(F.when(F.col("passed"), 0).otherwise(1)) == 0).alias(
+                "gate_ok"
+            )
+        )
+        .crossJoin(decon.select("n_flagged"))
+        .crossJoin(
+            piv.select(
+                (F.col("added") + F.col("removed") + F.col("changed"))
+                .cast("long")
+                .alias("n_delta")
+            )
+        )
+        .select(
+            F.lit("release").alias("stage"),
+            F.lit("verdict").alias("item"),
+            F.col("n_delta").alias("n_docs"),
+            F.lit(None).cast("double").alias("metric"),
+            (F.col("gate_ok") & (F.col("n_flagged") == 0)).alias("passed"),
+        )
+    )
+    return (
+        diff_rows.unionAll(gate_rows).unionAll(decon_row).unionAll(verdict)
     )

@@ -53,6 +53,8 @@ def _norm_value(v: Any) -> str:
             return str(bool(v))
         if isinstance(v, np.datetime64):
             return pd.Timestamp(v).isoformat()
+        if isinstance(v, np.ndarray):  # Spark array columns via toPandas
+            return "[" + ",".join(_norm_value(x) for x in v.tolist()) + "]"
     except Exception:
         pass
     if isinstance(v, list):

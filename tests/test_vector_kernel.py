@@ -568,21 +568,47 @@ def test_moment_partials_matches_expression_agg(spark, sf_dir):
     assert kern == expect
 
 
-def test_moment_partials_overflow_fallback_path():
-    """Pathological batch (values so large that rows·max(q²) would
-    overflow int64) takes the unbounded-Python-int path and stays
-    exact."""    # noqa: D401
-    import pandas as pd
+def test_moment_partials_overflow_fallback_path(spark):
+    """Pathological batch (rows·max(q²) ≥ 2^62) must take the
+    unbounded-Python-int Σq² path and still emit EXACT sums — the
+    per-dim ss here (1.8e19) overflows int64 itself, so only the
+    Decimal packaging of the fallback can carry it (r16 ADVICE: the
+    earlier form of this test never executed the kernel)."""
+    big = 3.0e3  # q = 3e9, q² = 9e18: one row already exceeds 2^62
+    df = spark.createDataFrame(
+        [([big, -big],), ([big, big],)], "v array<double>"
+    ).repartition(1)
+    rows = {r.dim: r for r in VK.moment_partials(df, "v", 2).collect()}
+    q = 3_000_000_000
+    assert rows[1].n == 2 and rows[2].n == 2
+    assert int(rows[1].s) == 2 * q  # big + big
+    assert int(rows[2].s) == 0  # -big + big
+    expect_ss = 2 * q * q  # 1.8e19 > int64 max: Decimal-exact or bust
+    assert int(rows[1].ss) == expect_ss
+    assert int(rows[2].ss) == expect_ss
 
-    big = 3.0e3  # q = 3e9, q² = 9e18 > int64/2 even for 1 row
-    pdf = pd.DataFrame({"v": [[big, -big], [big, big]]})
-    # drive the inner generator directly (no Spark needed)
-    from decimal import Decimal
 
-    from gomaxscale_spark.operators.vector_kernel import mu_quantize
-
-    q = mu_quantize(np.array([big, -big]) * 1e6)
-    assert int(q[0]) == 3_000_000_000
-    expect_ss = 2 * (3_000_000_000 ** 2)
-    # via the public API against a tiny Spark-free check of the math
-    assert Decimal(expect_ss) == Decimal(int(q[0]) ** 2 + int(-q[1]) ** 2)
+def test_mu_quantize_large_magnitude_spacing_guard(spark):
+    """r16 ADVICE: above the µ-scale domain the double spacing exceeds
+    the old fixed 4e-9 near-half guard — at |y| ≥ 2^52 (spacing 1,
+    every frac is 0) floor(y+0.5) ties-to-even ACROSS odd integers
+    while BigDecimal HALF_UP keeps them. The spacing-scaled guard must
+    route those through the exact slow path; parity vs Spark's own
+    CAST(round(y) AS BIGINT) is the contract."""
+    ys = [
+        float(2**52 + 1),      # odd: floor(y+0.5) would tie-to-even up
+        float(2**52 + 3),
+        -float(2**52 + 1),
+        float(2**52),
+        4.503599627370497e15,  # 2^52 + 497... decimal repr round-trip
+        3.7e7 + 0.5,           # just above the old 3.6e7 soundness bound
+        1e7 - 0.5,
+    ]
+    got = VK.mu_quantize(np.array(ys, dtype=np.float64))
+    expect = [
+        r[0]
+        for r in spark.createDataFrame([(y,) for y in ys], "y double")
+        .select(F.expr("CAST(round(y) AS BIGINT)"))
+        .collect()
+    ]
+    assert [int(v) for v in got] == [int(v) for v in expect]

@@ -227,3 +227,180 @@ def test_release_gate_verdicts(spark):
     assert not rows["removed"].passed
     assert rows["added"].n_docs == 0 and rows["added"].passed
     assert rows["changed"].passed
+
+
+def test_release_gate_single_pass_plan(spark):
+    """r16 (VERDICT r15 item 5): the three check rows come from ONE
+    explode over the single conditional-sum row — the plan must carry
+    no Union (the old three-arm unionAll re-derived the digest join
+    up to 3×) and exactly one Generate node."""
+    from gomaxscale_spark.operators.versioning import release_version_gate
+
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "id long, text string")
+    new = spark.createDataFrame([(2, "b"), (3, "c")], "id long, text string")
+    df = release_version_gate(old, new, "id", "text")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
+    assert plan.count("Generate") == 1
+    rows = {r.check: r for r in df.collect()}
+    assert set(rows) == {"added", "removed", "changed"}
+    assert rows["added"].n_docs == 1 and rows["removed"].n_docs == 1
+
+
+def test_curriculum_null_stratum_raises(spark):
+    """r16 ADVICE: a NULL stratum has no place in the plan-literal
+    total order — fail loudly instead of TypeError-ing in sorted()."""
+    import pytest
+
+    from gomaxscale_spark.operators.sampling import curriculum_interleave
+
+    df = spark.createDataFrame(
+        [(1, "web", 10), (2, None, 5)], "id long, src string, diff long"
+    )
+    with pytest.raises(ValueError, match="NULL stratum"):
+        curriculum_interleave(df, "id", "src", "diff")
+
+
+# --------------------------------- BPE early-fixpoint parity (r16 ADVICE)
+
+
+def _degenerate_duck():
+    """DuckDB connection over a corpus that supports exactly ONE merge
+    (every word is 'ab'), so rounds 2..4 hit the fixed point."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'ab ab'), (2, 'ab')) AS t(doc_id, text)"
+    )
+    return con
+
+
+def test_bpe_fertility_early_fixpoint_matches_oracle(spark):
+    """A corpus supporting fewer merges than n_merges must still emit
+    n_merges+1 curve rows (fixed-point padding), and the oracle's
+    NOT EXISTS carry arm must replay them exactly."""
+    from gomaxscale_spark.plans.llm import _bpe_fertility_oracle
+    from gomaxscale_spark.testing import compare_frames
+
+    d = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab")], "doc_id long, text string"
+    )
+    engine = bpe_fertility(d, "text", n_merges=4).toPandas()
+    con = _degenerate_duck()
+    try:
+        oracle = con.execute(_bpe_fertility_oracle(4)).df()
+    finally:
+        con.close()
+    assert not compare_frames(engine, oracle)
+    rows = sorted(
+        engine.itertuples(index=False), key=lambda r: r.n_merges
+    )
+    assert [r.total_tokens for r in rows] == [6, 3, 3, 3, 3]
+
+
+def test_bpe_merges_early_fixpoint_matches_oracle(spark):
+    """Engine breaks after the last supported merge; the oracle's
+    empty top{r} arms contribute no rows — both sides emit exactly
+    the supported rounds."""
+    from gomaxscale_spark.operators.text import bpe_merges
+    from gomaxscale_spark.plans.llm import _bpe_merges_oracle
+    from gomaxscale_spark.testing import compare_frames
+
+    d = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab")], "doc_id long, text string"
+    )
+    engine = bpe_merges(d, "text", n_merges=4).toPandas()
+    con = _degenerate_duck()
+    try:
+        oracle = con.execute(_bpe_merges_oracle(4)).df()
+    finally:
+        con.close()
+    assert not compare_frames(engine, oracle)
+    assert len(engine) == 1  # only one merge is learnable
+
+
+def test_bpe_fertility_empty_corpus_null_rows(spark):
+    """An empty corpus yields n_merges+1 all-NULL stat rows (the
+    oracle's empty-CTE NULL aggregates) instead of a TypeError."""
+    d = spark.createDataFrame([], "doc_id long, text string")
+    rows = bpe_fertility(d, "text", n_merges=2).collect()
+    assert len(rows) == 3
+    assert all(r.total_tokens is None for r in rows)
+
+
+# ------------------------------- r16: tokenizer loop + release capstone
+
+
+def test_bpe_encode_consistent_with_counts_and_fertility(spark, sf_dir):
+    """The three tokenizer-application views must agree: per-doc
+    |token_ids| == bpe_token_counts, and their total equals the
+    fertility curve's final-round corpus total (the word-purity
+    identity end to end)."""
+    from gomaxscale_spark.operators.text import bpe_encode, bpe_token_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    enc = {
+        r[0]: r.n_tokens
+        for r in bpe_encode(d, "doc_id", "text", n_merges=3).collect()
+    }
+    cnt = {
+        r[0]: r.n_tokens
+        for r in bpe_token_counts(d, "doc_id", "text", n_merges=3).collect()
+    }
+    # every doc with >= 1 word appears in both with equal counts
+    assert enc == {k: v for k, v in cnt.items() if v > 0}
+    corpus = {
+        r.n_merges: r.total_tokens
+        for r in bpe_fertility(d, "text", n_merges=3).collect()
+    }
+    assert sum(cnt.values()) == corpus[3]
+
+
+def test_bpe_encode_token_ids_decode_back(spark):
+    """Round-trip on a tiny corpus: decoding each doc's token-id
+    sequence through the id->token table reproduces the doc's
+    lowercased concatenated characters."""
+    from gomaxscale_spark.operators.text import (
+        _bpe_rounds,
+        _bpe_vocab,
+        bpe_encode,
+        bpe_token_vocab,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "abab cd Abab"), (2, "cd cd ee")], "doc_id long, text string"
+    )
+    vocab = _bpe_vocab(d, "text")
+    _, states = _bpe_rounds(vocab, 2, apply_last=True)
+    id2tok = {
+        r.token_id: r.tok for r in bpe_token_vocab(states[-1]).collect()
+    }
+    for s in states:
+        s.unpersist()
+    got = {
+        r[0]: "".join(id2tok[i] for i in r.token_ids)
+        for r in bpe_encode(d, "doc_id", "text", n_merges=2).collect()
+    }
+    assert got == {1: "ababcdabab", 2: "cdcdee"}
+
+
+def test_release_pipeline_verdict_consistency(spark, sf_dir):
+    """The capstone's verdict row must equal AND(gate rows) AND
+    zero-flagged-decon, and the diff populations must sum to the
+    union population implied by the gate fractions."""
+    from gomaxscale_spark.plans import all_queries
+
+    rows = all_queries()["corpus_release_pipeline"].fn(spark, sf_dir).collect()
+    by = {(r.stage, r.item): r for r in rows}
+    gate_ok = all(r.passed for r in rows if r.stage == "gate")
+    decon = by[("decontamination", "delta_flagged")]
+    verdict = by[("release", "verdict")]
+    assert verdict.passed == (gate_ok and decon.n_docs == 0)
+    diff_total = sum(r.n_docs for r in rows if r.stage == "diff")
+    delta_total = sum(
+        r.n_docs for r in rows if r.stage == "diff" and r.item != "unchanged"
+    )
+    assert verdict.n_docs == delta_total
+    assert diff_total >= delta_total > 0
