@@ -57,7 +57,12 @@ _PRIORITY: list[str] = [
     "streaming_session_availablenow",
     "streaming_dedup_availablenow",
     "streaming_static_enrichment",
-    "streaming_sliding_availablenow",
+    # r16 (VERDICT r15 item 1): streaming_sliding_availablenow rotated
+    # to tier-2 head to fund the streaming_version_diff_availablenow
+    # promotion below — sliding is the overlapping-window TWIN of the
+    # tumbling gate that stays in-window (same engine path, same
+    # drain helper), it remains full-catalog oracle-replayed every
+    # suite run, and B14 keeps eight real-engine rows.
     "streaming_stream_stream_join",
     # r14 (VERDICT r13 item 1): the SEVENTH real-engine streaming gate —
     # the BM25 term-statistics lake fed through readStream/foreachBatch
@@ -73,6 +78,13 @@ _PRIORITY: list[str] = [
     # the minimal keyed counts, shares/KL computed on the serving
     # read). Funded by the cdc_snapshot_latest_state_salted demotion.
     "streaming_mixture_monitor_availablenow",
+    # r16 (VERDICT r15 item 1): the NINTH real-engine streaming entry
+    # — incremental release diffing served off the epoch-committed
+    # (id, digest) manifest lake — earns its hard per-round
+    # CORRECTNESS row (standing promotion policy: each round's new
+    # families rotate into the gate). Funded by the
+    # streaming_sliding_availablenow demotion above.
+    "streaming_version_diff_availablenow",
     "flagship_user_activity",
     # sampling / splits
     "sampling_hash_split",
@@ -135,6 +147,15 @@ _PRIORITY: list[str] = [
     # the LSH-composition shape in the window, and keep-reps is its
     # downstream variant (same candidates, same verify, one more join).
     "dedup_substring_coverage",
+    # r16 (VERDICT r15 item 1): the capped train/eval leakage audit —
+    # identical split arithmetic over the count-first-capped pair
+    # pipeline, the form whose cost is bounded before any pair exists
+    # (measured 44× the uncapped form at x100, SCALING.md r15) — gets
+    # its gate row. Funded by the sampling_dsir_weights demotion (see
+    # the sampling comment below): the gate keeps the scale-safe twin
+    # discipline for the leakage family the same way it does for
+    # MinHash-LSH above.
+    "dedup_split_leakage_audit_capped",
     # r13 (VERDICT r12 item 1): dedup_incremental_batch demoted to
     # tier-2 head — B15 was the most over-represented family in the
     # window (the verdict counted 8 rows), the incremental batch-vs-lake
@@ -211,10 +232,17 @@ _PRIORITY: list[str] = [
     "text_tfidf",
     "text_contamination_ngram",
     # r12 (VERDICT r11 item 1): the Gopher char-mass n-gram repetition
-    # battery — r11's biggest text addition (four n-gram orders off ONE
-    # (hash,len) struct array) — gets its hard per-round CORRECTNESS
-    # row. Funded by the uncapped dedup_minhash_lsh demotion above.
-    "text_ngram_char_repetition",
+    # battery earned its row here; r16 (VERDICT r15 item 1) rotated it
+    # to tier-2 head to fund the text_bpe_merges promotion below — B17
+    # was the most over-represented family in the window (5 rows), the
+    # battery stays full-catalog oracle-replayed every suite run, and
+    # its char-mass struct-array machinery is pytested directly.
+    # r16 (VERDICT r15 item 1): the tokenizer-TRAINING capstone — K=4
+    # iterated BPE merges (vocabulary-bounded state, per-round argmax
+    # = one collected row) — gets its hard per-round CORRECTNESS row;
+    # the whole r15/r16 tokenizer family (fertility cards, encode,
+    # real-token packing) hangs off this chain.
+    "text_bpe_merges",
     # north-star composition: quality-filter → dedup → decontaminate
     "pipeline_training_corpus",
     # r12 (VERDICT r11 item 1): the four-modality release gate — the
@@ -225,14 +253,28 @@ _PRIORITY: list[str] = [
     # B18 UDF shapes — r11: three window reps (applyInPandas,
     # mapInPandas, UDTF); the scalar pandas_udf and grouped-agg shapes
     # moved to tier-2 head to fund the r10-modality promotions
-    # (VERDICT r10 item 3)
+    # (VERDICT r10 item 3). r16 (VERDICT r15 item 1):
+    # udf_mapinpandas_doc_stats rotated to tier-2 head to fund the
+    # corpus_version_diff promotion below — the mapInPandas API shape
+    # keeps an in-window exerciser (multimodal_decode_features is an
+    # Arrow-batched mapInPandas) and the entry stays full-catalog
+    # oracle-replayed every suite run.
     "udf_grouped_zscore",
-    "udf_mapinpandas_doc_stats",
     "udtf_json_key_values",
-    # r11 (VERDICT r10 item 3): DSIR importance-resampling weights —
-    # the data-selection modality's gate row. Funded by
-    # udf_grouped_agg_mad (tier-2 head, see the B18 note above).
-    "sampling_dsir_weights",
+    # r16 (VERDICT r15 item 1): the corpus-versioning SPINE — the
+    # content-addressed release diff whose digest-projection join
+    # (40-byte rows, text never shuffles) every other versioning
+    # entry (delta card, gate, incremental decon, release pipeline,
+    # manifest lake) builds on — gets its hard per-round CORRECTNESS
+    # row. Funded by the udf_mapinpandas_doc_stats demotion above.
+    "corpus_version_diff",
+    # r11 (VERDICT r10 item 3): DSIR importance-resampling weights
+    # earned the data-selection gate row; r16 (VERDICT r15 item 1)
+    # rotated it to tier-2 head to fund the
+    # dedup_split_leakage_audit_capped promotion above — the DSIR
+    # µ-nat LLR scoring executes in-window inside release_report's
+    # data-selection leg, and the entry stays full-catalog
+    # oracle-replayed every suite run.
     # r13 (VERDICT r12 item 1): cluster-balanced prototype sampling — the
     # embedding-space domain cap (Arrow assign_nearest kernel, 28× the
     # fan-out+window form at x100, quota ranks on the 6dp-rounded score).
@@ -270,6 +312,14 @@ _TIER2: list[str] = [
     "corpus_tokenize_bpe",
     "corpus_pack_sequences_bpe",
     "corpus_release_pipeline",
+    # r16 demotions (VERDICT r15 item 1 — funded the corpus_version_diff
+    # / text_bpe_merges / streaming_version_diff / capped-leakage-audit
+    # promotions; rationale at each _PRIORITY swap comment). All four
+    # stay full-catalog oracle-replayed every suite run.
+    "streaming_sliding_availablenow",
+    "sampling_dsir_weights",
+    "text_ngram_char_repetition",
+    "udf_mapinpandas_doc_stats",
     # r15 NEW FAMILIES at tier-2 head (standing pattern): corpus
     # versioning & release management (content-addressed release
     # diffing — per-doc delta + the per-source sign-off card; digests
@@ -278,24 +328,15 @@ _TIER2: list[str] = [
     # ordering (easy-to-hard within stratum, round-robin across — the
     # closed-form position that removes the global row_number). All
     # oracle-checked at both SFs.
-    "corpus_version_diff",
+    # (r16: corpus_version_diff, streaming_version_diff_availablenow
+    # and dedup_split_leakage_audit_capped promoted to the window per
+    # the standing policy — VERDICT r15 item 1.)
     "corpus_release_delta_card",
     "text_bpe_fertility_card",
     "corpus_curriculum_order",
     "text_bpe_fertility_by_source",
     "corpus_release_gate",
     "decontaminate_incremental_delta",
-    # r15: the NINTH real-engine streaming entry — incremental release
-    # diffing against the epoch-committed (id, digest) manifest lake
-    # (ingest reads text once; the diff is manifest-vs-manifest).
-    # First in line for a B14 window rotation.
-    "streaming_version_diff_availablenow",
-    # r15 NEW at tier-2 head: the capped composition of the leakage
-    # audit (VERDICT r14 item 5) — identical split arithmetic over the
-    # count-first-capped pair pipeline, the form whose cost is bounded
-    # before any pair exists. Oracle-twinned; first in line for a
-    # window rotation.
-    "dedup_split_leakage_audit_capped",
     # r15 demotions (VERDICT r14 item 3 — funded the semantic-dedup /
     # pack-sequences / mixture-monitor promotions; rationale at each
     # _PRIORITY swap comment). All three stay full-catalog
@@ -340,10 +381,8 @@ _TIER2: list[str] = [
     # the BM25-lake split). First in line for a B14 window rotation.
     "text_chunk_windows",
     "text_bpe_pair_counts",
-    # r15 (VERDICT r14 item 6): the iterated-merge capstone of the
-    # tokenizer-training story — K=4 unrolled BPE rounds, vocab-sized
-    # state, oracle-twinned via CTE rounds + pure-Python-pytested.
-    "text_bpe_merges",
+    # (r16: text_bpe_merges promoted to the window — VERDICT r15
+    # item 1.)
     # r14: chunk-level duplication — the exact-dedup shape on the
     # chunk axis (what a RAG chunk store checks before indexing)
     "dedup_chunk_hash",

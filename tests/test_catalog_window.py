@@ -36,12 +36,16 @@ FAMILY_REPRESENTATIVES = {
         "streaming_session_availablenow",
         "streaming_dedup_availablenow",
         "streaming_static_enrichment",
-        "streaming_sliding_availablenow",
+        # r16: sliding rotated to tier-2 head (the overlapping-window
+        # twin of the tumbling gate) to fund the manifest-lake diff
         "streaming_stream_stream_join",
         # r14: the BM25 term-statistics lake — the 7th real-engine gate
         "streaming_bm25_lake_availablenow",
         # r15: the traffic-mix drift monitor — the 8th real-engine gate
         "streaming_mixture_monitor_availablenow",
+        # r16: the manifest-lake release diff — the 9th real-engine
+        # entry takes the eighth B14 window row (VERDICT r15 item 1)
+        "streaming_version_diff_availablenow",
     ],
     # r12 window swap: the scale-safe capped LSH form is B15's MinHash
     # slot-holder (uncapped + exact demoted to tier-2 head to fund the
@@ -136,10 +140,14 @@ def test_r10_modalities_hold_gate_rows():
     # modality's gate coverage now flows through similarity_opq_adc_topk,
     # the strict superset shape (same two-word ADC machinery plus the
     # trained rotation; both PQ layouts stay oracle-replayed at tier 2).
+    # r16 (VERDICT r15 item 1): sampling_dsir_weights rotated to
+    # tier-2 head to fund the capped-leakage-audit promotion — the
+    # DSIR µ-nat LLR scoring still executes in-window inside
+    # release_report's data-selection leg, and the entry stays
+    # full-catalog oracle-replayed every suite run.
     assert {
         "dedup_substring_coverage",
         "similarity_opq_adc_topk",
-        "sampling_dsir_weights",
     } <= window
     assert "udf_pandas_scalar_log1p" not in window
     assert "udf_grouped_agg_mad" not in window
@@ -211,10 +219,14 @@ def test_r11_modalities_hold_gate_rows():
     via the capstone), and the m=8 PQ layout (coarser variant). r14:
     the m=16 row itself rotated to tier-2 head — the PQ/ADC modality's
     gate coverage continues through the OPQ superset row (see
-    test_r10_modalities_hold_gate_rows)."""
+    test_r10_modalities_hold_gate_rows). r16 (VERDICT r15 item 1):
+    text_ngram_char_repetition rotated to tier-2 head to fund the
+    text_bpe_merges promotion — B17 was the most over-represented
+    family (5 window rows); the battery stays full-catalog
+    oracle-replayed every suite run and its struct-array machinery is
+    pytested directly."""
     window = set(list(all_queries())[:WINDOW])
     assert {
-        "text_ngram_char_repetition",
         "release_report",
         "similarity_opq_adc_topk",
     } <= window
@@ -331,3 +343,30 @@ def test_bench_query_lists_resolve_in_registry():
     missing = [n for n in bench.HEADLINE + bench.EXTRA if n not in registry]
     assert not missing, f"bench names not in the registry: {missing}"
     assert "scan_filter_project" in registry  # the calibration probe
+
+
+def test_r15_families_hold_gate_rows():
+    """VERDICT r15 item 1 (standing policy — the exact precedent of
+    the r10-r14 promotions): the r15 families earn hard per-round
+    CORRECTNESS rows — corpus_version_diff (the versioning spine),
+    text_bpe_merges (the tokenizer-training capstone),
+    streaming_version_diff_availablenow (the 9th real-engine
+    streaming entry), and dedup_split_leakage_audit_capped (the
+    scale-safe twin of the leakage audit). Funded by
+    streaming_sliding_availablenow (tumbling's overlapping-window
+    twin), sampling_dsir_weights (runs in-window inside
+    release_report), text_ngram_char_repetition (B17 held five
+    rows), and udf_mapinpandas_doc_stats (the mapInPandas shape runs
+    in-window via multimodal_decode_features) — all at tier-2 head,
+    full-catalog oracle-replayed every suite run."""
+    window = set(list(all_queries())[:WINDOW])
+    assert {
+        "corpus_version_diff",
+        "text_bpe_merges",
+        "streaming_version_diff_availablenow",
+        "dedup_split_leakage_audit_capped",
+    } <= window
+    assert "streaming_sliding_availablenow" not in window
+    assert "sampling_dsir_weights" not in window
+    assert "text_ngram_char_repetition" not in window
+    assert "udf_mapinpandas_doc_stats" not in window
