@@ -200,7 +200,30 @@ EXTRA = [
     "corpus_tokenize_bpe",
     "corpus_pack_sequences_bpe",
     "corpus_release_pipeline",
+    # r16 new family: SFT / instruction-data assembly
+    "sft_assemble_conversations",
+    "sft_loss_mask_spans",
+    "sft_dedup_by_prompt",
+    "sft_truncate_context_budget",
+    # r16: the 10th real-engine streaming entry (vocabulary lake)
+    "streaming_bpe_vocab_lake_availablenow",
 ]
+
+
+#: Calibration-comparability protocol (r16, VERDICT r15 item 2). The
+#: frozen scan_filter_project probe has measured the HOST at
+#: 0.119-0.152 s (tighter pre/post bound) on every committed record
+#: r12-r15; the r15 incident was a battery recorded under a degraded
+#: window (probe 0.30-0.92) whose cells then read ×1.1-2.3 on
+#: unchanged code. The protocol: every record carries the pinned
+#: reference, its own cal_factor (probe/reference) and
+#: calibration-NORMALIZED twin cells next to the raw walls, plus a
+#: host_state verdict; with SPARK_GRAFT_BENCH_STRICT=1 (the close
+#: protocol sets it when producing the committed BENCH_LOCAL_r{N}
+#: record) an out-of-band probe REFUSES to emit the record at all —
+#: re-run on a quiet host instead of committing archaeology.
+CAL_REFERENCE_MIN = 0.135  # r14 committed record (BENCH_LOCAL_r14.json)
+CAL_OK_BAND = (0.5, 2.0)  # acceptable cal_factor for a committed record
 
 
 def materialize(df) -> None:
@@ -331,7 +354,26 @@ def main() -> None:
         "median": min(calibration_pre["median"], calibration_post["median"]),
         "pre": calibration_pre,
         "post": calibration_post,
+        "reference_min": CAL_REFERENCE_MIN,
     }
+    # the pinned reference is an sf0.1 probe — comparing it against a
+    # probe over different data is apples-to-oranges, so the
+    # comparability verdict only exists at the record SF (the driver /
+    # committed-record scale); replicas and smoke SFs stay raw-only
+    is_reference_sf = sf == 0.1
+    if is_reference_sf:
+        cal_factor = round(calibration["min"] / CAL_REFERENCE_MIN, 4)
+        host_ok = CAL_OK_BAND[0] <= cal_factor <= CAL_OK_BAND[1]
+        host_state = "ok" if host_ok else "degraded"
+    else:
+        cal_factor = None
+        host_ok = True  # nothing to refuse against
+        host_state = "no-reference-for-sf"
+
+    def normalized(cells: dict[str, float]) -> dict[str, float]:
+        if cal_factor is None:
+            return {}
+        return {k: round(v / cal_factor, 3) for k, v in cells.items()}
 
     # LLM-pipeline capstone throughput: documents/sec through
     # quality-filter → exact-dedup → decontamination (best-of-2)
@@ -350,6 +392,17 @@ def main() -> None:
         "queries_median": medians,
         "extra_queries": extra,
         "calibration": calibration,
+        # r16 comparability protocol: cal_factor = probe/reference;
+        # *_normalized cells = raw wall / cal_factor — the
+        # round-over-round comparable twins (host_state != ok means
+        # even the normalized cells should be read with suspicion)
+        "cal_factor": cal_factor,
+        "host_state": host_state,
+        "value_normalized": (
+            None if cal_factor is None else round(total / cal_factor, 3)
+        ),
+        "queries_normalized": normalized(timings),
+        "extra_queries_normalized": normalized(extra),
         "sf": sf,
         "capstone_docs_per_sec": round(n_docs / cap_best, 0),
         # best-of-2: same noise-resistance as the queries
@@ -357,6 +410,17 @@ def main() -> None:
             cdc_ingest_events_per_sec() for _ in range(2)
         ),
     }
+    if os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1" and not host_ok:
+        print(
+            f"bench: REFUSING to emit a committed record — calibration "
+            f"{calibration['min']} s is ×{cal_factor} the pinned reference "
+            f"{CAL_REFERENCE_MIN} s (band {CAL_OK_BAND}); re-run on a quiet "
+            "host",
+            file=sys.stderr,
+        )
+        spark.stop()
+        sys.exit(3)
+
     print(json.dumps(payload))
     # Self-sufficient record (VERDICT r11 item 6): the driver wrapper
     # stores only the LAST ~2k chars of stdout, which truncates the

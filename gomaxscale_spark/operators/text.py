@@ -697,16 +697,29 @@ def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
         df.select(F.explode(tokenize(F.lower(F.col(text_col)))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
-        .filter(F.length("w") >= 2)
     )
-    pairs = words.select(
-        "wc",
-        F.explode(
-            F.sequence(F.lit(1), F.length("w") - F.lit(1))
-        ).alias("i"),
-        F.col("w"),
-    ).select(
-        F.substring(F.col("w"), F.col("i"), F.lit(2)).alias("pair"), "wc"
+    return pair_counts_from_vocab(words, k)
+
+
+def pair_counts_from_vocab(words: DataFrame, k: int = 20) -> DataFrame:
+    """The pair-count core of ``bpe_pair_counts`` over a PRECOMPUTED
+    (w, wc) vocabulary frame — so the streaming vocabulary lake
+    (streaming/vocab_lake.py) can serve the identical statistic off
+    its committed epoch sums (word counts are additive over disjoint
+    document batches, so the lake's summed vocabulary IS the corpus
+    vocabulary; batch ≡ lake equality pytested)."""
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            "wc",
+            F.explode(
+                F.sequence(F.lit(1), F.length("w") - F.lit(1))
+            ).alias("i"),
+            F.col("w"),
+        )
+        .select(
+            F.substring(F.col("w"), F.col("i"), F.lit(2)).alias("pair"), "wc"
+        )
     )
     return (
         pairs.groupBy("pair")

@@ -312,6 +312,22 @@ _TIER2: list[str] = [
     "corpus_tokenize_bpe",
     "corpus_pack_sequences_bpe",
     "corpus_release_pipeline",
+    # r16 NEW FAMILY at tier-2 head (standing pattern): SFT /
+    # instruction-data assembly — the fine-tuning last mile between a
+    # curated corpus and a chat trainer: digest-chained transcript
+    # assembly, loss-mask spans (train assistant turns, mask
+    # prompts), prompt-level conversation dedup, and context-budget
+    # suffix truncation. All oracle-checked at both SFs.
+    "sft_assemble_conversations",
+    "sft_loss_mask_spans",
+    "sft_dedup_by_prompt",
+    "sft_truncate_context_budget",
+    # r16: the TENTH real-engine streaming entry — the incremental
+    # tokenizer-vocabulary lake (per-epoch (w, wc) deltas behind
+    # EpochCommit; BPE round-1 merge candidates served off the summed
+    # committed vocabulary via the batch operator core). First in
+    # line for a B14 window rotation.
+    "streaming_bpe_vocab_lake_availablenow",
     # r16 demotions (VERDICT r15 item 1 — funded the corpus_version_diff
     # / text_bpe_merges / streaming_version_diff / capped-leakage-audit
     # promotions; rationale at each _PRIORITY swap comment). All four

@@ -1040,3 +1040,82 @@ def streaming_version_diff_availablenow(spark: SparkSession, sf_dir: str) -> Dat
     finally:
         shutil.rmtree(replay_dir, ignore_errors=True)
         shutil.rmtree(lake_path, ignore_errors=True)
+
+
+@query(
+    "streaming_bpe_vocab_lake_availablenow",
+    oracle="""
+    WITH words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS wc
+      FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+      )
+      GROUP BY w
+    ), p AS (
+      SELECT substring(w, CAST(i AS INT), 2) AS pair, wc
+      FROM (
+        SELECT w, wc, unnest(range(1, length(w))) AS i
+        FROM words WHERE length(w) >= 2
+      )
+    )
+    SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occurrences
+    FROM p GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 20
+    """,
+    doc="B14 × tokenizer, the TENTH real-engine streaming gate entry: "
+    "the incremental tokenizer-VOCABULARY lake — documents "
+    "re-partitioned into 4 files, readStream with "
+    "maxFilesPerTrigger=1 → 4 foreachBatch micro-batches into "
+    "VocabLakeSink (each epoch lands its (w, wc) delta behind "
+    "EpochCommit), then BPE's round-1 merge candidates (top-20 "
+    "adjacent character-pair counts) served off the SUMMED committed "
+    "vocabulary via the same operator core as the batch "
+    "text_bpe_pair_counts entry (pair_counts_from_vocab — batch ≡ "
+    "lake is an identity). Word counts are additive over disjoint "
+    "batches, so the lake union is batch-split-INVARIANT and the "
+    "streaming ingest is oracle-checkable by the batch SQL. At "
+    "100 TB: the corpus streams in once; every tokenizer-retrain "
+    "decision then runs against the vocabulary-sized lake with text "
+    "never re-read (streaming/vocab_lake.py).",
+)
+def streaming_bpe_vocab_lake_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..session import configure
+    from ..streaming.vocab_lake import VocabLakeSink
+
+    configure(spark)
+    docs = t(spark, sf_dir, "documents")
+    replay_dir = tempfile.mkdtemp(prefix="vocab_replay_")
+    lake_path = tempfile.mkdtemp(prefix="vocab_lake_gate_")
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(replay_dir)
+        sink = VocabLakeSink(lake_path, "text")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(replay_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .queryName(f"stream_vocab_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "vocab lake ingest did not terminate within 300 s"
+            )
+        return sink.pair_counts(spark, k=20).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+        shutil.rmtree(lake_path, ignore_errors=True)

@@ -6620,3 +6620,182 @@ def corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         diff_rows.unionAll(gate_rows).unionAll(decon_row).unionAll(verdict)
     )
+
+
+# --------------------- r16 NEW FAMILY: SFT / instruction-data assembly —
+# the fine-tuning last mile (operators/sft.py). Catalog fixtures derive a
+# deterministic TURNS view from documents (4 turns per conversation,
+# alternating user/assistant by doc parity) the same way _corpus_versions
+# derives two releases; the operators themselves take any
+# (conversation, turn_idx, role, text) frame.
+
+_SFT_TURNS_SQL = """turns AS (
+      SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn_idx,
+             CASE WHEN doc_id % 2 = 0 THEN 'user'
+                  ELSE 'assistant' END AS role,
+             text
+      FROM documents
+    )"""
+
+
+def _sft_turns(d: DataFrame) -> DataFrame:
+    return d.select(
+        F.expr("doc_id div 4").alias("conv_id"),
+        (F.col("doc_id") % 4).cast("long").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text",
+    )
+
+
+@query(
+    "sft_assemble_conversations",
+    oracle="WITH " + _SFT_TURNS_SQL + """
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_user_turns,
+           CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_assistant_turns,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           md5(string_agg(role || ':' || md5(text), '|' ORDER BY turn_idx))
+             AS transcript_digest
+    FROM turns GROUP BY conv_id
+    """,
+    doc="r16 SFT ASSEMBLY: the per-conversation card — turn counts by "
+    "role, total characters, and the transcript's content address: "
+    "md5 over the turn-ordered role:md5(text) chain (digest "
+    "CHAINING — conversation identity without ever assembling "
+    "transcript text; role flips and turn reorders change it, as "
+    "they must). The fine-tuning analogue of dedup_exact_hashed's "
+    "identity discipline. Scale: per-turn digest + length fold at "
+    "the scan, so the ONE conversation-keyed exchange carries "
+    "~40-byte rows; the ordered chain is bounded by turns-per-"
+    "conversation (operators/sft.py).",
+)
+def sft_assemble_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sft as SF
+
+    turns = _sft_turns(t(spark, sf_dir, "documents"))
+    return SF.assemble_conversations(
+        turns, "conv_id", "turn_idx", "role", "text"
+    )
+
+
+@query(
+    "sft_loss_mask_spans",
+    oracle="WITH " + _SFT_TURNS_SQL + """,
+    tt AS (
+      SELECT conv_id, turn_idx, role,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM turns
+    )
+    SELECT conv_id, turn_idx, role, n_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY conv_id
+                                             ORDER BY turn_idx
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0) AS BIGINT)
+             AS start_tok,
+           CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY conv_id
+                                             ORDER BY turn_idx
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0) + n_tokens
+                AS BIGINT) AS end_tok,
+           role = 'assistant' AS trainable
+    FROM tt
+    """,
+    doc="r16 SFT loss masking: per turn, its [start_tok, end_tok) "
+    "span in the conversation's flattened token stream and the "
+    "trainable flag (the standard SFT recipe — cross-entropy on "
+    "assistant turns, prompt turns masked). Integer-exact running "
+    "offsets; zero-token turns keep empty spans so the mask array "
+    "covers every turn. Scale: ONE conversation-keyed exchange, "
+    "partition-local cumsum window — the corpus_pack_sequences "
+    "cumsum shape applied within conversations "
+    "(operators/sft.py).",
+)
+def sft_loss_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sft as SF
+
+    turns = _sft_turns(t(spark, sf_dir, "documents"))
+    return SF.loss_mask_spans(turns, "conv_id", "turn_idx", "role", "text")
+
+
+@query(
+    "sft_dedup_by_prompt",
+    oracle="WITH " + _SFT_TURNS_SQL + """,
+    p AS (
+      SELECT conv_id,
+             arg_min(md5(array_to_string(list_slice(
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> ''), 1, 8), ' ')),
+                     turn_idx) AS prompt_digest
+      FROM turns WHERE role = 'user' GROUP BY conv_id
+    )
+    SELECT prompt_digest, CAST(count(*) AS BIGINT) AS n_convs,
+           min(conv_id) AS keep_conv
+    FROM p GROUP BY prompt_digest HAVING count(*) > 1
+    """,
+    doc="r16 SFT dedup: conversations grouped by the digest of their "
+    "FIRST user turn's 8-token PREFIX — instruction preambles "
+    "duplicate even when the prompt tail and every completion "
+    "diverge, and duplicated prompts are how SFT sets leak across "
+    "train/eval splits and double-count at training; output = "
+    "prompt groups with >1 conversation and the lowest-id survivor "
+    "(the dedup_exact_hashed contract on the prompt axis). Scale: "
+    "first-prompt selection is a min_by over one conversation-keyed "
+    "partial agg; the group stage shuffles 32-byte digests only, "
+    "text never moves (operators/sft.py).",
+)
+def sft_dedup_by_prompt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sft as SF
+
+    turns = _sft_turns(t(spark, sf_dir, "documents"))
+    return SF.dedup_by_prompt(
+        turns, "conv_id", "turn_idx", "role", "text", prefix_tokens=8
+    )
+
+
+@query(
+    "sft_truncate_context_budget",
+    oracle="WITH " + _SFT_TURNS_SQL + """,
+    tt AS (
+      SELECT conv_id, turn_idx,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS tok
+      FROM turns
+    ),
+    k AS (
+      SELECT conv_id, tok,
+             CASE WHEN sum(tok) OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx DESC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) <= 256
+                  THEN 1 ELSE 0 END AS kept
+      FROM tt
+    )
+    SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(kept) AS BIGINT) AS kept_turns,
+           CAST(count(*) - sum(kept) AS BIGINT) AS dropped_turns,
+           CAST(sum(tok * kept) AS BIGINT) AS kept_tokens,
+           CAST(sum(tok) AS BIGINT) AS total_tokens
+    FROM k GROUP BY conv_id
+    """,
+    doc="r16 SFT context trimming: per conversation, the longest "
+    "SUFFIX of turns fitting a 256-token context window (keep the "
+    "most recent turns, drop history — the standard chat trim), as "
+    "a kept/dropped/token card. A single over-budget latest turn "
+    "keeps nothing — the caller's signal to split, not ours to "
+    "guess. Scale: the loss_mask_spans cumsum window with the sort "
+    "reversed; ONE conversation-keyed exchange, partial-aggregable "
+    "card (operators/sft.py).",
+)
+def sft_truncate_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sft as SF
+
+    turns = _sft_turns(t(spark, sf_dir, "documents"))
+    return SF.truncate_to_budget(
+        turns, "conv_id", "turn_idx", "text", budget=256
+    )
