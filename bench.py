@@ -205,6 +205,11 @@ EXTRA = [
     "sft_loss_mask_spans",
     "sft_dedup_by_prompt",
     "sft_truncate_context_budget",
+    "sft_pack_conversations",
+    # r16 wave 2: preference-data QA family
+    "pref_pairwise_matrix",
+    "pref_bradley_terry",
+    "pref_annotator_agreement",
     # r16: the 10th real-engine streaming entry (vocabulary lake)
     "streaming_bpe_vocab_lake_availablenow",
 ]

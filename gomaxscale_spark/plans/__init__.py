@@ -322,6 +322,15 @@ _TIER2: list[str] = [
     "sft_loss_mask_spans",
     "sft_dedup_by_prompt",
     "sft_truncate_context_budget",
+    "sft_pack_conversations",
+    # r16 NEW FAMILY wave 2: preference-data QA — the RLHF / reward-
+    # model curation surface: canonical win matrix, Bradley-Terry
+    # strengths (8 unrolled MM rounds, the pagerank fixpoint
+    # discipline), and Cohen's-kappa annotator agreement. All
+    # oracle-checked at both SFs.
+    "pref_pairwise_matrix",
+    "pref_bradley_terry",
+    "pref_annotator_agreement",
     # r16: the TENTH real-engine streaming entry — the incremental
     # tokenizer-vocabulary lake (per-epoch (w, wc) deltas behind
     # EpochCommit; BPE round-1 merge candidates served off the summed

@@ -6799,3 +6799,277 @@ def sft_truncate_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SF.truncate_to_budget(
         turns, "conv_id", "turn_idx", "text", budget=256
     )
+
+
+@query(
+    "sft_pack_conversations",
+    oracle="WITH " + _SFT_TURNS_SQL + """,
+    c AS (
+      SELECT conv_id,
+             CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM turns GROUP BY conv_id
+    ),
+    h AS (
+      SELECT conv_id,
+             CAST(('0x' || substr(md5(CAST(conv_id AS VARCHAR) || ':' || 'seed13'),
+                                  1, 15)) AS BIGINT) AS hh,
+             n_tokens
+      FROM c
+    ), r AS (
+      SELECT conv_id, hh % 4 AS shard, n_tokens,
+             CAST(row_number() OVER (PARTITION BY hh % 4
+                                     ORDER BY hh, conv_id) AS BIGINT)
+                 AS position,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY hh % 4
+                                          ORDER BY hh, conv_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS tok_before
+      FROM h
+    )
+    SELECT conv_id, shard, position, n_tokens,
+           CAST(tok_before // 512 AS BIGINT) AS pack_id,
+           CAST(tok_before % 512 AS BIGINT) AS pack_offset
+    FROM r
+    """,
+    doc="r16 SFT × sequence assembly: pack CONVERSATIONS into the "
+    "fixed-512-token training stream — the corpus_pack_sequences "
+    "provenance map with whole conversations as the packing atoms "
+    "(per-conversation token totals from one conversation-keyed agg, "
+    "then the shared pack_sequences_from_counts core: reproducible "
+    "md5 shuffle order over conv_id, 4 shards, integer-exact div/mod "
+    "arithmetic). Bridges the SFT family to the loader the same way "
+    "corpus_pack_sequences_bpe bridges the tokenizer family. Scale: "
+    "one conversation-keyed count agg + ONE shard-keyed exchange "
+    "with a partition-local cumsum (operators/sft.py, "
+    "operators/sampling.py).",
+)
+def sft_pack_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    turns = _sft_turns(t(spark, sf_dir, "documents"))
+    counts = turns.groupBy("conv_id").agg(
+        F.sum(
+            F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+        )
+        .cast("long")
+        .alias("n_tokens")
+    )
+    return SA.pack_sequences_from_counts(
+        counts, "conv_id", budget=512, n_shards=4, seed="seed13"
+    )
+
+
+# ----------------------- r16 NEW FAMILY wave 2: preference-data QA —
+# the RLHF / reward-model curation surface (operators/preference.py).
+# Catalog fixtures derive a deterministic COMPARISONS stream from
+# documents: consecutive doc pairs (2m vs 2m+1) are head-to-head
+# "completions", the item is each doc's source, the primary label is
+# the longer-text rule and the alternate annotator is a lexical-digest
+# rule — all pure functions of the tables, so both engines agree.
+
+_PREF_CMP_SQL = """cmp AS (
+      SELECT a.doc_id AS pair_id, a.source AS item_a, b.source AS item_b,
+             CASE WHEN a.n_chars > b.n_chars THEN 'a' ELSE 'b' END AS winner,
+             CASE WHEN md5(a.text) > md5(b.text) THEN 'a' ELSE 'b' END
+               AS winner_alt
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 2 = 0
+    )"""
+
+
+def _pref_comparisons(d: DataFrame) -> DataFrame:
+    a = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("source").alias("item_a"),
+        F.col("n_chars").alias("__ca"),
+        F.md5("text").alias("__da"),
+    )
+    b = d.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("pair_id"),
+        F.col("source").alias("item_b"),
+        F.col("n_chars").alias("__cb"),
+        F.md5("text").alias("__db"),
+    )
+    return a.join(b, "pair_id").select(
+        "pair_id",
+        "item_a",
+        "item_b",
+        F.when(F.col("__ca") > F.col("__cb"), F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("winner"),
+        F.when(F.col("__da") > F.col("__db"), F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("winner_alt"),
+    )
+
+
+@query(
+    "pref_pairwise_matrix",
+    oracle="WITH " + _PREF_CMP_SQL + """,
+    c2 AS (
+      SELECT least(item_a, item_b) AS lo, greatest(item_a, item_b) AS hi,
+             CASE WHEN item_a < item_b THEN winner = 'a'
+                  ELSE winner = 'b' END AS lo_won
+      FROM cmp WHERE item_a <> item_b
+    )
+    SELECT lo AS item_a, hi AS item_b,
+           CAST(sum(CASE WHEN lo_won THEN 1 ELSE 0 END) AS BIGINT) AS wins_a,
+           CAST(sum(CASE WHEN lo_won THEN 0 ELSE 1 END) AS BIGINT) AS wins_b,
+           CAST(count(*) AS BIGINT) AS n_games
+    FROM c2 GROUP BY lo, hi
+    """,
+    doc="r16 preference-data QA: the canonical WIN MATRIX — one row "
+    "per unordered item pair (item_a < item_b) with win counts and "
+    "game totals; self-pairs dropped (no preference signal). The "
+    "who-beat-whom table every RLHF data audit and leaderboard "
+    "starts from. Scale: pair canonicalization is a pure map; ONE "
+    "partial-aggregable hash agg collapses the corpus-sized "
+    "comparisons stream to ≤|items|² rows "
+    "(operators/preference.py).",
+)
+def pref_pairwise_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import preference as PF
+
+    cmp_ = _pref_comparisons(t(spark, sf_dir, "documents"))
+    return PF.pairwise_matrix(cmp_, "item_a", "item_b", "winner")
+
+
+def _bt_oracle(n_iters: int) -> str:
+    """Unrolled Bradley-Terry MM rounds (Hunter 2004) over the
+    canonical matrix — the BPE-oracle discipline: one CTE chain per
+    round, AS MATERIALIZED where a state is referenced twice."""
+    ctes = ["WITH " + _PREF_CMP_SQL]
+    ctes.append("""m AS MATERIALIZED (
+      SELECT least(item_a, item_b) AS item_a, greatest(item_a, item_b) AS item_b,
+             CAST(sum(CASE WHEN (CASE WHEN item_a < item_b THEN winner = 'a'
+                                      ELSE winner = 'b' END) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS wins_a,
+             CAST(sum(CASE WHEN (CASE WHEN item_a < item_b THEN winner = 'a'
+                                      ELSE winner = 'b' END) THEN 0 ELSE 1 END)
+                  AS BIGINT) AS wins_b,
+             CAST(count(*) AS BIGINT) AS n_games
+      FROM cmp WHERE item_a <> item_b
+      GROUP BY 1, 2
+    )""")
+    ctes.append("""e AS MATERIALIZED (
+      SELECT item_a AS i, item_b AS j, CAST(n_games AS DOUBLE) AS n FROM m
+      UNION ALL
+      SELECT item_b, item_a, CAST(n_games AS DOUBLE) FROM m
+    )""")
+    ctes.append("""w AS MATERIALIZED (
+      SELECT i, CAST(SUM(wv) AS DOUBLE) AS W
+      FROM (SELECT item_a AS i, wins_a AS wv FROM m
+            UNION ALL SELECT item_b, wins_b FROM m)
+      GROUP BY i
+    )""")
+    ctes.append(
+        "p0 AS MATERIALIZED (SELECT i, 1.0 / (SELECT CAST(count(DISTINCT i) "
+        "AS DOUBLE) FROM e) AS p FROM (SELECT DISTINCT i FROM e))"
+    )
+    for r in range(1, n_iters + 1):
+        ctes.append(f"""d{r} AS MATERIALIZED (
+      SELECT e.i, SUM(e.n / (pi.p + pj.p)) AS d
+      FROM e JOIN p{r - 1} pi ON pi.i = e.i JOIN p{r - 1} pj ON pj.i = e.j
+      GROUP BY e.i
+    )""")
+        ctes.append(f"""u{r} AS MATERIALIZED (
+      SELECT w.i, w.W / d{r}.d AS u FROM w JOIN d{r} ON d{r}.i = w.i
+    )""")
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT i, u / (SELECT SUM(u) FROM u{r}) "
+            f"AS p FROM u{r})"
+        )
+    return (
+        ",\n    ".join(ctes)
+        + f"""
+    SELECT i AS item, round(p, 6) AS strength,
+           CAST(row_number() OVER (ORDER BY round(p, 6) DESC, i) AS BIGINT)
+             AS rank
+    FROM p{n_iters}
+    """
+    )
+
+
+@query(
+    "pref_bradley_terry",
+    oracle=_bt_oracle(8),
+    doc="r16 preference-data QA: Bradley-Terry item strengths via 8 "
+    "unrolled minorize-maximize rounds (Hunter 2004 — the canonical "
+    "preference-strength fit behind RLHF reward-data audits and "
+    "pairwise leaderboards): p_i ← W_i / Σ_j n_ij/(p_i+p_j), "
+    "normalized to Σp=1 each round; output (item, strength 6dp, "
+    "rank over the ROUNDED strength with item tie-break — an "
+    "unrounded sort key would let last-ulp engine noise flip "
+    "near-ties). Scale: the corpus-sized comparisons stream "
+    "collapses to the ≤|items|² matrix ONCE; every MM round is a "
+    "join + agg over bounded frames (the graph_pagerank_dedup "
+    "unrolled-fixpoint discipline — no driver-side loop over data) "
+    "(operators/preference.py).",
+)
+def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import preference as PF
+
+    cmp_ = _pref_comparisons(t(spark, sf_dir, "documents"))
+    m = PF.pairwise_matrix(cmp_, "item_a", "item_b", "winner")
+    return PF.bradley_terry(m, n_iters=8)
+
+
+@query(
+    "pref_annotator_agreement",
+    oracle="WITH " + _PREF_CMP_SQL + """
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN winner = winner_alt THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           round(sum(CASE WHEN winner = winner_alt THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS agreement,
+           CASE WHEN (
+                  (sum(CASE WHEN winner = 'a' THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE))
+                  * (sum(CASE WHEN winner_alt = 'a' THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE))
+                  + (1.0 - sum(CASE WHEN winner = 'a' THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE))
+                  * (1.0 - sum(CASE WHEN winner_alt = 'a' THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE))
+                ) <> 1.0
+                THEN round(
+                  (sum(CASE WHEN winner = winner_alt THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE)
+                   - ((sum(CASE WHEN winner = 'a' THEN 1 ELSE 0 END)
+                       / CAST(count(*) AS DOUBLE))
+                      * (sum(CASE WHEN winner_alt = 'a' THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE))
+                      + (1.0 - sum(CASE WHEN winner = 'a' THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE))
+                      * (1.0 - sum(CASE WHEN winner_alt = 'a' THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE))))
+                  / (1.0 - ((sum(CASE WHEN winner = 'a' THEN 1 ELSE 0 END)
+                             / CAST(count(*) AS DOUBLE))
+                            * (sum(CASE WHEN winner_alt = 'a' THEN 1 ELSE 0 END)
+                               / CAST(count(*) AS DOUBLE))
+                            + (1.0 - sum(CASE WHEN winner = 'a' THEN 1 ELSE 0 END)
+                               / CAST(count(*) AS DOUBLE))
+                            * (1.0 - sum(CASE WHEN winner_alt = 'a' THEN 1
+                                         ELSE 0 END)
+                               / CAST(count(*) AS DOUBLE)))), 6)
+           END AS kappa
+    FROM cmp
+    """,
+    doc="r16 preference-data QA: inter-annotator agreement between "
+    "the two labeling policies over the same pairs — raw agreement "
+    "rate and Cohen's kappa (chance-corrected via each policy's "
+    "label marginals; NULL when both policies are constant). The "
+    "go/no-go a preference dataset gets before any reward model "
+    "trains on it. Scale: one pair-keyed join + a 1-row "
+    "conditional-sum agg carrying the marginals alongside the "
+    "agreement count (operators/preference.py).",
+)
+def pref_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import preference as PF
+
+    cmp_ = _pref_comparisons(t(spark, sf_dir, "documents"))
+    return PF.annotator_agreement(
+        cmp_.select("pair_id", F.col("winner").alias("label")),
+        cmp_.select("pair_id", F.col("winner_alt").alias("label")),
+        "pair_id",
+        "label",
+    )

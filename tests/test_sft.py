@@ -212,3 +212,18 @@ def test_vocab_lake_empty_serves_empty(spark, tmp_path):
     sink = VocabLakeSink(str(tmp_path / "vlake3"), "text")
     assert sink.read_vocab(spark).count() == 0
     assert sink.pair_counts(spark, k=5).count() == 0
+
+
+def test_assemble_no_text_in_shuffle(spark, sf_dir):
+    """The digest-chaining contract at 100 TB: the conversation-keyed
+    aggregation consumes per-turn digests computed at the scan — no
+    raw text attribute survives above the scan-side projection."""
+    from gomaxscale_spark.plans import all_queries
+
+    df = all_queries()["sft_assemble_conversations"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "md5" in plan
+    # plans print top-down: Aggregate (shuffle consumer) precedes the
+    # scan-side Project; text# may appear only in/below that Project
+    proj_idx = plan.index("Project")
+    assert "text#" not in plan[:proj_idx]
