@@ -210,6 +210,10 @@ EXTRA = [
     "pref_pairwise_matrix",
     "pref_bradley_terry",
     "pref_annotator_agreement",
+    # r16 wave 3: eval-suite analysis family
+    "eval_pass_at_k",
+    "eval_pass_at_k_summary",
+    "eval_wilson_interval",
     # r16: the 10th real-engine streaming entry (vocabulary lake)
     "streaming_bpe_vocab_lake_availablenow",
 ]

@@ -331,6 +331,14 @@ _TIER2: list[str] = [
     "pref_pairwise_matrix",
     "pref_bradley_terry",
     "pref_annotator_agreement",
+    # r16 NEW FAMILY wave 3: eval-suite analysis — pass@k (the
+    # unbiased combinatorial estimator as a row-local fixed-order
+    # product: bit-equal across engines), the suite-level mean
+    # curve, and per-problem Wilson 95% intervals. All
+    # oracle-checked at both SFs.
+    "eval_pass_at_k",
+    "eval_pass_at_k_summary",
+    "eval_wilson_interval",
     # r16: the TENTH real-engine streaming entry — the incremental
     # tokenizer-vocabulary lake (per-epoch (w, wc) deltas behind
     # EpochCommit; BPE round-1 merge candidates served off the summed

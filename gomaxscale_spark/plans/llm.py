@@ -7073,3 +7073,131 @@ def pref_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pair_id",
         "label",
     )
+
+
+# --------------------------- r16 NEW FAMILY wave 3: eval-suite analysis —
+# pass@k / confidence readouts (operators/evals.py). Catalog fixture: an
+# "eval run" derived from events — problem = user_id, trials = that
+# user's events, success = value > 50 (a pure function of the table).
+
+_EVAL_COUNTS_SQL = """counts AS (
+      SELECT user_id AS problem_id, CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct
+      FROM events GROUP BY user_id
+    )"""
+
+
+def _eval_counts(e: DataFrame) -> DataFrame:
+    return e.groupBy(F.col("user_id").alias("problem_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum((F.col("value") > 50).cast("long")).alias("n_correct"),
+    )
+
+
+def _pass_sql(k: int) -> str:
+    """The pass@k product with the EXACT association order of the
+    Spark expression (left-assoc chain of per-i factor divisions) —
+    row-local identical FP sequences are bit-equal across engines."""
+    prod = "1.0"
+    for i in range(k):
+        prod += (
+            f" * (CAST(n_samples - n_correct - {i} AS DOUBLE)"
+            f" / CAST(n_samples - {i} AS DOUBLE))"
+        )
+    return (
+        f"CASE WHEN n_samples - n_correct < {k} THEN 1.0 "
+        f"ELSE round(1.0 - ({prod}), 6) END"
+    )
+
+
+def _pass_at_k_oracle(ks=(1, 5, 10)) -> str:
+    arms = [
+        f"""SELECT problem_id, n_samples, n_correct,
+           CAST({k} AS BIGINT) AS k, {_pass_sql(k)} AS pass_at_k
+    FROM counts WHERE {k} <= n_samples"""
+        for k in ks
+    ]
+    return (
+        "WITH " + _EVAL_COUNTS_SQL + "\n    "
+        + "\n    UNION ALL ".join(arms)
+    )
+
+
+@query(
+    "eval_pass_at_k",
+    oracle=_pass_at_k_oracle(),
+    doc="r16 eval analysis: the per-problem pass@k table (Chen et al. "
+    "2021 §2.1 — the unbiased combinatorial estimator "
+    "1 − C(n−c,k)/C(n,k), computed as the overflow-free fixed-order "
+    "product 1 − Π (n−c−i)/(n−i)) for k ∈ {1,5,10}, k ≤ n. Because "
+    "the estimator is ROW-LOCAL arithmetic with a literal "
+    "association order, the oracle replays the identical FP "
+    "sequence — bit-equal before the 6dp output rounding matters "
+    "(no group-sum reordering anywhere near the value). Scale: one "
+    "partial-aggregable agg collapses the trials stream to "
+    "per-problem counts; the table is a pure ≤|ks|-fan map "
+    "(operators/evals.py).",
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import evals as EV
+
+    counts = _eval_counts(t(spark, sf_dir, "events"))
+    return EV.pass_at_k(counts, "problem_id", ks=(1, 5, 10))
+
+
+@query(
+    "eval_pass_at_k_summary",
+    oracle="WITH " + _EVAL_COUNTS_SQL + """,
+    pk AS (
+      """ + "\n      UNION ALL ".join(
+        f"""SELECT problem_id, CAST({k} AS BIGINT) AS k,
+             {_pass_sql(k)} AS pass_at_k
+      FROM counts WHERE {k} <= n_samples"""
+        for k in (1, 5, 10)
+    ) + """
+    )
+    SELECT k, CAST(count(*) AS BIGINT) AS n_problems,
+           round(avg(pass_at_k), 6) AS mean_pass_at_k,
+           CAST(sum(CASE WHEN pass_at_k = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_solved
+    FROM pk GROUP BY k
+    """,
+    doc="r16 eval analysis: the suite-level pass@k curve — per k, the "
+    "problem count, mean pass@k (6dp — |problems| summands leave "
+    "~1e-13 engine noise, measure-zero at 6dp) and the fully-solved "
+    "count. The headline row of every eval table. Scale: a bounded "
+    "re-agg over the per-problem table (operators/evals.py).",
+)
+def eval_pass_at_k_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import evals as EV
+
+    counts = _eval_counts(t(spark, sf_dir, "events"))
+    return EV.pass_at_k_summary(
+        EV.pass_at_k(counts, "problem_id", ks=(1, 5, 10))
+    )
+
+
+@query(
+    "eval_wilson_interval",
+    oracle="WITH " + _EVAL_COUNTS_SQL + """
+    SELECT problem_id, n_samples, n_correct,
+           round((CAST(n_correct AS DOUBLE) / CAST(n_samples AS DOUBLE)), 6) AS rate,
+           round((((CAST(n_correct AS DOUBLE) / CAST(n_samples AS DOUBLE)) + 3.8415999999999997 / (2.0 * CAST(n_samples AS DOUBLE))) / (1.0 + 3.8415999999999997 / CAST(n_samples AS DOUBLE))) - ((1.96 * sqrt((CAST(n_correct AS DOUBLE) / CAST(n_samples AS DOUBLE)) * (1.0 - (CAST(n_correct AS DOUBLE) / CAST(n_samples AS DOUBLE))) / CAST(n_samples AS DOUBLE) + 3.8415999999999997 / ((4.0 * CAST(n_samples AS DOUBLE)) * CAST(n_samples AS DOUBLE)))) / (1.0 + 3.8415999999999997 / CAST(n_samples AS DOUBLE))), 6) AS ci_lo,
+           round((((CAST(n_correct AS DOUBLE) / CAST(n_samples AS DOUBLE)) + 3.8415999999999997 / (2.0 * CAST(n_samples AS DOUBLE))) / (1.0 + 3.8415999999999997 / CAST(n_samples AS DOUBLE))) + ((1.96 * sqrt((CAST(n_correct AS DOUBLE) / CAST(n_samples AS DOUBLE)) * (1.0 - (CAST(n_correct AS DOUBLE) / CAST(n_samples AS DOUBLE))) / CAST(n_samples AS DOUBLE) + 3.8415999999999997 / ((4.0 * CAST(n_samples AS DOUBLE)) * CAST(n_samples AS DOUBLE)))) / (1.0 + 3.8415999999999997 / CAST(n_samples AS DOUBLE))), 6) AS ci_hi
+    FROM counts
+    """,
+    doc="r16 eval analysis: per-problem Wilson 95% score interval on "
+    "the success rate — the CI that stays calibrated at small n and "
+    "extreme rates where the normal approximation fails; the error "
+    "bar an eval table prints next to each problem. Row-local "
+    "closed form with the oracle mirroring the association order "
+    "(z² emitted as its repr so both engines parse the identical "
+    "double). Scale: a pure map over the per-problem counts — zero "
+    "exchanges beyond the counts agg (operators/evals.py).",
+)
+def eval_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import evals as EV
+
+    counts = _eval_counts(t(spark, sf_dir, "events"))
+    return EV.wilson_interval(counts, "problem_id")
