@@ -30,19 +30,23 @@ ENTRIES = [
     "pref_pairwise_matrix",
     "pref_bradley_terry",
     "pref_annotator_agreement",
+    "eval_pass_at_k",
+    "eval_pass_at_k_summary",
+    "eval_wilson_interval",
 ]
 
 
 def main() -> None:
     sf_dir = sys.argv[1]
     n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     spark = get_session("scale_r16")
     registry = all_queries()
     # warm
     registry["scan_filter_project"].fn(spark, sf_dir).write.format(
         "noop"
     ).mode("overwrite").save()
-    for name in ENTRIES:
+    for name in (only or ENTRIES):
         best = float("inf")
         for _ in range(n_runs):
             start = time.perf_counter()
