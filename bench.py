@@ -231,7 +231,18 @@ EXTRA = [
 #: protocol sets it when producing the committed BENCH_LOCAL_r{N}
 #: record) an out-of-band probe REFUSES to emit the record at all —
 #: re-run on a quiet host instead of committing archaeology.
-CAL_REFERENCE_MIN = 0.135  # r14 committed record (BENCH_LOCAL_r14.json)
+#: The pre- and post-battery probes have DIFFERENT systematic scales
+#: (measured identically on every committed record r12-r15): the pre
+#: probe runs on a ~30 s-old JVM (C2 still compiling, page cache cold)
+#: and reads 0.277-0.342; the post probe runs after ~25 min of battery
+#: (fully warmed) and reads 0.119-0.152. Judging the pre probe against
+#: the warmed reference would refuse every honest battery, and judging
+#: only the tighter bound lets a degraded START sneak through — so the
+#: strict gate checks EACH probe against ITS OWN pinned reference and
+#: requires both in band. (Necessary, not sufficient: a 2 s probe at
+#: each end cannot see mid-battery contention — keep the host quiet.)
+CAL_REFERENCE_MIN = 0.135  # warmed post-battery probe, r14 committed record
+CAL_REFERENCE_PRE_MIN = 0.30  # young-JVM pre-battery probe, r12-r15 center
 CAL_OK_BAND = (0.5, 2.0)  # acceptable cal_factor for a committed record
 
 
@@ -372,10 +383,27 @@ def main() -> None:
     is_reference_sf = sf == 0.1
     if is_reference_sf:
         cal_factor = round(calibration["min"] / CAL_REFERENCE_MIN, 4)
-        host_ok = CAL_OK_BAND[0] <= cal_factor <= CAL_OK_BAND[1]
+        # The refusal gate judges EACH probe against its own pinned
+        # reference (see CAL_REFERENCE_PRE_MIN): the min-based factor
+        # alone lets a battery that STARTED on a degraded host and
+        # recovered by the end sneak through with its early cells
+        # inflated (r15's committed battery: pre up to 0.92 → cells
+        # ×1.1-2.3 on unchanged code). Both ends must be quiet.
+        cal_factor_pre = round(
+            calibration_pre["min"] / CAL_REFERENCE_PRE_MIN, 4
+        )
+        cal_factor_post = round(
+            calibration_post["min"] / CAL_REFERENCE_MIN, 4
+        )
+        host_ok = all(
+            CAL_OK_BAND[0] <= f <= CAL_OK_BAND[1]
+            for f in (cal_factor_pre, cal_factor_post)
+        )
         host_state = "ok" if host_ok else "degraded"
     else:
         cal_factor = None
+        cal_factor_pre = None
+        cal_factor_post = None
         host_ok = True  # nothing to refuse against
         host_state = "no-reference-for-sf"
 
@@ -406,6 +434,9 @@ def main() -> None:
         # round-over-round comparable twins (host_state != ok means
         # even the normalized cells should be read with suspicion)
         "cal_factor": cal_factor,
+        # per-end probe factors — the ones the strict gate judges
+        "cal_factor_pre": cal_factor_pre,
+        "cal_factor_post": cal_factor_post,
         "host_state": host_state,
         "value_normalized": (
             None if cal_factor is None else round(total / cal_factor, 3)
@@ -422,9 +453,10 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1" and not host_ok:
         print(
             f"bench: REFUSING to emit a committed record — calibration "
-            f"{calibration['min']} s is ×{cal_factor} the pinned reference "
-            f"{CAL_REFERENCE_MIN} s (band {CAL_OK_BAND}); re-run on a quiet "
-            "host",
+            f"probe out of band {CAL_OK_BAND}: pre ×{cal_factor_pre} vs "
+            f"{CAL_REFERENCE_PRE_MIN} s, post ×{cal_factor_post} vs "
+            f"{CAL_REFERENCE_MIN} s (raw pre {calibration_pre['min']} / "
+            f"post {calibration_post['min']} s); re-run on a quiet host",
             file=sys.stderr,
         )
         spark.stop()
