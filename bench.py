@@ -216,6 +216,15 @@ EXTRA = [
     "eval_wilson_interval",
     # r16: the 10th real-engine streaming entry (vocabulary lake)
     "streaming_bpe_vocab_lake_availablenow",
+    # r16 wave 5: RL-rollout processing (truncated GAE / returns as
+    # plan-literal lead folds), the deterministic loader order + resume
+    # slice, and the exact-integer temperature-shares card
+    "rollout_gae_advantages",
+    "rollout_returns_to_go",
+    "rollout_episode_card",
+    "loader_epoch_order",
+    "loader_resume_slice",
+    "sampling_temperature_shares",
 ]
 
 

@@ -896,3 +896,117 @@ def curriculum_interleave(
         k.alias("rank_in_stratum"),
         (before + ties).alias("position"),
     )
+
+
+def loader_epoch_order(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int,
+    epoch: int,
+) -> DataFrame:
+    """Deterministic multi-worker data-loader order for one training
+    epoch: every item gets a portable seeded hash key, the key assigns
+    a shard (worker), and the GLOBAL step order is round-robin across
+    shards in hash order — the order a sharded loader actually emits
+    when W workers each stream their shard and the trainer consumes
+    them in rotation. Same (seed, epoch) → identical order on every
+    run and every cluster; a new epoch reshuffles by re-keying, no RNG
+    state anywhere (cf. deterministic-dataloader designs in large-LM
+    training stacks).
+
+    Returns (id, shard, rank_in_shard, position). Scale: the hash and
+    shard are pure map-side column ops; the per-shard rank is one
+    shard-keyed window; the global position reuses the
+    :func:`curriculum_interleave` CLOSED FORM over per-shard counts —
+    NO single-reducer global row_number at any corpus size. The
+    portable 60-bit md5 key (`conv(substr(md5(..),1,15),16,10)` ==
+    DuckDB `('0x'||substr(..,1,15))::BIGINT`) keeps the oracle twin
+    exact.
+    """
+    if n_shards < 1:
+        raise ValueError(f"loader_epoch_order: n_shards must be >= 1, got {n_shards}")
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"ep{epoch}:{seed}:"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = df.select(F.col(id_col)).withColumn("order_key", key).withColumn(
+        "shard", F.pmod(F.col("order_key"), F.lit(int(n_shards))).cast("long")
+    )
+    out = curriculum_interleave(keyed, id_col, "shard", "order_key")
+    return out.withColumnRenamed("rank_in_stratum", "rank_in_shard")
+
+
+def loader_resume_slice(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int,
+    epoch: int,
+    offset: int,
+    limit: int,
+) -> DataFrame:
+    """The exactly-once resume read: global steps
+    ``offset < position <= offset + limit`` of the deterministic epoch
+    order — what a restarted trainer requests after checkpointing at
+    step ``offset``. Because the order is a pure function of (seed,
+    epoch, id), resuming needs NO saved loader state beyond the step
+    counter. Scale: the slice predicate is a pure filter over the
+    closed-form position — Spark prunes it without materializing the
+    epoch ordering anywhere.
+    """
+    if offset < 0 or limit < 1:
+        raise ValueError(
+            f"loader_resume_slice: need offset >= 0 and limit >= 1, "
+            f"got offset={offset} limit={limit}"
+        )
+    order = loader_epoch_order(df, id_col, n_shards, seed, epoch)
+    return order.where(
+        (F.col("position") > int(offset))
+        & (F.col("position") <= int(offset) + int(limit))
+    )
+
+
+def temperature_shares(df: DataFrame, stratum_col: str) -> DataFrame:
+    """Mixture temperature sampling card: per-source shares under the
+    proportional mix (tau=1) and the SHARPENED tau=0.5 mix
+    (p_i ∝ n_i², inverse temperature alpha=1/tau=2 — the direction
+    that concentrates the mixture on head sources; cf.
+    temperature-based mixing in multilingual/multi-corpus LM training),
+    plus the per-source boost factor between them.
+
+    Float discipline — why alpha=2 and not an arbitrary exponent: with
+    an INTEGER exponent every normalizer is an EXACT integer sum
+    (n², Σn² as decimal(38,0)/HUGEINT), so no cross-row double
+    summation exists anywhere — each emitted double is one
+    correctly-rounded cast + one division on bit-identical inputs,
+    deterministic across engines (a fractional alpha would put a
+    float Σ n^alpha in the denominator, whose association order no
+    engine contract pins). Scale: ONE partial-aggregable count per
+    stratum; the totals ride a window over the ≤|strata|-row frame.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    everything = W.partitionBy(F.lit(1))
+    sq = F.col("n_docs").cast("decimal(38,0)") * F.col("n_docs").cast(
+        "decimal(38,0)"
+    )
+    n_total = F.sum("n_docs").over(everything)
+    sq_total = F.sum(sq).over(everything)
+    share1 = F.col("n_docs").cast("double") / n_total.cast("double")
+    share2 = sq.cast("double") / sq_total.cast("double")
+    return counts.select(
+        F.col(stratum_col),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(share1, 6).alias("share_proportional"),
+        F.round(share2, 6).alias("share_tau_half"),
+        F.round(share2 / share1, 6).alias("boost"),
+    )

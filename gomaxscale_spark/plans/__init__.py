@@ -302,6 +302,20 @@ _PRIORITY: list[str] = [
 #: Tier 2: nearest-miss variants of families already represented above —
 #: first in line if the gate window ever widens.
 _TIER2: list[str] = [
+    # r16 NEW FAMILIES wave 5 at tier-2 head (standing pattern):
+    # RL-rollout processing — truncated GAE advantages / returns-to-go
+    # re-expressed as H plan-literal lead() folds (no backward
+    # recurrence, no stateful UDF) plus the per-episode QA card; the
+    # deterministic data-loader order (seeded portable hash →
+    # round-robin shards via the curriculum closed form) with its
+    # exactly-once resume slice; and the exact-integer temperature-
+    # shares mixture card. All oracle-checked at both SFs.
+    "rollout_gae_advantages",
+    "rollout_returns_to_go",
+    "rollout_episode_card",
+    "loader_epoch_order",
+    "loader_resume_slice",
+    "sampling_temperature_shares",
     # r16 NEW at tier-2 head (standing pattern): the tokenizer loop
     # CLOSED (VERDICT r15 item 3) — BPE-encode the corpus into token
     # IDs under the learned merge chain, and the pack-sequences twin

@@ -7201,3 +7201,301 @@ def eval_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     counts = _eval_counts(t(spark, sf_dir, "events"))
     return EV.wilson_interval(counts, "problem_id")
+
+
+# ---------------------------------------------------------------------------
+# r16 wave 5: RL rollout processing + deterministic loader + temperature mix
+# ---------------------------------------------------------------------------
+
+#: Rollout fixture: events as rollout steps — episode = user_id, step
+#: order = (epoch-µs, event_id), reward = value, and a deterministic
+#: value-estimate proxy V = value*0.5 (exact FP halving, bit-equal on
+#: both engines; a real pipeline feeds critic outputs here).
+_ROLLOUT_STEPS_SQL = """s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             value AS reward, value * 0.5 AS value_est
+      FROM events
+    )"""
+
+_GAE_GAMMA, _GAE_LAM, _GAE_H = 0.99, 0.95, 8
+
+
+def _rollout_steps(e: DataFrame) -> DataFrame:
+    return e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.col("value").alias("reward"),
+        (F.col("value") * F.lit(0.5)).alias("value_est"),
+    )
+
+
+def _geo_fold_sql(term: str, coef: float, horizon: int, win: str) -> str:
+    """The oracle half of operators/rollout._truncated_geo_sum: the
+    SAME left-associated literal-coefficient chain, with each
+    coefficient emitted as the repr of the SAME Python double the
+    engine folds in — both engines evaluate one identical IEEE tree."""
+    parts = [term]
+    for l in range(1, horizon):
+        parts.append(f"{coef ** l!r} * lead({term}, {l}, 0.0) OVER {win}")
+    return " + ".join(parts)
+
+
+def _gae_oracle() -> str:
+    fold = _geo_fold_sql("delta", _GAE_GAMMA * _GAE_LAM, _GAE_H, "w2")
+    return f"""
+    WITH {_ROLLOUT_STEPS_SQL},
+    d AS (
+      SELECT user_id, event_id, us, value_est,
+             CAST(row_number() OVER w1 AS BIGINT) AS step,
+             (reward + {_GAE_GAMMA!r} * lead(value_est, 1, 0.0) OVER w1)
+               - value_est AS delta
+      FROM s
+      WINDOW w1 AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT user_id, us, event_id, step,
+           round(delta, 6) AS delta,
+           round({fold}, 6) AS advantage,
+           round(round({fold}, 6) + value_est, 6) AS value_target
+    FROM d
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)
+    """
+
+
+@query(
+    "rollout_gae_advantages",
+    oracle=_gae_oracle(),
+    doc="r16 RL-rollout family: truncated Generalized Advantage "
+    "Estimation (Schulman et al. 2015) over rollout logs — "
+    "A_t = sum_{l<H} (gamma*lam)^l * delta_{t+l} with "
+    "delta_t = r_t + gamma*V_{t+1} - V_t, V := 0 past terminal, "
+    "gamma=0.99 lam=0.95 H=8 — plus the value target A_t + V_t. The "
+    "design point: the textbook BACKWARD RECURRENCE (an inherently "
+    "sequential per-episode scan that would force a stateful Python "
+    "loop) is re-expressed as a closed linear combination of the next "
+    "H TD residuals, so the whole computation is ONE episode-keyed "
+    "window exchange with H plan-literal lead() terms and zero Python "
+    "in the hot path. Coefficients are Python doubles baked into BOTH "
+    "plans (engine lit == oracle repr), every float expression is a "
+    "fixed left-associated tree, so the engines produce bit-equal "
+    "doubles before the 6dp output rounding (the association-order "
+    "discipline). Scale: rollout-sized output is the training target "
+    "itself; H bounds plan size (MAX_HORIZON=64), episode length is "
+    "unbounded data (operators/rollout.py).",
+)
+def rollout_gae_advantages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rollout as RO
+
+    steps = _rollout_steps(t(spark, sf_dir, "events"))
+    return RO.gae_advantages(
+        steps,
+        "user_id",
+        ["us", "event_id"],
+        "reward",
+        "value_est",
+        gamma=_GAE_GAMMA,
+        lam=_GAE_LAM,
+        horizon=_GAE_H,
+    )
+
+
+def _returns_oracle() -> str:
+    fold = _geo_fold_sql("reward", _GAE_GAMMA, _GAE_H, "w")
+    return f"""
+    WITH {_ROLLOUT_STEPS_SQL}
+    SELECT user_id, us, event_id,
+           CAST(row_number() OVER w AS BIGINT) AS step,
+           round({fold}, 6) AS return_to_go
+    FROM s
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    """
+
+
+@query(
+    "rollout_returns_to_go",
+    oracle=_returns_oracle(),
+    doc="r16 RL-rollout family: truncated discounted return-to-go "
+    "R_t = sum_{l<H} gamma^l r_{t+l} (gamma=0.99, H=8) — the target "
+    "of return-conditioned / decision-transformer training, and "
+    "exactly GAE with lam=1, V==0. Same one-window-pass shape as "
+    "rollout_gae_advantages: H plan-literal lead() terms, bit-equal "
+    "left-associated arithmetic, no recurrence "
+    "(operators/rollout.py).",
+)
+def rollout_returns_to_go(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rollout as RO
+
+    steps = _rollout_steps(t(spark, sf_dir, "events"))
+    return RO.returns_to_go(
+        steps,
+        "user_id",
+        ["us", "event_id"],
+        "reward",
+        gamma=_GAE_GAMMA,
+        horizon=_GAE_H,
+    )
+
+
+@query(
+    "rollout_episode_card",
+    oracle=f"""
+    WITH {_ROLLOUT_STEPS_SQL}
+    SELECT user_id,
+           count(*) AS n_steps,
+           round(sum(reward), 2) AS total_reward,
+           round(round(sum(reward), 2) / count(*), 6) AS mean_reward,
+           max(reward) AS max_reward,
+           min(reward) AS min_reward,
+           min(us) AS first_order_key,
+           max(us) AS last_order_key,
+           max(us) - min(us) AS span
+    FROM s GROUP BY user_id
+    """,
+    doc="r16 RL-rollout family: the per-episode QA card — length, "
+    "reward mass and extremes, wall-clock span — the triage table "
+    "that decides which rollouts enter the training mix (1-step "
+    "degenerates, reward-hacking outliers, truncated episodes all "
+    "surface here first). Float discipline: total_reward rounds at "
+    "the 2-decimal money grain (exact for the fixture rewards, so "
+    "the cross-engine sum association cannot flip it) and "
+    "mean_reward divides the ROUNDED total. Scale: one "
+    "partial-aggregable episode-keyed agg; span rides the same "
+    "exchange (operators/rollout.py).",
+)
+def rollout_episode_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rollout as RO
+
+    steps = _rollout_steps(t(spark, sf_dir, "events"))
+    return RO.episode_card(steps, "user_id", ["us", "event_id"], "reward")
+
+
+_LOADER_SHARDS, _LOADER_SEED, _LOADER_EPOCH = 8, 42, 0
+
+_LOADER_ORDER_SQL = f"""h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('ep{_LOADER_EPOCH}:{_LOADER_SEED}:'
+                                  || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS order_key
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, order_key,
+             CAST(order_key % {_LOADER_SHARDS} AS BIGINT) AS shard
+      FROM h
+    ), r AS (
+      SELECT doc_id, shard,
+             CAST(row_number() OVER (PARTITION BY shard
+                                     ORDER BY order_key, doc_id)
+                  AS BIGINT) AS rank_in_shard
+      FROM sh
+    ), ord AS (
+      SELECT doc_id, shard, rank_in_shard,
+             CAST(row_number() OVER (ORDER BY rank_in_shard, shard)
+                  AS BIGINT) AS position
+      FROM r
+    )"""
+
+
+@query(
+    "loader_epoch_order",
+    oracle=f"""
+    WITH {_LOADER_ORDER_SQL}
+    SELECT doc_id, shard, rank_in_shard, position FROM ord
+    """,
+    doc="r16 deterministic-loader family: the epoch's global training "
+    "order — portable seeded md5 key per doc, key-assigned shard "
+    "(worker), per-shard hash-order rank, and a round-robin-across-"
+    "shards global position: exactly what W loader workers streaming "
+    "their shards emit as the trainer consumes them in rotation. Same "
+    "(seed, epoch) → identical order on any cluster, zero RNG state; "
+    "next epoch re-keys. Scale: hash+shard are map-side; rank is ONE "
+    "shard-keyed window; the global position reuses the curriculum "
+    "CLOSED FORM over per-shard counts — NO single-reducer global "
+    "row_number (the oracle's OVER (ORDER BY ...) is the independent "
+    "naive twin, as in corpus_curriculum_order). "
+    "(operators/sampling.py loader_epoch_order).",
+)
+def loader_epoch_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return SA.loader_epoch_order(
+        d, "doc_id", _LOADER_SHARDS, _LOADER_SEED, _LOADER_EPOCH
+    )
+
+
+_RESUME_OFFSET, _RESUME_LIMIT = 200, 150  # non-empty at every test SF
+
+
+@query(
+    "loader_resume_slice",
+    oracle=f"""
+    WITH {_LOADER_ORDER_SQL}
+    SELECT doc_id, shard, rank_in_shard, position FROM ord
+    WHERE position > {_RESUME_OFFSET}
+      AND position <= {_RESUME_OFFSET} + {_RESUME_LIMIT}
+    """,
+    doc="r16 deterministic-loader family: the exactly-once resume "
+    "read — global steps offset < position <= offset+limit of the "
+    "deterministic epoch order, what a restarted trainer requests "
+    "after checkpointing at step `offset`. The order being a pure "
+    "function of (seed, epoch, id) means resume needs NO loader "
+    "state beyond the step counter. Scale: a pure filter over the "
+    "closed-form position — no epoch-order materialization "
+    "(operators/sampling.py loader_resume_slice).",
+)
+def loader_resume_slice_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return SA.loader_resume_slice(
+        d,
+        "doc_id",
+        _LOADER_SHARDS,
+        _LOADER_SEED,
+        _LOADER_EPOCH,
+        _RESUME_OFFSET,
+        _RESUME_LIMIT,
+    )
+
+
+@query(
+    "sampling_temperature_shares",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs,
+           round(CAST(n_docs AS DOUBLE)
+                 / CAST(sum(n_docs) OVER () AS DOUBLE), 6)
+             AS share_proportional,
+           round(CAST(CAST(n_docs AS HUGEINT) * n_docs AS DOUBLE)
+                 / CAST(sum(CAST(n_docs AS HUGEINT) * n_docs) OVER ()
+                        AS DOUBLE), 6)
+             AS share_tau_half,
+           round((CAST(CAST(n_docs AS HUGEINT) * n_docs AS DOUBLE)
+                  / CAST(sum(CAST(n_docs AS HUGEINT) * n_docs) OVER ()
+                         AS DOUBLE))
+                 / (CAST(n_docs AS DOUBLE)
+                    / CAST(sum(n_docs) OVER () AS DOUBLE)), 6)
+             AS boost
+    FROM c
+    """,
+    doc="r16 mixture design: temperature-sampling shares per source — "
+    "the proportional tau=1 mix next to the SHARPENED tau=0.5 mix "
+    "(p_i ∝ n_i², inverse temperature alpha=2) and the per-source "
+    "boost between them (cf. temperature-based mixture weighting in "
+    "multilingual / multi-corpus LM training). Complements "
+    "sampling_temperature_mix, which SELECTS members under the "
+    "opposite tau=2 flattening via sqrt quotas — this is the "
+    "weights-only design card for the sharpening direction. Why "
+    "alpha is an "
+    "INTEGER here: both normalizers are then EXACT integer sums "
+    "(Σn as BIGINT-exact, Σn² as decimal(38,0)/HUGEINT), so no "
+    "cross-row float summation exists — every emitted double is one "
+    "correctly-rounded cast + one division on bit-identical inputs "
+    "(a fractional alpha would put a float Σ n^alpha in the "
+    "denominator, whose association order no engine pins). Scale: "
+    "ONE partial-aggregable count per source; totals ride a window "
+    "over the ≤|sources|-row frame "
+    "(operators/sampling.py temperature_shares).",
+)
+def sampling_temperature_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return SA.temperature_shares(d, "source")

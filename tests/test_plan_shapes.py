@@ -743,3 +743,43 @@ def test_curriculum_has_no_global_window(spark, sf_dir):
         # empty spec would read "Window [..., row_number() ...], [ts ASC" 
         # with no partition columns — require the source partitioning
         assert "source" in ln, f"unpartitioned Window in plan: {ln}"
+
+
+def test_rollout_gae_single_episode_exchange(spark, sf_dir):
+    """rollout_gae_advantages' scale contract: the TD-residual window
+    and the H-lead advantage fold share ONE episode-keyed exchange —
+    no second shuffle, no single-partition window anywhere."""
+    from gomaxscale_spark.plans import all_queries
+
+    plan = (
+        all_queries()["rollout_gae_advantages"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    for ln in plan.splitlines():
+        if "Window" in ln:
+            assert "user_id" in ln, f"unpartitioned Window in plan: {ln}"
+
+
+def test_loader_order_has_no_global_window(spark, sf_dir):
+    """loader_epoch_order reuses the curriculum closed form: ONE
+    shard-keyed exchange for the per-shard rank, NO unpartitioned
+    Window (the naive global row_number is only the oracle twin)."""
+    from gomaxscale_spark.plans import all_queries
+
+    plan = (
+        all_queries()["loader_epoch_order"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    for ln in plan.splitlines():
+        if "Window" in ln:
+            assert "shard" in ln, f"unpartitioned Window in plan: {ln}"

@@ -33,6 +33,12 @@ ENTRIES = [
     "eval_pass_at_k",
     "eval_pass_at_k_summary",
     "eval_wilson_interval",
+    "rollout_gae_advantages",
+    "rollout_returns_to_go",
+    "rollout_episode_card",
+    "loader_epoch_order",
+    "loader_resume_slice",
+    "sampling_temperature_shares",
 ]
 
 
