@@ -222,6 +222,7 @@ EXTRA = [
     "rollout_gae_advantages",
     "rollout_returns_to_go",
     "rollout_episode_card",
+    "rollout_training_batch",
     "loader_epoch_order",
     "loader_resume_slice",
     "sampling_temperature_shares",

@@ -189,3 +189,52 @@ def episode_card(
         last_order.alias("last_order_key"),
         (last_order - first_order).alias("span"),
     )
+
+
+def training_batch(
+    steps: DataFrame,
+    episode_col: str,
+    order_cols: list[str],
+    reward_col: str,
+    value_col: str,
+    gamma: float = 0.99,
+    lam: float = 0.95,
+    horizon: int = 8,
+    min_steps: int = 2,
+    min_mean_reward: float | None = None,
+) -> DataFrame:
+    """The rollout-curation capstone: episode-QA-gated advantage
+    targets — :func:`episode_card` decides which episodes are
+    trainable (length and mean-reward gates: drops 1-step degenerates
+    and reward-starved rollouts), :func:`gae_advantages` computes the
+    targets for the SURVIVORS only, and the card's provenance columns
+    ride along on every step (the manifest a PPO data loader reads).
+
+    Scale — the composition discipline: the QA gate prunes EPISODES
+    before the H-lead advantage fold ever runs (the card is a
+    partial-aggregable episode agg; the gate is a filter on its
+    ≤|episodes|-row output), and both the GAE window and the
+    card-enrichment join are keyed by the SAME episode column, so the
+    rollout-sized side is exchanged ONCE and reused — card build,
+    filter, fold, and join all ride one partitioning (pinned by
+    test_rollout_training_batch_single_exchange... in
+    tests/test_plan_shapes.py).
+    """
+    card = episode_card(steps, episode_col, order_cols, reward_col)
+    gate = F.col("n_steps") >= int(min_steps)
+    if min_mean_reward is not None:
+        gate = gate & (F.col("mean_reward") >= float(min_mean_reward))
+    eligible = card.where(gate).select(
+        episode_col, "n_steps", "total_reward", "mean_reward"
+    )
+    adv = gae_advantages(
+        steps,
+        episode_col,
+        order_cols,
+        reward_col,
+        value_col,
+        gamma=gamma,
+        lam=lam,
+        horizon=horizon,
+    )
+    return adv.join(eligible, on=episode_col, how="inner")

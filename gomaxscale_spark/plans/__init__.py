@@ -313,6 +313,9 @@ _TIER2: list[str] = [
     "rollout_gae_advantages",
     "rollout_returns_to_go",
     "rollout_episode_card",
+    # ... and the family's capstone: the episode-QA-gated PPO training
+    # batch (card gate → GAE → broadcast-enriched manifest)
+    "rollout_training_batch",
     "loader_epoch_order",
     "loader_resume_slice",
     "sampling_temperature_shares",

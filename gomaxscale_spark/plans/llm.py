@@ -7499,3 +7499,82 @@ def loader_resume_slice_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sampling_temperature_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return SA.temperature_shares(d, "source")
+
+
+_BATCH_MIN_STEPS, _BATCH_MIN_MEAN = 60, 50.0
+
+
+def _rollout_batch_oracle() -> str:
+    fold = _geo_fold_sql("delta", _GAE_GAMMA * _GAE_LAM, _GAE_H, "w2")
+    return f"""
+    WITH {_ROLLOUT_STEPS_SQL},
+    card AS (
+      SELECT user_id,
+             count(*) AS n_steps,
+             round(sum(reward), 2) AS total_reward,
+             round(round(sum(reward), 2) / count(*), 6) AS mean_reward
+      FROM s GROUP BY user_id
+    ),
+    eligible AS (
+      SELECT * FROM card
+      WHERE n_steps >= {_BATCH_MIN_STEPS}
+        AND mean_reward >= {_BATCH_MIN_MEAN!r}
+    ),
+    d AS (
+      SELECT user_id, event_id, us, value_est,
+             CAST(row_number() OVER w1 AS BIGINT) AS step,
+             (reward + {_GAE_GAMMA!r} * lead(value_est, 1, 0.0) OVER w1)
+               - value_est AS delta
+      FROM s
+      WINDOW w1 AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    adv AS (
+      SELECT user_id, us, event_id, step,
+             round(delta, 6) AS delta,
+             round({fold}, 6) AS advantage,
+             round(round({fold}, 6) + value_est, 6) AS value_target
+      FROM d
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT a.user_id, a.us, a.event_id, a.step, a.delta, a.advantage,
+           a.value_target, e.n_steps, e.total_reward, e.mean_reward
+    FROM adv a JOIN eligible e ON a.user_id = e.user_id
+    """
+
+
+@query(
+    "rollout_training_batch",
+    oracle=_rollout_batch_oracle(),
+    doc="r16 RL-rollout CAPSTONE: the episode-QA-gated PPO training "
+    "batch — episode_card decides which rollouts are trainable "
+    f"(n_steps >= {_BATCH_MIN_STEPS} and mean_reward >= "
+    f"{_BATCH_MIN_MEAN} drop degenerate and reward-starved episodes; "
+    "~35-40% of fixture episodes survive at every SF, so the gate is "
+    "live), gae_advantages computes targets, and the card's "
+    "provenance columns ride along on every emitted step (the "
+    "manifest a PPO loader reads). Scale — composition discipline: "
+    "the QA gate is a filter on the ≤|episodes|-row card, whose agg "
+    "exchange carries episode-sized partials; the rollout-sized side "
+    "is exchanged exactly ONCE (the GAE window), and the gated card "
+    "BROADCASTS into the enrichment join — no rollout-sized rows "
+    "move for the join at any scale (plan-pinned: two "
+    "hashpartitioning exchanges, BroadcastHashJoin BuildRight, no "
+    "single-partition exchange) (operators/rollout.py "
+    "training_batch).",
+)
+def rollout_training_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rollout as RO
+
+    steps = _rollout_steps(t(spark, sf_dir, "events"))
+    return RO.training_batch(
+        steps,
+        "user_id",
+        ["us", "event_id"],
+        "reward",
+        "value_est",
+        gamma=_GAE_GAMMA,
+        lam=_GAE_LAM,
+        horizon=_GAE_H,
+        min_steps=_BATCH_MIN_STEPS,
+        min_mean_reward=_BATCH_MIN_MEAN,
+    )

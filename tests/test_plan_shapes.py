@@ -783,3 +783,23 @@ def test_loader_order_has_no_global_window(spark, sf_dir):
     for ln in plan.splitlines():
         if "Window" in ln:
             assert "shard" in ln, f"unpartitioned Window in plan: {ln}"
+
+
+def test_rollout_training_batch_broadcast_composition(spark, sf_dir):
+    """rollout_training_batch's composition contract: the rollout-sized
+    steps are exchanged exactly once (the GAE window); the episode-card
+    branch adds one episode-sized partial-agg exchange; the gated card
+    BROADCASTS into the enrichment join — no rollout-sized join
+    shuffle, no single-partition exchange anywhere."""
+    from gomaxscale_spark.plans import all_queries
+
+    plan = (
+        all_queries()["rollout_training_batch"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan and "BuildRight" in plan

@@ -310,3 +310,54 @@ def test_temperature_shares_sharpen_toward_head(spark):
         assert sum(getattr(r, col) for r in got.values()) == pytest.approx(
             1.0, abs=1e-5
         )
+
+
+def test_training_batch_gates_and_enriches(spark):
+    from gomaxscale_spark.operators.rollout import training_batch
+
+    rows = [
+        # episode 1: 3 steps, mean 2.0 — eligible at (2, 1.5)
+        (1, 1, 1.0, 0.0), (1, 2, 2.0, 0.0), (1, 3, 3.0, 0.0),
+        # episode 2: 1 step — fails min_steps
+        (2, 1, 9.0, 0.0),
+        # episode 3: 2 steps, mean 1.0 — fails min_mean_reward
+        (3, 1, 1.0, 0.0), (3, 2, 1.0, 0.0),
+    ]
+    got = training_batch(
+        _steps(spark, rows),
+        "ep",
+        ["step_key"],
+        "reward",
+        "v",
+        gamma=1.0,
+        lam=1.0,
+        horizon=2,
+        min_steps=2,
+        min_mean_reward=1.5,
+    ).collect()
+    assert {r.ep for r in got} == {1}
+    assert len(got) == 3  # every surviving step, enriched
+    by_step = {r.step_key: r for r in got}
+    # provenance columns ride along
+    assert by_step[1].n_steps == 3
+    assert by_step[1].total_reward == pytest.approx(6.0)
+    assert by_step[1].mean_reward == pytest.approx(2.0)
+    # advantages are the plain H=2 sums (V == 0, gamma*lam == 1)
+    assert by_step[1].advantage == pytest.approx(3.0)  # 1 + 2
+    assert by_step[3].advantage == pytest.approx(3.0)  # terminal: just r
+
+
+def test_training_batch_no_mean_gate(spark):
+    from gomaxscale_spark.operators.rollout import training_batch
+
+    rows = [(1, 1, 1.0, 0.0), (1, 2, 1.0, 0.0), (2, 1, 5.0, 0.0)]
+    got = training_batch(
+        _steps(spark, rows),
+        "ep",
+        ["step_key"],
+        "reward",
+        "v",
+        min_steps=2,
+        min_mean_reward=None,
+    ).collect()
+    assert {r.ep for r in got} == {1}
