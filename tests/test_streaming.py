@@ -132,11 +132,19 @@ def test_stats_listener_parity(spark, events_stream_source):
             .start()
         )
         q.awaitTermination(120)
-        time.sleep(1.0)  # listener bus is async
+        # The listener bus is async; a fixed sleep flaked at 875/1000
+        # under full-suite load. Poll until the event count converges
+        # on the batch total (or a generous deadline passes).
+        batch_count = spark.read.schema(schema).parquet(path).count()
+        deadline = time.monotonic() + 30.0
+        while (
+            sum(s.number_of_events for s in seen) < batch_count
+            and time.monotonic() < deadline
+        ):
+            time.sleep(0.5)
     finally:
         spark.streams.removeListener(listener)
     n_input = sum(s.number_of_events for s in seen)
-    batch_count = spark.read.schema(schema).parquet(path).count()
     assert n_input == batch_count
     assert listener.totals.processing_time_ms > 0
     assert listener.totals.events_per_second > 0
