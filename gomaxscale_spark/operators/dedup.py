@@ -362,6 +362,38 @@ def portable_minhash_signatures(
             % MINHASH_P,
         ).alias("__th"),
     )
+    return _portable_minhash_sigs_from_th(base, id_col, num_hashes, shingle_n)
+
+
+def portable_minhash_signatures_from_hashes(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """``portable_minhash_signatures`` fed from a frame that already
+    carries the per-token portable 60-bit md5 hashes (``hash_col``, an
+    array<long>) — the shared tokenized-documents artifact of the
+    release-gate composites (r16 optimization round; the same entry
+    point family as ``substring_window_positions_from_hashes``). The
+    ``% MINHASH_P`` reduction is applied here, so one stored hash
+    array serves the window folds, the DSIR buckets AND this signature
+    family; signature values are IDENTICAL to the text path's by
+    construction (same expression composition)."""
+    base = df.select(
+        F.col(id_col),
+        F.transform(F.col(hash_col), lambda h: h % MINHASH_P).alias("__th"),
+    )
+    return _portable_minhash_sigs_from_th(base, id_col, num_hashes, shingle_n)
+
+
+def _portable_minhash_sigs_from_th(
+    base: DataFrame, id_col: str, num_hashes: int, shingle_n: int
+) -> DataFrame:
+    """Shingle-fold + CW-min body shared by the text and
+    precomputed-hash signature entry points (expects ``__th``:
+    array<long> of token hashes already reduced mod MINHASH_P)."""
     fold = cw_fold_sql(
         ["element_at(__th, k)"]
         + [f"element_at(__th, k + {i})" for i in range(1, shingle_n)],
@@ -514,6 +546,7 @@ def lsh_hot_buckets(
     shingle_n: int = 3,
     portable: bool = False,
     sig_kernel: str = "sql",
+    band_rows: DataFrame | None = None,
 ) -> DataFrame:
     """The review queue: buckets whose membership exceeds the cap.
 
@@ -525,12 +558,19 @@ def lsh_hot_buckets(
     bounded buckets proceed through pair expansion. Built from the
     count pre-pass alone: no membership array is ever materialized for
     a hot bucket, only its size.
+
+    ``band_rows``: callers that already materialized this corpus's
+    (id, band_id, band_hash) rows (the capped catalog entry shares ONE
+    frame between its pair arm and this review-queue arm — r16
+    optimization round; without it the whole shingle→minhash signature
+    pipeline ran once per arm) pass them in, same contract as
+    ``minhash_lsh_candidates``.
     """
-    return _lsh_bucket_counts(
-        _lsh_band_rows(
+    if band_rows is None:
+        band_rows = _lsh_band_rows(
             df, id_col, text_col, num_hashes, bands, shingle_n, portable, sig_kernel
         )
-    ).filter(F.col("n_members") > max_bucket_size)
+    return _lsh_bucket_counts(band_rows).filter(F.col("n_members") > max_bucket_size)
 
 
 def drain_hot_buckets(
@@ -773,7 +813,17 @@ def prefix_filter_candidates(
     shuffle. The per-doc sorted set is bounded by doc length (same
     array the verify stage builds anyway).
     """
-    rows = shingle_hash_rows(df, id_col, text_col, shingle_n)
+    # Materialize the (id, shingle-hash) stream once (r16 optimization
+    # round, guide §2.4): it feeds the frequency aggregation AND the
+    # sets join — two different exchange shapes, so ReusedExchange
+    # never applies and the tokenize+md5 shingle pipeline executed
+    # twice; worse, the prefix frame below feeds BOTH sides of the
+    # __ph self-join (different column aliases → no subtree reuse),
+    # doubling everything again — four full shingle passes end-to-end
+    # (measured: dedup_prefix_filter_join 3.49 s → 2.4 s at sf0.1
+    # after the two materializations). Rows are (id, 8-byte hash) —
+    # the same size class the docstring already budgets for shuffles.
+    rows = materialize_once(shingle_hash_rows(df, id_col, text_col, shingle_n))
     freq = rows.groupBy("__h").agg(F.count(F.lit(1)).alias("__f"))
     sets = (
         rows.join(freq, "__h")
@@ -919,6 +969,50 @@ def verify_candidates_jaccard(
             ).alias("__sh"),
         )
     )
+    return _verify_jaccard_tail(candidates, withsh, id_col, threshold)
+
+
+def verify_candidates_jaccard_from_tokens(
+    toksrc: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    toks_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """``verify_candidates_jaccard`` fed from a frame that already
+    carries the token arrays (the shared tokenized-documents artifact
+    — r16 optimization round): shingle strings are rebuilt from the
+    bound arrays via ``word_shingles_from_tokens``, which yields
+    byte-identical shingles (and hence identical xxhash64 values and
+    jaccards) to ``word_shingles`` over the raw text — candidate-
+    adjacent docs are never re-tokenized, and when ``toksrc`` is
+    materialized, never re-scanned from parquet either. No repartition
+    fan-out here: a materialized token artifact already carries the
+    fan-out its producer applied."""
+    candidates = materialize_once(candidates)
+    needed = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    withsh = materialize_once(
+        toksrc.join(F.broadcast(needed), id_col, "semi").select(
+            F.col(id_col),
+            F.transform(
+                word_shingles_from_tokens(F.col(toks_col), shingle_n),
+                lambda s: F.xxhash64(s),
+            ).alias("__sh"),
+        )
+    )
+    return _verify_jaccard_tail(candidates, withsh, id_col, threshold)
+
+
+def _verify_jaccard_tail(
+    candidates: DataFrame, withsh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Shared verify tail: join the (id, shingle-hash set) frame onto
+    both pair sides and keep exact Jaccard ≥ threshold."""
     a = withsh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
     b = withsh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
     return (

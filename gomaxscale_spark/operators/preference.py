@@ -97,6 +97,14 @@ def bradley_terry(
 
     from .materialize import materialize_once
 
+    # materialize the MATRIX itself first (r16 optimization round,
+    # guide §2.4/§5): edges and wins each consumed it, so the
+    # corpus-collapsing comparisons aggregation behind it executed
+    # twice; off one materialized frame both derivations are
+    # matrix-bounded selects
+    matrix = materialize_once(
+        matrix.select("item_a", "item_b", "wins_a", "wins_b", "n_games")
+    )
     edges = materialize_once(matrix.select(
         F.col("item_a").alias("i"),
         F.col("item_b").alias("j"),
@@ -136,6 +144,12 @@ def bradley_terry(
             "i", (F.col("W") / F.col("d")).alias("u")
         )
         z = up.agg(F.sum("u").alias("z"))
+        # per-round truncation, kept after an A/B (r16 optimization
+        # round): checkpointing only every 2nd round halved the
+        # barriers but REGRESSED 2.8 → 4.2 s at sf0.1 — the lazy
+        # odd-round p loses its known (tiny) size estimate, so the
+        # denom joins planned as exchanges instead of broadcasts; the
+        # per-round materialized form keeps every MM join broadcast
         p = materialize_once(
             up.crossJoin(F.broadcast(z)).select(
                 "i", (F.col("u") / F.col("z")).alias("p")

@@ -394,12 +394,36 @@ def lsh_near_duplicates_adaptive(
             )
         ).alias("bs"),
     ).select("vid", "bs.band", "bs.bucket")
-    a = stacked.select(F.col("band"), F.col("bucket"), F.col("vid").alias("id_a"))
-    b = stacked.select(F.col("band"), F.col("bucket"), F.col("vid").alias("id_b"))
+    # pair generation INSIDE buckets (collect + combination expansion)
+    # instead of a bucket-keyed self-join (r16 optimization round,
+    # guide §2.4 — the minhash_lsh_candidates lesson finally applied to
+    # the embedding side): the self-join's two sides carried different
+    # aliases, so no exchange reuse — the WHOLE signature pipeline
+    # (even the Arrow matmul kernel) executed once per side. Bucket
+    # membership arrays are bounded by construction here: the adaptive
+    # width pins expected bucket size at ~target_bucket (64), which is
+    # exactly why the text path's hot-bucket cap machinery isn't needed.
+    # One signature pass, one (band, bucket) exchange, same pairs.
     cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        stacked.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("vid")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda y: F.struct(
+                                x.alias("id_a"), y.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     va = with_norm.select(

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .dedup import tokenize
+from .materialize import materialize_once
 
 #: A tiny English-ish stopword list (deterministic, matches the synthetic
 #: corpus vocabulary).
@@ -1038,8 +1039,13 @@ def bpe_fertility_by_source(
     states = [vocab]
     try:
         _, states = _bpe_rounds(vocab, int(n_merges), apply_last=True)
-        final = states[-1].select(
-            "w", F.size("toks").cast("long").alias("__n_toks")
+        # checkpoint the (w, |toks_K|) readout: the returned plan runs
+        # after the finally block drops the per-round caches, and would
+        # otherwise re-derive the whole merge chain (see bpe_encode)
+        final = materialize_once(
+            states[-1].select(
+                "w", F.size("toks").cast("long").alias("__n_toks")
+            )
         )
         by_src = (
             df.select(
@@ -1135,7 +1141,16 @@ def bpe_encode(
     states = [vocab]
     try:
         _, states = _bpe_rounds(vocab, int(n_merges), apply_last=True)
-        final = states[-1]
+        # Materialize the final vocabulary state (r16 optimization round,
+        # guide §5 caching): the returned plan consumes it through TWO
+        # arms (token-id vocab + word→ids map) and executes AFTER the
+        # finally block below drops the per-round caches — without this
+        # checkpoint the final job re-derived the whole corpus-collapse +
+        # K-fold chain (measured 6.8 s of corpus_tokenize_bpe's 7.6 s
+        # sf0.1 wall in the final job alone; 2.0 s after). The projection
+        # builds a NEW plan so persist_disk mode caches it independently
+        # of the per-round persists it reads from.
+        final = materialize_once(states[-1].select("w", "toks"))
         tok_ids = bpe_token_vocab(final)
         wmap = (
             final.select("w", F.posexplode("toks").alias("pos", "tok"))
@@ -1196,8 +1211,13 @@ def bpe_token_counts(
     states = [vocab]
     try:
         _, states = _bpe_rounds(vocab, int(n_merges), apply_last=True)
-        final = states[-1].select(
-            "w", F.size("toks").cast("long").alias("__n_toks")
+        # checkpoint the (w, |toks_K|) readout: the returned plan runs
+        # after the finally block drops the per-round caches, and would
+        # otherwise re-derive the whole merge chain (see bpe_encode)
+        final = materialize_once(
+            states[-1].select(
+                "w", F.size("toks").cast("long").alias("__n_toks")
+            )
         )
         per_doc = (
             df.select(

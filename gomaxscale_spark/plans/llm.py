@@ -425,9 +425,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     cap = 2
+    # ONE materialized (id, band_id, band_hash) frame feeds BOTH arms
+    # (r16 optimization round, guide §2.4): the pair arm and the
+    # hot-bucket review arm each used to re-derive band rows from the
+    # raw text — the entire shingle→minhash signature pipeline ran
+    # twice per invocation (measured 3.40 → 2.56 s at sf0.1; at corpus
+    # scale this halves the entry's corpus scans).
+    band_rows = materialize_once(
+        D._lsh_band_rows(
+            d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2,
+            portable=True,
+        )
+    )
     cands = D.minhash_lsh_candidates(
         d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2,
-        max_bucket_size=cap, portable=True,
+        max_bucket_size=cap, portable=True, band_rows=band_rows,
     )
     pairs = D.verify_candidates_jaccard(
         d, cands, "doc_id", "text", threshold=0.8, shingle_n=2
@@ -442,7 +454,7 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hot = D.lsh_hot_buckets(
         d, "doc_id", "text", max_bucket_size=cap, num_hashes=64, bands=16,
-        shingle_n=2, portable=True,
+        shingle_n=2, portable=True, band_rows=band_rows,
     ).select(
         F.lit("hot_bucket").alias("kind"),
         F.lit(None).cast("long").alias("id_a"),
@@ -3844,15 +3856,23 @@ def _contamination_base(
         F.col("lake_coverage").alias("evidence"),
     )
 
-    # --- max verified near-dup jaccard across the split (keeps its
-    # audited LSH shape over the raw corpus: 2-gram shingles + the
-    # portable signature family are the banded candidates' own
-    # machinery, not a per-leg re-tokenize of the shared frame)
-    cands = D.minhash_lsh_candidates(
-        d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2, portable=True
+    # --- max verified near-dup jaccard across the split — same audited
+    # LSH shape, but BOTH stages now read the shared tokenized frame
+    # (r16 optimization round, guide §2.3/§6): the portable signature
+    # family's token hash IS th60 % P, and the verify stage's shingle
+    # strings rebuild byte-identically from the bound token arrays, so
+    # this leg no longer re-tokenizes + re-md5s the raw corpus (one
+    # full tokenize+md5 pass was the leg's own scan cost per report)
+    sigs = D.portable_minhash_signatures_from_hashes(
+        tokd, "doc_id", "th60", num_hashes=64, shingle_n=2
     )
-    pairs = D.verify_candidates_jaccard(
-        d, cands, "doc_id", "text", threshold=0.8, shingle_n=2
+    band_rows = D._band_rows_from_sigs(sigs, "doc_id", 64, 16, portable=True)
+    cands = D.minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2, portable=True,
+        band_rows=materialize_once(band_rows),
+    )
+    pairs = D.verify_candidates_jaccard_from_tokens(
+        tokd, cands, "doc_id", "toks", threshold=0.8, shingle_n=2
     )
     cross = pairs.filter(
         (F.col("id_a") % 10 == 0) != (F.col("id_b") % 10 == 0)
