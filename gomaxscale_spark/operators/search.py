@@ -356,6 +356,7 @@ def bm25_topk_batch(
     window). Membership per query = matches ≥1 of ITS terms (the
     integer tf predicate, not a float-score test).
     """
+    from .materialize import materialize_once
     from .sampling import domain_cap_salted
 
     all_terms: list[str] = []
@@ -365,8 +366,15 @@ def bm25_topk_batch(
                 all_terms.append(t)
     idx = {t: i for i, t in enumerate(all_terms)}
 
-    toks = docs.select(
-        F.col(id_col), F.explode(_words(F.col(text_col))).alias("__w")
+    # ONE tokenize pass (r16 optimization round — the r13
+    # shared-tokenization lesson applied to the batch form too): the
+    # df-stats, avgdl, tf and length legs each re-tokenized the corpus
+    # from raw text (four split/lower/filter passes per invocation);
+    # all four now read one materialized (id, __toks) frame. Values
+    # identical — same _words expression, applied once.
+    tokd = materialize_once(tokenized_docs(docs, id_col, text_col))
+    toks = tokd.select(
+        F.col(id_col), F.explode(F.col("__toks")).alias("__w")
     )
     df_aggs = [
         F.count_distinct(
@@ -377,9 +385,9 @@ def bm25_topk_batch(
     # N = all corpus rows (same definition as corpus_term_stats.n_docs —
     # see bm25_scores' docstring)
     stats = toks.agg(*df_aggs).crossJoin(
-        docs.agg(
+        tokd.agg(
             F.count(F.lit(1)).cast("double").alias("__n"),
-            F.avg(F.size(_words(F.col(text_col)))).alias("__avgdl"),
+            F.avg(F.size(F.col("__toks"))).alias("__avgdl"),
         )
     )
     tf_aggs = [
@@ -388,8 +396,8 @@ def bm25_topk_batch(
         .alias(f"__tf{i}")
         for i, t in enumerate(all_terms)
     ]
-    lengths = docs.select(
-        F.col(id_col), F.size(_words(F.col(text_col))).cast("double").alias("__dl")
+    lengths = tokd.select(
+        F.col(id_col), F.size(F.col("__toks")).cast("double").alias("__dl")
     )
     tf = (
         toks.filter(F.col("__w").isin(all_terms))
@@ -495,6 +503,7 @@ def bm25_topk_batch_against_stats(
     the lake's additive ingest, each request batch pays one tokenize
     pass over ITS OWN rows only.
     """
+    from .materialize import materialize_once
     from .sampling import domain_cap_salted
 
     all_terms: list[str] = []
@@ -526,8 +535,12 @@ def bm25_topk_batch_against_stats(
         )
         .crossJoin(df_row)
     )
-    toks = docs.select(
-        F.col(id_col), F.explode(_words(F.col(text_col))).alias("__w")
+    # one tokenize pass for the tf + length legs (r16 optimization
+    # round — same shared-tokenization treatment as bm25_topk_batch;
+    # the stats legs read the external artifact, not the corpus)
+    tokd = materialize_once(tokenized_docs(docs, id_col, text_col))
+    toks = tokd.select(
+        F.col(id_col), F.explode(F.col("__toks")).alias("__w")
     )
     tf_aggs = [
         F.sum(F.when(F.col("__w") == F.lit(t), 1).otherwise(0))
@@ -535,8 +548,8 @@ def bm25_topk_batch_against_stats(
         .alias(f"__tf{i}")
         for i, t in enumerate(all_terms)
     ]
-    lengths = docs.select(
-        F.col(id_col), F.size(_words(F.col(text_col))).cast("double").alias("__dl")
+    lengths = tokd.select(
+        F.col(id_col), F.size(F.col("__toks")).cast("double").alias("__dl")
     )
     tf = (
         toks.filter(F.col("__w").isin(all_terms))
