@@ -816,13 +816,18 @@ def prefix_filter_candidates(
     # Materialize the (id, shingle-hash) stream once (r16 optimization
     # round, guide §2.4): it feeds the frequency aggregation AND the
     # sets join — two different exchange shapes, so ReusedExchange
-    # never applies and the tokenize+md5 shingle pipeline executed
-    # twice; worse, the prefix frame below feeds BOTH sides of the
-    # __ph self-join (different column aliases → no subtree reuse),
-    # doubling everything again — four full shingle passes end-to-end
-    # (measured: dedup_prefix_filter_join 3.49 s → 2.4 s at sf0.1
-    # after the two materializations). Rows are (id, 8-byte hash) —
-    # the same size class the docstring already budgets for shuffles.
+    # never applies; and because the prefix frame below feeds BOTH
+    # sides of the __ph self-join, the tokenize+md5 shingle pipeline
+    # executed FOUR times end-to-end. Measured trade: at sf0.1 the
+    # extra barrier costs ~0.5 s (3.5 → 4.0 s — tiny scans recompute
+    # ~free in parallel stages), but at the x30 replica the entry
+    # drops 32.1 → 24.6 s (−23%) because three of the four corpus
+    # shingle passes disappear — the r10 materialize-strategy study's
+    # conclusion, reproduced here. Rows are (id, 8-byte hash), the
+    # same size class the docstring already budgets for shuffles.
+    # (Materializing `prefix` as well was also tried: it regressed
+    # BOTH scales — its exploded rows are bulkier and its recompute
+    # off cached `rows` is cheap — so only `rows` is pinned.)
     rows = materialize_once(shingle_hash_rows(df, id_col, text_col, shingle_n))
     freq = rows.groupBy("__h").agg(F.count(F.lit(1)).alias("__f"))
     sets = (

@@ -429,7 +429,7 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r16 optimization round, guide §2.4): the pair arm and the
     # hot-bucket review arm each used to re-derive band rows from the
     # raw text — the entire shingle→minhash signature pipeline ran
-    # twice per invocation (measured 3.40 → 2.56 s at sf0.1; at corpus
+    # twice per invocation (measured 3.40 → 2.12 s at sf0.1; at corpus
     # scale this halves the entry's corpus scans).
     band_rows = materialize_once(
         D._lsh_band_rows(

@@ -1,0 +1,105 @@
+"""Focused equivalence tests for the r16 optimization round's internal
+rewrites — each pins that a shared/restructured plan computes the SAME
+rows as the pre-optimization shape it replaced (the oracle parity suite
+already gates the end-to-end entries; these isolate the operator-level
+contracts so a future refactor can't silently trade results for speed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gomaxscale_spark.operators import dedup as D
+from gomaxscale_spark.operators import similarity as S
+from gomaxscale_spark.operators.materialize import materialize_once
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_lsh_hot_buckets_band_rows_param_equivalent(spark, sf_dir):
+    """lsh_hot_buckets(band_rows=precomputed) == lsh_hot_buckets(text):
+    the capped catalog entry's shared-frame form must surface exactly
+    the same review-queue rows as the re-derive-from-text form."""
+    d = _docs(spark, sf_dir).limit(400)
+    kwargs = dict(
+        max_bucket_size=2, num_hashes=64, bands=16, shingle_n=2, portable=True
+    )
+    from_text = D.lsh_hot_buckets(d, "doc_id", "text", **kwargs)
+    shared = D.lsh_hot_buckets(
+        d,
+        "doc_id",
+        "text",
+        band_rows=materialize_once(
+            D._lsh_band_rows(
+                d, "doc_id", "text", 64, 16, 2, portable=True, sig_kernel="sql"
+            )
+        ),
+        **kwargs,
+    )
+    a = sorted(map(tuple, from_text.collect()))
+    b = sorted(map(tuple, shared.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_adaptive_lsh_bucket_expansion_matches_reference(spark, sf_dir):
+    """The within-bucket combination expansion (r16) must yield exactly
+    the pairs an independent Python replay of the banding produces:
+    sign-bit band signatures from the same plane family, adaptive
+    width from the corpus count, candidates = pairs sharing ≥1
+    (band, bucket), verified at 6dp-rounded cosine ≥ threshold."""
+    import numpy as np
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    threshold, dim, ppb, nb, target = 0.3, 64, 16, 4, 64
+
+    got = sorted(
+        map(
+            tuple,
+            S.lsh_near_duplicates_adaptive(
+                e, threshold=threshold, dim=dim,
+                planes_per_band=ppb, n_bands=nb, target_bucket=target,
+            )
+            .select("id_a", "id_b")
+            .collect(),
+        )
+    )
+
+    rows = e.select("vec_id", "embedding").collect()
+    ids = [r[0] for r in rows]
+    V = np.asarray([r[1] for r in rows], dtype=np.float64)
+    planes = np.asarray(S.hyperplanes(dim, nb * ppb), dtype=np.float64)
+    signs = (V @ planes.T > 0).astype(np.int64)
+    n = len(ids)
+    # adaptive width: exact replay of adaptive_pow2_case_sql — first
+    # arm scanning w = 16 down to 9 with n > target·2^(w−1), else 2^8
+    p2 = 1 << 8
+    for w in range(16, 8, -1):
+        if n > target * (1 << (w - 1)):
+            p2 = 1 << w
+            break
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for vi in range(n):
+        for b in range(nb):
+            sig = 0
+            for j in range(ppb):
+                sig |= int(signs[vi, b * ppb + j]) << j
+            buckets.setdefault((b, sig % p2), []).append(vi)
+    cand = set()
+    for members in buckets.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                ia, ib = ids[members[x]], ids[members[y]]
+                cand.add((min(ia, ib), max(ia, ib)))
+    norms = np.sqrt((V * V).sum(axis=1))
+    idx = {v: i for i, v in enumerate(ids)}
+    expected = sorted(
+        (a, b)
+        for a, b in cand
+        if round(
+            float(V[idx[a]] @ V[idx[b]] / (norms[idx[a]] * norms[idx[b]])), 6
+        )
+        >= threshold
+    )
+    assert got == expected and len(expected) > 0
