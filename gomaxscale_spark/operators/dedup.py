@@ -13,10 +13,73 @@ xxhash64 (JVM, codegen'd, deterministic across runs/executors).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from .bucketing import parallelize_narrow_input  # noqa: F401  (shared utility, re-exported)
 from .materialize import materialize_fixpoint, materialize_once, release
+
+#: Edge-count ceiling for the connected-components small-graph fast
+#: path (r16 optimization round). The duplicate graph's deduplicated
+#: edge count is measured at runtime (the fixpoint loops count it for
+#: convergence bookkeeping anyway); at or under this many edges the
+#: component closure runs as ONE driver-side union-find over an Arrow
+#: transfer (~2 MB at the default — the size class a broadcast hash
+#: join routinely collects) instead of O(log² n) checkpointed star
+#: rounds. Above it, the distributed loop runs unchanged. 0 disables
+#: the fast path entirely.
+CC_SMALL_EDGES_ENV = "SPARK_GRAFT_CC_SMALL_EDGES"
+CC_SMALL_EDGES_DEFAULT = 1 << 17
+
+
+def _cc_small_edge_cap() -> int:
+    return int(os.environ.get(CC_SMALL_EDGES_ENV, CC_SMALL_EDGES_DEFAULT))
+
+
+def _components_small(edges: DataFrame, u_col: str, v_col: str) -> DataFrame:
+    """Driver-side union-find over a broadcast-class edge list — the
+    small-graph closure shared by ``connected_components`` and
+    ``connected_components_star`` (guide §8: decide with small rows).
+
+    The caller has already MEASURED the edge count and found it at or
+    under the ``SPARK_GRAFT_CC_SMALL_EDGES`` cap, so this collect is
+    bounded the same way a broadcast join's build side is. One Arrow
+    transfer + an O(E α(E)) union-find replaces the iterative rounds'
+    per-round checkpoint/count barrier jobs (measured 5.6 → 1.8 s per
+    embedding-CC cell at sf0.1, where the star loop runs 7 rounds).
+    Labels are the component minimum (union by min root), identical to
+    both distributed formulations' output by construction; node order
+    and edge order cannot affect the result (min is commutative).
+    """
+    spark = edges.sparkSession
+    pdf = edges.select(u_col, v_col).toPandas()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in zip(pdf[u_col].tolist(), pdf[v_col].tolist()):
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN id: the root IS the component minimum, the
+            # same label every distributed round converges to
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    id_type = edges.schema[u_col].dataType.simpleString()
+    rows = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(rows, f"id {id_type}, cluster_id {id_type}")
 
 
 def tokenize(text: Column) -> Column:
@@ -1063,6 +1126,13 @@ def connected_components(
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
+    # small-graph fast path (r16 optimization round): the count is one
+    # cheap job on the just-checkpointed frame; both orientations are
+    # stored here, so the cap doubles. See _components_small.
+    if edges.count() <= 2 * _cc_small_edge_cap():
+        result = _components_small(edges, "src", "dst")
+        release(edges)
+        return result
     labels = materialize_fixpoint(
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -1142,6 +1212,16 @@ def connected_components_star(
         canon(pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")))
     )
     edges_count = edges.count()
+    # small-graph fast path (r16 optimization round): edges_count was
+    # already being measured for the convergence bookkeeping — when the
+    # duplicate graph is broadcast-class, ONE union-find replaces the
+    # ~7 star rounds' checkpoint+count barrier jobs (measured 5.6 →
+    # 1.8 s per embedding-CC cell at sf0.1; the distributed loop below
+    # is unchanged for graphs over the cap). See _components_small.
+    if edges_count <= _cc_small_edge_cap():
+        result = _components_small(edges, "u", "v")
+        release(edges)
+        return result
 
     for _ in range(max_iters):
         # large-star: for every directed (u, v): min over u's closed

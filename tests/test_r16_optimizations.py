@@ -103,3 +103,42 @@ def test_adaptive_lsh_bucket_expansion_matches_reference(spark, sf_dir):
         >= threshold
     )
     assert got == expected and len(expected) > 0
+
+
+def test_cc_small_graph_fast_path_matches_distributed_loops(spark, monkeypatch):
+    """The r16 small-graph union-find must label components exactly like
+    the distributed loops it short-circuits — both operators, on a graph
+    mixing cliques, chains (the star loop's slow-percolation case) and
+    singleton-free isolates, exercised FORCED down each path via the
+    SPARK_GRAFT_CC_SMALL_EDGES cap."""
+    import random
+
+    rng = random.Random(7)
+    edges = set()
+    # three cliques
+    for base in (0, 50, 100):
+        ids = [base + i for i in range(6)]
+        edges |= {(a, b) for a in ids for b in ids if a < b}
+    # one long chain (diameter stress; ≤ 25 hops so the min-label
+    # loop's max_iters=30 still reaches its exact fixpoint)
+    edges |= {(200 + i, 201 + i) for i in range(25)}
+    # random noise pairs
+    for _ in range(60):
+        a, b = rng.randrange(300, 400), rng.randrange(300, 400)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in sorted(edges)], "id_a long, id_b long"
+    )
+
+    monkeypatch.setenv(D.CC_SMALL_EDGES_ENV, "0")  # force the loops
+    loop_star = {(r.id, r.cluster_id) for r in D.connected_components_star(pairs).collect()}
+    loop_minlabel = {(r.id, r.cluster_id) for r in D.connected_components(pairs).collect()}
+
+    monkeypatch.setenv(D.CC_SMALL_EDGES_ENV, str(D.CC_SMALL_EDGES_DEFAULT))
+    fast_star = {(r.id, r.cluster_id) for r in D.connected_components_star(pairs).collect()}
+    fast_minlabel = {(r.id, r.cluster_id) for r in D.connected_components(pairs).collect()}
+
+    assert loop_star == fast_star == loop_minlabel == fast_minlabel
+    # spot-check the chain collapsed to its minimum
+    assert (225, 200) in fast_star
