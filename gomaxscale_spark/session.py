@@ -80,6 +80,15 @@ def get_session(app_name: str = "gomaxscale_spark", cpus: int | None = None) -> 
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16 MB thread stacks: py4j executes a foreachBatch callback's
+        # whole driver-side work (analysis, optimization, codegen and its
+        # regex passes) ON the stream-execution thread; with the JVM's
+        # default ~1 MB stack a long-lived session intermittently dies
+        # with StackOverflowError inside java.util.regex on the lake-sink
+        # checkpoints (reproduced on unchanged r15 code — inherited, not
+        # an optimization regression). Stack memory is virtual until
+        # touched, so the cost of the headroom is nil.
+        .config("spark.driver.extraJavaOptions", "-Xss16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
     for k, v in RUNTIME_CONFS.items():
