@@ -1547,22 +1547,114 @@ def substring_window_positions_from_hashes(
     return _window_key_rows(base, id_col, window)
 
 
-def _window_key_rows(base: DataFrame, id_col: str, window: int) -> DataFrame:
-    """(id, pos, wh) from a (id, __th) frame — the shared fold of the
-    text and precomputed-hash entry points."""
+def _wins_col(window: int) -> Column:
+    """array<struct<pos,wh>> of all W-token window keys over a bound
+    ``__th`` token-hash column — the shared fold of every substring
+    entry point (exploded rows and the per-doc artifact alike)."""
     key = band_key_sql(
         ["element_at(__th, k)"]
         + [f"element_at(__th, k + {i})" for i in range(1, window)]
     )
-    wins = F.when(
+    return F.when(
         F.size(F.col("__th")) >= window,
         F.expr(
             f"transform(sequence(1, size(__th) - {window} + 1),"
             f" k -> named_struct('pos', k - 1, 'wh', {key}))"
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,wh:bigint>>"))
-    return base.select(F.col(id_col), F.explode(wins).alias("__w")).select(
+
+
+def _window_key_rows(base: DataFrame, id_col: str, window: int) -> DataFrame:
+    """(id, pos, wh) from a (id, __th) frame — the shared fold of the
+    text and precomputed-hash entry points."""
+    return base.select(
+        F.col(id_col), F.explode(_wins_col(window)).alias("__w")
+    ).select(
         F.col(id_col), F.col("__w.pos").alias("pos"), F.col("__w.wh").alias("wh")
+    )
+
+
+def _substring_doc_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+    with_tokens: bool = False,
+) -> DataFrame:
+    """The substring family's MATERIALIZED per-document artifact — one
+    row per doc: (id, __n_toks, [__toks,] __wins array<struct<pos,wh>>)
+    (r16 optimization round, guide §2.3/§1.2: one tokenize+md5 corpus
+    pass instead of one per consumer leg).
+
+    Why per-doc instead of the exploded (id, pos, wh) rows the old
+    annotate checkpointed: the report/rewrite entries also need per-doc
+    token TOTALS (and the strip rewrite the token ARRAYS) — off an
+    exploded frame those forced one (or two) more full tokenize passes
+    over the raw corpus per entry. Here totals are a projection of the
+    artifact, the rewrite's posexplode reads the bound arrays, and the
+    window-position explode re-runs per consumer arm as a cheap
+    array-walk over checkpointed data (no md5, no regex re-tokenize).
+    ``with_tokens`` bounds the artifact's size honestly: only the strip
+    rewrite (whose OUTPUT is the text) carries the token arrays; the
+    report entries' artifact is (long, int, ~12 B/window) rows.
+    """
+    base = parallelize_narrow_input(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+    keep = [F.col("__toks")] if with_tokens else []
+    hashed = base.select(
+        F.col(id_col),
+        F.size("__toks").alias("__n_toks"),
+        *keep,
+        F.transform(
+            F.col("__toks"),
+            lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+            % MINHASH_P,
+        ).alias("__th"),
+    )
+    return materialize_once(
+        hashed.select(
+            F.col(id_col),
+            "__n_toks",
+            *(["__toks"] if with_tokens else []),
+            _wins_col(window).alias("__wins"),
+        )
+    )
+
+
+def _packed_positions_from_doc_frame(docf: DataFrame, id_col: str) -> DataFrame:
+    """(id, pos, wh, __pk) exploded from the per-doc artifact, with the
+    packed-occurrence-key guard of ``_substring_packed_positions``
+    (documents past SUBSTRING_POS_CAP abort, never corrupt the key)."""
+    pos = docf.select(
+        F.col(id_col), F.explode("__wins").alias("__w")
+    ).select(
+        F.col(id_col), F.col("__w.pos").alias("pos"), F.col("__w.wh").alias("wh")
+    )
+    packed = F.when(
+        F.col("pos") < SUBSTRING_POS_CAP,
+        F.col(id_col) * SUBSTRING_POS_CAP + F.col("pos"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "substring_annotate: document exceeds SUBSTRING_POS_CAP "
+                f"({SUBSTRING_POS_CAP}) token positions — chunk it upstream"
+            )
+        ).cast("long")
+    )
+    return pos.withColumn("__pk", packed)
+
+
+def _annotate_from_doc_frame(docf: DataFrame, id_col: str) -> DataFrame:
+    """The skew-safe annotate (groupBy stats + equi-join back) over an
+    already-materialized per-doc artifact — both arms re-explode the
+    checkpointed window arrays instead of re-running tokenize+md5."""
+    ann0 = _packed_positions_from_doc_frame(docf, id_col)
+    stats = ann0.groupBy("wh").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("__pk").alias("canon")
+    )
+    return ann0.join(stats, "wh").select(
+        F.col(id_col), "pos", "wh", "__pk", "cnt", "canon"
     )
 
 
@@ -1609,21 +1701,13 @@ def substring_annotate(
     splitting handles any residual big-side skew (split occurrence
     blocks each join their replicated stats row). Text never enters
     any exchange; rows are (long, int, long, long). The position
-    stream feeds both the stats agg and the join probe, so it is
-    materialized once (`materialize_once`) rather than re-running the
-    tokenize+md5 lineage twice.
+    stream feeds both the stats agg and the join probe, so the per-doc
+    window artifact is materialized once (`_substring_doc_frame` — r16
+    optimization round) rather than re-running the tokenize+md5
+    lineage per arm.
     """
-    from .materialize import materialize_once
-
-    ann0 = materialize_once(
-        _substring_packed_positions(df, id_col, text_col, window)
-    )
-    stats = ann0.groupBy("wh").agg(
-        F.count(F.lit(1)).alias("cnt"), F.min("__pk").alias("canon")
-    )
-    return ann0.join(stats, "wh").select(
-        F.col(id_col), "pos", "wh", "__pk", "cnt", "canon"
-    )
+    docf = _substring_doc_frame(df, id_col, text_col, window)
+    return _annotate_from_doc_frame(docf, id_col)
 
 
 def _substring_annotate_window_form(
@@ -1659,9 +1743,12 @@ def substring_duplicate_coverage(
     headers). Scale: the ×W covered-position fan-out runs over
     DUPLICATED windows only (cnt ≥ 2 — the rare side after the
     annotate), and countDistinct keeps the merge token-granular without
-    materializing span structs.
+    materializing span structs. Token totals read the annotate's own
+    per-doc artifact (r16 optimization round) — the report no longer
+    pays a second full tokenize pass over the raw corpus.
     """
-    ann = substring_annotate(df, id_col, text_col, window)
+    docf = _substring_doc_frame(df, id_col, text_col, window)
+    ann = _annotate_from_doc_frame(docf, id_col)
     dup = ann.filter(F.col("cnt") >= 2)
     cov = (
         dup.select(
@@ -1673,8 +1760,8 @@ def substring_duplicate_coverage(
         .groupBy(id_col)
         .agg(F.countDistinct("tpos").alias("dup_tokens"))
     )
-    totals = df.select(
-        F.col(id_col), F.size(tokenize(F.col(text_col))).alias("total_tokens")
+    totals = docf.select(
+        F.col(id_col), F.col("__n_toks").alias("total_tokens")
     )
     return totals.join(cov, [id_col], "left").select(
         F.col(id_col),
@@ -1709,8 +1796,13 @@ def substring_strip(
     token text enters an exchange, inherent to rewriting the corpus
     (the output IS the text). Each doc's collect_list is bounded by its
     own token count (docs are pre-chunked ≤ SUBSTRING_POS_CAP tokens).
+    The annotate, the rebuild's posexplode, and the totals all read ONE
+    materialized per-doc artifact carrying the token arrays (r16
+    optimization round): the rewrite used to pay THREE full tokenize
+    passes over the raw corpus — now exactly one.
     """
-    ann = substring_annotate(df, id_col, text_col, window)
+    docf = _substring_doc_frame(df, id_col, text_col, window, with_tokens=True)
+    ann = _annotate_from_doc_frame(docf, id_col)
     removable = ann.filter(
         (F.col("cnt") >= 2) & (F.col("__pk") != F.col("canon"))
     )
@@ -1720,8 +1812,8 @@ def substring_strip(
             F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))
         ).alias("tpos"),
     ).distinct()
-    toks = df.select(
-        F.col(id_col), F.posexplode(tokenize(F.col(text_col))).alias("tpos", "tok")
+    toks = docf.select(
+        F.col(id_col), F.posexplode(F.col("__toks")).alias("tpos", "tok")
     )
     kept = toks.join(covered, [id_col, "tpos"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
@@ -1734,8 +1826,8 @@ def substring_strip(
         ).alias("kept_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    totals = df.select(
-        F.col(id_col), F.size(tokenize(F.col(text_col))).alias("n_tokens")
+    totals = docf.select(
+        F.col(id_col), F.col("__n_toks").alias("n_tokens")
     )
     return totals.join(rebuilt, [id_col], "left").select(
         F.col(id_col),
@@ -1825,10 +1917,20 @@ def substring_coverage_vs_keys(
     hits come back. For probe batches too large to broadcast, run the
     shuffle-join form instead (swap the broadcast for a plain semi
     join — result-identical).
+
+    The probe side reads ONE materialized per-doc artifact (r16
+    optimization round): its window stream feeds the distinct-key
+    probe AND the match-back join, and the totals are a projection —
+    the raw probe batch used to be tokenized three times per report.
     """
-    new_pos = substring_window_positions(probe_docs, id_col, text_col, window)
-    totals = probe_docs.select(
-        F.col(id_col), F.size(tokenize(F.col(text_col))).alias("total_tokens")
+    docf = _substring_doc_frame(probe_docs, id_col, text_col, window)
+    new_pos = docf.select(
+        F.col(id_col), F.explode("__wins").alias("__w")
+    ).select(
+        F.col(id_col), F.col("__w.pos").alias("pos"), F.col("__w.wh").alias("wh")
+    )
+    totals = docf.select(
+        F.col(id_col), F.col("__n_toks").alias("total_tokens")
     )
     return substring_coverage_from_positions(
         new_pos, totals, key_rows, id_col, window

@@ -416,28 +416,35 @@ def dsir_log_weights(
     bucket LM is a ``n_buckets``-row aggregate that BROADCASTS back to
     the token stream (one corpus-sized partial-agg groupBy(id), no
     corpus-sized join). The totals crossJoin is a 1-row broadcast. At
-    100 TB the bucket table is still KBs: the stats pass and the score
-    pass each read the corpus once — the two-pass shape the DSIR paper
-    itself uses.
+    100 TB the bucket table is still KBs. The token-bucket stream is
+    materialized ONCE (r16 optimization round): the stats pass and the
+    score pass used to each re-run the tokenize+md5 explode over the
+    raw corpus (the DSIR paper's two passes are over the TOKEN stream,
+    not two re-tokenizations); now one tokenize pass feeds both through
+    a checkpointed (id, bucket, flag) frame — ~24 B/token, no text.
     """
-    # target must be evaluated in the SAME select as the explode (its
-    # source columns don't survive the token-bucket projection)
-    rows = dsir_token_buckets(
-        df.withColumn("__t0", target.cast("long")), id_col, text_col, n_buckets,
-        carry=("__t0",),
-    ).withColumnRenamed("__t0", "__t")
-    # materialize the (≤ n_buckets)-row LM once: totals, llr, and the
-    # score pass all consume it — without this the token explode+md5
-    # lineage re-executes per consumer (3 corpus scans; measured 31 s
-    # → ~20 s at the x30 replica). The stats artifact is KBs.
     from .materialize import materialize_once
 
+    # target must be evaluated in the SAME select as the explode (its
+    # source columns don't survive the token-bucket projection)
+    rows = materialize_once(
+        dsir_token_buckets(
+            df.withColumn("__t0", target.cast("long")), id_col, text_col,
+            n_buckets, carry=("__t0",),
+        ).withColumnRenamed("__t0", "__t")
+    )
+    # materialize the (≤ n_buckets)-row LM too: totals and llr are two
+    # separate consumer arms, and re-deriving the groupBy off the token
+    # stream per arm would add two token-sized aggregations. KBs.
     bstats = materialize_once(
         rows.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("rc"), F.sum("__t").alias("tc")
         )
     )
-    return dsir_score_against_lm(df, bstats, id_col, text_col, n_buckets)
+    return dsir_score_against_lm(
+        df, bstats, id_col, text_col, n_buckets,
+        bucket_rows=rows.select(F.col(id_col), "bucket"),
+    )
 
 
 def dsir_token_buckets(

@@ -434,13 +434,19 @@ def bigram_logprob_micro(
         ).alias("key"),
         F.col("__ref"),
     )
+    from .materialize import materialize_once
+
+    # materialize the bigram stream ONCE (r16 optimization round): the
+    # LM-count pass and the score pass used to each re-run the
+    # tokenize+md5+bigram explode over the raw corpus; one pass now
+    # feeds both through a checkpointed (id, key, flag) frame —
+    # ~24 B/bigram, no text
+    pairs = materialize_once(pairs)
     # materialize the (≤ n_buckets²)-row conditional LM once and DERIVE
     # the context table from it (Σ_b2 c2(b1,b2) = c1(b1) — the proper
     # conditional denominator, and zero extra corpus scans; counting
     # raw tokens would also be wrong, including document-final tokens
     # that never serve as context). The LM artifact is ≤ 65k rows.
-    from .materialize import materialize_once
-
     c2 = materialize_once(
         pairs.filter(F.col("__ref") == 1)
         .groupBy("key")

@@ -142,3 +142,35 @@ def test_cc_small_graph_fast_path_matches_distributed_loops(spark, monkeypatch):
     assert loop_star == fast_star == loop_minlabel == fast_minlabel
     # spot-check the chain collapsed to its minimum
     assert (225, 200) in fast_star
+
+
+def test_single_tokenize_pass_steady_state_scan_counts(spark, sf_dir):
+    """The r16 tokenize-once rewrites (substring family, DSIR, bigram
+    perplexity): every consumer leg must read the materialized
+    token-derived artifact, so the FINAL job's plan contains exactly
+    the expected number of raw parquet scans — 0 where the artifact
+    covers everything, 1 where an inherently separate corpus side
+    remains (decontaminate's historical window stream). A regression
+    that re-tokenizes from parquet shows up as an extra scan here."""
+    from gomaxscale_spark.plans import all_queries
+
+    q = all_queries()
+    expected = {
+        "dedup_substring_coverage": 0,   # totals off the artifact
+        "dedup_substring_strip": 0,      # annotate+rebuild+totals off it
+        "dedup_substring_span_histogram": 0,
+        "decontaminate_substring_overlap": 1,  # historical side only
+        "sampling_dsir_weights": 0,      # score pass off the bucket rows
+        "sampling_dsir_select": 0,
+        "text_bigram_perplexity": 0,     # score pass off the pair rows
+    }
+    for name, n_scans in expected.items():
+        plan = (
+            q[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        got = plan.count("Scan parquet")
+        assert got == n_scans, (name, got, n_scans, plan[:1500])
