@@ -406,26 +406,58 @@ def bm25_topk_batch(
         .join(lengths, id_col)
         .crossJoin(F.broadcast(stats))
     )
-    legs = []
-    for qid, q in enumerate(queries):
-        pairs = [(f"__tf{idx[t]}", f"__df{idx[t]}") for t in q]
-        hit = F.lit(0.0)
-        for t in q:
-            hit = hit + F.col(f"__tf{idx[t]}")
-        legs.append(
-            tf.filter(hit > 0).select(
-                F.lit(qid).alias("query_id"),
-                F.col(id_col),
-                F.round(_score_chain_cols(pairs, k1, b), 6).alias("score"),
-            )
-        )
-    scored = legs[0]
-    for leg in legs[1:]:
-        scored = scored.unionByName(leg)
+    scored = _batch_scores_one_pass(tf, queries, idx, id_col, k1, b)
     top = domain_cap_salted(
         scored, key_col="query_id", quality_col="score", id_col=id_col, k=k
     )
     return top.orderBy("query_id", F.desc("score"), F.col(id_col))
+
+
+def _batch_scores_one_pass(
+    tf: DataFrame,
+    queries: Sequence[Sequence[str]],
+    idx: dict[str, int],
+    id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """(query_id, id, score) rows for every query whose terms hit the
+    doc — ONE projection + explode over the shared tf frame (r16
+    optimization round, guide §2.4). The previous per-query
+    filter/select arms unioned Q sub-plans; column pruning made each
+    arm's aggregation subtree unique (an arm keeps only its own query's
+    __tf columns), so exchange reuse never fired and the corpus-sized
+    groupBy(id) tf exchange — plus the token-sized df and avgdl stat
+    aggs — executed once PER QUERY. Here each tf row emits one
+    array<struct(query_id, score)> entry per matching query (hit = 0
+    entries nulled and filtered in-plan), then explodes: identical
+    rows, identical fixed-order score chains, ONE aggregation subtree
+    however many queries the batch carries."""
+    entries = []
+    for qid, q in enumerate(queries):
+        pairs = [(f"__tf{idx[t]}", f"__df{idx[t]}") for t in q]
+        hit: Column = F.lit(0.0)
+        for t in q:
+            hit = hit + F.col(f"__tf{idx[t]}")
+        entries.append(
+            F.when(
+                hit > 0,
+                F.struct(
+                    F.lit(qid).alias("query_id"),
+                    F.round(_score_chain_cols(pairs, k1, b), 6).alias("score"),
+                ),
+            )
+        )
+    return tf.select(
+        F.col(id_col),
+        F.explode(F.filter(F.array(*entries), lambda e: e.isNotNull())).alias(
+            "__q"
+        ),
+    ).select(
+        F.col("__q.query_id").alias("query_id"),
+        F.col(id_col),
+        F.col("__q.score").alias("score"),
+    )
 
 
 def rrf_fuse_batch(
@@ -558,22 +590,7 @@ def bm25_topk_batch_against_stats(
         .join(lengths, id_col)
         .crossJoin(F.broadcast(stats))
     )
-    legs = []
-    for qid, q in enumerate(queries):
-        pairs = [(f"__tf{idx[t]}", f"__df{idx[t]}") for t in q]
-        hit: Column = F.lit(0.0)
-        for t in q:
-            hit = hit + F.col(f"__tf{idx[t]}")
-        legs.append(
-            tf.filter(hit > 0).select(
-                F.lit(qid).alias("query_id"),
-                F.col(id_col),
-                F.round(_score_chain_cols(pairs, k1, b), 6).alias("score"),
-            )
-        )
-    scored = legs[0]
-    for leg in legs[1:]:
-        scored = scored.unionByName(leg)
+    scored = _batch_scores_one_pass(tf, queries, idx, id_col, k1, b)
     top = domain_cap_salted(
         scored, key_col="query_id", quality_col="score", id_col=id_col, k=k
     )
