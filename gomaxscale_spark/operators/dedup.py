@@ -145,6 +145,28 @@ def shingle_hash_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> Data
         F.col(id_col),
         F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__th"),
     )
+    return _shingle_hash_rows_tail(base, id_col, n)
+
+
+def shingle_hash_rows_from_tokens(
+    src: DataFrame, id_col: str, toks_col: str, n: int
+) -> DataFrame:
+    """``shingle_hash_rows`` fed from a frame that already carries the
+    token arrays (the shared tokenized-documents artifact — r16
+    optimization round): xxhash64 over the SAME token strings yields
+    byte-identical shingle hashes to the raw-text path, and when
+    ``src`` is materialized the corpus is never re-scanned or
+    re-tokenized for this stream."""
+    base = src.select(
+        F.col(id_col),
+        F.transform(F.col(toks_col), lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    return _shingle_hash_rows_tail(base, id_col, n)
+
+
+def _shingle_hash_rows_tail(base: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Shared fold tail: combine each row's ``__th`` token-hash array
+    into distinct n-gram shingle hashes and explode."""
     th = F.col("__th")
     sh = F.when(
         F.size(th) >= n,
@@ -812,6 +834,7 @@ def prefix_filter_candidates(
     threshold: float,
     shingle_n: int = 3,
     positional: bool = True,
+    rows: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT-recall candidate pairs via prefix filtering (the AllPairs/
     PPJoin principle, Xiao et al., WWW 2008 — the standard exact set-
@@ -891,7 +914,11 @@ def prefix_filter_candidates(
     # (Materializing `prefix` as well was also tried: it regressed
     # BOTH scales — its exploded rows are bulkier and its recompute
     # off cached `rows` is cheap — so only `rows` is pinned.)
-    rows = materialize_once(shingle_hash_rows(df, id_col, text_col, shingle_n))
+    # ``rows``: callers already holding a materialized (id, __h)
+    # shingle-hash stream (derived from the shared tokenized artifact
+    # — second r16 pass) inject it and skip this pass entirely.
+    if rows is None:
+        rows = materialize_once(shingle_hash_rows(df, id_col, text_col, shingle_n))
     freq = rows.groupBy("__h").agg(F.count(F.lit(1)).alias("__f"))
     sets = (
         rows.join(freq, "__h")
@@ -1089,6 +1116,101 @@ def _verify_jaccard_tail(
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def tokenized_corpus_artifact(
+    df: DataFrame, id_col: str, text_col: str, portable_hashes: bool = True
+) -> DataFrame:
+    """(id, __toks, __th60) materialized once — the candidates→verify
+    compositions' shared corpus artifact (r16 optimization round,
+    guide §2.3/§6; the operator-level twin of the release-gate
+    composites' ``_tokenized_documents``). ``__th60`` is the per-token
+    portable 60-bit md5 hash the signature family reduces mod
+    MINHASH_P (``portable_minhash_signatures_from_hashes``); ``__toks``
+    feeds the verify stage's byte-identical shingle rebuild
+    (``verify_candidates_jaccard_from_tokens``). One tokenize + one
+    md5 pass over one corpus scan serves both stages — the raw-text
+    composition paid each twice. Scale: the artifact is ~corpus-sized;
+    on a cluster materialize with ``persist_disk``/``reliable`` (the
+    standard SPARK_GRAFT_MATERIALIZE knob).
+
+    ``portable_hashes=False`` drops the ``__th60`` column — for
+    consumers (the xxhash64-based prefix-filter family) that only need
+    the token arrays, so the artifact never pays an md5 pass nobody
+    reads."""
+    base = parallelize_narrow_input(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+    if not portable_hashes:
+        return materialize_once(base)
+    return materialize_once(
+        base.select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.transform(
+                F.col("__toks"),
+                lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+            ).alias("__th60"),
+        )
+    )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+    tokd: DataFrame | None = None,
+) -> DataFrame:
+    """The canonical portable near-dup pipeline END-TO-END — banded
+    MinHash-LSH candidates then exact-Jaccard verify — built over ONE
+    shared tokenized artifact (r16 optimization round, guide §2.3/§6).
+
+    The split composition (``minhash_lsh_candidates`` +
+    ``verify_candidates_jaccard``, both from raw text) tokenized and
+    md5-hashed the corpus once per stage: the signature pipeline paid
+    a full pass, then the verify stage re-scanned parquet and
+    re-tokenized every candidate-adjacent doc. Here both stages read
+    ``tokenized_corpus_artifact`` — signatures via the ``% MINHASH_P``
+    reduction of the stored hashes (identical values by construction),
+    verify via the byte-identical token-array shingle rebuild — so the
+    corpus is scanned and tokenized exactly once however many stages
+    consume it. Output rows are IDENTICAL to the split composition's
+    (same signature expressions, same shingle strings, same jaccard).
+
+    ``tokd``: callers already holding the artifact (an entry that also
+    feeds other legs from it) pass it in; ``max_bucket_size`` routes
+    the pair stage through the count-first cap exactly as in
+    ``minhash_lsh_candidates``.
+    """
+    if tokd is None:
+        tokd = tokenized_corpus_artifact(df, id_col, text_col)
+    sigs = portable_minhash_signatures_from_hashes(
+        tokd, id_col, "__th60", num_hashes, shingle_n
+    )
+    band_rows = materialize_once(
+        _band_rows_from_sigs(sigs, id_col, num_hashes, bands, portable=True)
+    )
+    cands = minhash_lsh_candidates(
+        df,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        max_bucket_size=max_bucket_size,
+        portable=True,
+        band_rows=band_rows,
+    )
+    return verify_candidates_jaccard_from_tokens(
+        tokd, cands, id_col, "__toks", threshold, shingle_n
     )
 
 
@@ -2072,12 +2194,12 @@ def split_leakage_audit(
     """
     from .sampling import hash_bucket
 
-    cands = minhash_lsh_candidates(
-        df, id_col, text_col, num_hashes=num_hashes, bands=bands,
-        shingle_n=shingle_n, max_bucket_size=max_bucket_size, portable=True,
-    )
-    pairs = verify_candidates_jaccard(
-        df, cands, id_col, text_col, threshold=threshold, shingle_n=shingle_n
+    # fused candidates→verify off ONE tokenized artifact (r16
+    # optimization round): the split composition tokenized + md5'd the
+    # corpus once per stage — see minhash_verified_pairs
+    pairs = minhash_verified_pairs(
+        df, id_col, text_col, threshold=threshold, num_hashes=num_hashes,
+        bands=bands, shingle_n=shingle_n, max_bucket_size=max_bucket_size,
     )
 
     def split_of(c: Column) -> Column:

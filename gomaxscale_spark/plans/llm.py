@@ -398,10 +398,12 @@ def dedup_exact_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    cands = D.minhash_lsh_candidates(
-        d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2, portable=True
+    # fused candidates→verify off ONE tokenized artifact (r16
+    # optimization round, guide §2.3/§6): the split composition
+    # tokenized + md5'd the corpus once per stage
+    return D.minhash_verified_pairs(
+        d, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, shingle_n=2
     )
-    return D.verify_candidates_jaccard(d, cands, "doc_id", "text", threshold=0.8, shingle_n=2)
 
 
 @query(
@@ -430,19 +432,25 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hot-bucket review arm each used to re-derive band rows from the
     # raw text — the entire shingle→minhash signature pipeline ran
     # twice per invocation (measured 3.40 → 2.12 s at sf0.1; at corpus
-    # scale this halves the entry's corpus scans).
+    # scale this halves the entry's corpus scans). Band rows and the
+    # verify stage both read the shared tokenized artifact (second
+    # r16 pass, guide §2.3/§6): the signature pipeline and the verify
+    # re-tokenize each paid their own tokenize+md5 corpus pass.
+    tokd = D.tokenized_corpus_artifact(d, "doc_id", "text")
     band_rows = materialize_once(
-        D._lsh_band_rows(
-            d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2,
-            portable=True,
+        D._band_rows_from_sigs(
+            D.portable_minhash_signatures_from_hashes(
+                tokd, "doc_id", "__th60", num_hashes=64, shingle_n=2
+            ),
+            "doc_id", 64, 16, portable=True,
         )
     )
     cands = D.minhash_lsh_candidates(
         d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2,
         max_bucket_size=cap, portable=True, band_rows=band_rows,
     )
-    pairs = D.verify_candidates_jaccard(
-        d, cands, "doc_id", "text", threshold=0.8, shingle_n=2
+    pairs = D.verify_candidates_jaccard_from_tokens(
+        tokd, cands, "doc_id", "__toks", threshold=0.8, shingle_n=2
     ).select(
         F.lit("pair").alias("kind"),
         "id_a",
@@ -571,8 +579,21 @@ def dedup_minhash_lsh_hot_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    cands = D.prefix_filter_candidates(d, "doc_id", "text", threshold=0.7, shingle_n=2)
-    return D.verify_candidates_jaccard(d, cands, "doc_id", "text", threshold=0.7, shingle_n=2)
+    # ONE tokenized artifact feeds the candidate stage's shingle-hash
+    # stream AND the verify stage's shingle rebuild (second r16 pass,
+    # guide §2.3/§6): the raw-text composition tokenized the corpus
+    # once per stage — the verify leg's parquet re-scan + re-tokenize
+    # was the entry's last redundant corpus pass.
+    tokd = D.tokenized_corpus_artifact(d, "doc_id", "text", portable_hashes=False)
+    rows = materialize_once(
+        D.shingle_hash_rows_from_tokens(tokd, "doc_id", "__toks", 2)
+    )
+    cands = D.prefix_filter_candidates(
+        d, "doc_id", "text", threshold=0.7, shingle_n=2, rows=rows
+    )
+    return D.verify_candidates_jaccard_from_tokens(
+        tokd, cands, "doc_id", "__toks", threshold=0.7, shingle_n=2
+    )
 
 
 @query(
@@ -1659,10 +1680,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_connected_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    cands = D.minhash_lsh_candidates(
-        d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2, portable=True
+    # fused candidates→verify off ONE tokenized artifact (r16, §2.3/§6)
+    pairs = D.minhash_verified_pairs(
+        d, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, shingle_n=2
     )
-    pairs = D.verify_candidates_jaccard(d, cands, "doc_id", "text", threshold=0.8, shingle_n=2)
     return D.connected_components_star(pairs).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
@@ -2050,10 +2071,10 @@ def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_keep_representatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    cands = D.minhash_lsh_candidates(
-        d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2, portable=True
+    # fused candidates→verify off ONE tokenized artifact (r16, §2.3/§6)
+    pairs = D.minhash_verified_pairs(
+        d, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, shingle_n=2
     )
-    pairs = D.verify_candidates_jaccard(d, cands, "doc_id", "text", threshold=0.8, shingle_n=2)
     clusters = D.connected_components_star(pairs)
     drop = clusters.filter(F.col("cluster_id") != F.col("id")).select("id")
     return (
@@ -2596,12 +2617,11 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_pagerank_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    cands = D.minhash_lsh_candidates(
-        d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2, portable=True
-    )
+    # fused candidates→verify off ONE tokenized artifact (r16, §2.3/§6)
     pairs = materialize_once(
-        D.verify_candidates_jaccard(
-            d, cands, "doc_id", "text", threshold=0.8, shingle_n=2
+        D.minhash_verified_pairs(
+            d, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16,
+            shingle_n=2,
         ).select("id_a", "id_b")
     )
     edges = pairs.select(
@@ -3372,10 +3392,10 @@ _SPLIT_CASE_SQL = """CASE WHEN ((doc_id % 100) * (2654435761 % 100)) % 100 < 80 
 def sampling_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     sp = SA.hash_split(d, "doc_id").select("doc_id", "split")
-    cands = D.minhash_lsh_candidates(
-        d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2, portable=True
+    # fused candidates→verify off ONE tokenized artifact (r16, §2.3/§6)
+    pairs = D.minhash_verified_pairs(
+        d, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, shingle_n=2
     )
-    pairs = D.verify_candidates_jaccard(d, cands, "doc_id", "text", 0.8, 2)
     edges = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))

@@ -174,3 +174,55 @@ def test_single_tokenize_pass_steady_state_scan_counts(spark, sf_dir):
         )
         got = plan.count("Scan parquet")
         assert got == n_scans, (name, got, n_scans, plan[:1500])
+
+
+def test_minhash_verified_pairs_matches_split_composition(spark, sf_dir):
+    """The fused candidates→verify pipeline (one shared tokenized
+    artifact) must emit exactly the rows of the split raw-text
+    composition it replaced — signatures via the %P reduction of the
+    stored md5 hashes and shingles rebuilt from the token arrays are
+    identical by construction; this pins the composition end-to-end,
+    capped and uncapped."""
+    d = _docs(spark, sf_dir).limit(600)
+    for cap in (None, 2):
+        cands = D.minhash_lsh_candidates(
+            d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2,
+            max_bucket_size=cap, portable=True,
+        )
+        ref = D.verify_candidates_jaccard(
+            d, cands, "doc_id", "text", threshold=0.8, shingle_n=2
+        )
+        fused = D.minhash_verified_pairs(
+            d, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16,
+            shingle_n=2, max_bucket_size=cap,
+        )
+        a = sorted(map(tuple, ref.collect()))
+        b = sorted(map(tuple, fused.collect()))
+        assert a == b and len(a) > 0, (cap, len(a), len(b))
+
+
+def test_prefix_filter_shared_artifact_matches_raw_path(spark, sf_dir):
+    """The prefix-filter entry's shared-artifact form (token arrays →
+    xxhash64 shingle stream + from-tokens verify) must reproduce the
+    raw-text composition's verified pairs exactly: xxhash64 over the
+    same token strings and the same rebuilt shingle strings."""
+    d = _docs(spark, sf_dir).limit(600)
+    cands_ref = D.prefix_filter_candidates(
+        d, "doc_id", "text", threshold=0.7, shingle_n=2
+    )
+    ref = D.verify_candidates_jaccard(
+        d, cands_ref, "doc_id", "text", threshold=0.7, shingle_n=2
+    )
+    tokd = D.tokenized_corpus_artifact(d, "doc_id", "text", portable_hashes=False)
+    rows = materialize_once(
+        D.shingle_hash_rows_from_tokens(tokd, "doc_id", "__toks", 2)
+    )
+    cands = D.prefix_filter_candidates(
+        d, "doc_id", "text", threshold=0.7, shingle_n=2, rows=rows
+    )
+    fused = D.verify_candidates_jaccard_from_tokens(
+        tokd, cands, "doc_id", "__toks", threshold=0.7, shingle_n=2
+    )
+    a = sorted(map(tuple, ref.collect()))
+    b = sorted(map(tuple, fused.collect()))
+    assert a == b and len(a) > 0
