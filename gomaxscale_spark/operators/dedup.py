@@ -898,6 +898,18 @@ def prefix_filter_candidates(
     id-and-two-longs shuffle for the prefix self-join. Documents never
     shuffle. The per-doc sorted set is bounded by doc length (same
     array the verify stage builds anyway).
+
+    ``rows`` contract (r16 ADVICE): when given, it MUST be
+    row-equivalent to ``shingle_hash_rows(df, id_col, text_col,
+    shingle_n)`` over the SAME corpus and the SAME ``shingle_n`` —
+    i.e. one (id, __h) row per distinct shingle per doc, hashed with
+    the same xxhash64 shingle expression (``shingle_hash_rows_from_
+    tokens`` over a ``tokenized_corpus_artifact`` of ``df`` satisfies
+    this by construction, pinned by the r16 equivalence test). A
+    mismatched injection silently changes the candidate set and voids
+    the exact-recall guarantee — ``df``/``text_col`` are NOT read when
+    ``rows`` is given (they stay in the signature so the uninjected
+    path and the call sites' shapes stay identical).
     """
     # Materialize the (id, shingle-hash) stream once (r16 optimization
     # round, guide §2.4): it feeds the frequency aggregation AND the
@@ -1192,6 +1204,19 @@ def minhash_verified_pairs(
     """
     if tokd is None:
         tokd = tokenized_corpus_artifact(df, id_col, text_col)
+    else:
+        # r16 ADVICE: an artifact built with portable_hashes=False (or
+        # any frame missing the columns this pipeline binds) used to
+        # fail much later with an opaque unresolved-column
+        # AnalysisException deep inside the signature subtree.
+        missing = {"__toks", "__th60"} - set(tokd.columns)
+        if missing:
+            raise ValueError(
+                "minhash_verified_pairs: injected tokd is missing "
+                f"{sorted(missing)} — build it with "
+                "tokenized_corpus_artifact(df, id_col, text_col, "
+                "portable_hashes=True)"
+            )
     sigs = portable_minhash_signatures_from_hashes(
         tokd, id_col, "__th60", num_hashes, shingle_n
     )

@@ -25,7 +25,19 @@ extension (SURVEY.md §2 Part B notes).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, functions as F
+
+#: Row-count cap under which the Bradley-Terry MM iteration runs as a
+#: driver-side numpy loop instead of K unrolled join+agg rounds (r17
+#: optimization round, guide §8 "decide with small rows" / §5 driver
+#: discipline — the same runtime size decision as the r16
+#: SPARK_GRAFT_CC_SMALL_EDGES union-find path). 2¹⁷ matrix rows ≈ a few
+#: MB through Arrow — the size class a broadcast join's build side
+#: collects to the driver anyway. Above the cap the distributed
+#: unrolled-fixpoint loop is byte-identical to before.
+BT_SMALL_MATRIX_ROWS = 1 << 17
 
 
 def pairwise_matrix(
@@ -105,6 +117,82 @@ def bradley_terry(
     matrix = materialize_once(
         matrix.select("item_a", "item_b", "wins_a", "wins_b", "n_games")
     )
+    # r17 optimization round (guide §8 / §5): when the materialized
+    # matrix is driver-small — a RUNTIME row-count decision, not a
+    # data-size assumption — run the K MM rounds as one numpy loop on
+    # the collected matrix instead of K join+agg rounds each paying a
+    # checkpoint barrier over a tiny frame (measured: the distributed
+    # loop's wall is ~12 sequential driver-synchronized jobs, not
+    # compute). Identical arithmetic, identical update order; the
+    # rounding/rank tail below is SHARED with the distributed path, so
+    # output parity holds by construction up to float sum order
+    # (measure-zero at round_dp — the same class as the DuckDB oracle's
+    # own sum order, pinned by the forced both-paths equivalence test).
+    cap = int(
+        os.environ.get("SPARK_GRAFT_BT_SMALL_MATRIX", str(BT_SMALL_MATRIX_ROWS))
+    )
+    if cap > 0 and matrix.count() <= cap:
+        p = _bt_mm_driver(matrix, int(n_iters))
+    else:
+        p = _bt_mm_distributed(matrix, int(n_iters))
+    # rank over the ROUNDED strength (item tie-break): engines agreeing
+    # at round_dp then agree on ranks by construction — an unrounded
+    # sort key would let last-ulp noise flip near-ties
+    rounded = p.select(
+        F.col("i").alias("item"),
+        F.round("p", int(round_dp)).alias("strength"),
+    )
+    rank = F.row_number().over(
+        W.orderBy(F.col("strength").desc(), F.col("item").asc())
+    )
+    return rounded.select("item", "strength", rank.cast("long").alias("rank"))
+
+
+def _bt_mm_driver(matrix: DataFrame, n_iters: int) -> DataFrame:
+    """Driver-side numpy MM loop over a collected (driver-small) win
+    matrix — returns the same (i, p) frame shape the distributed loop
+    produces, so the caller's rounding/rank tail is shared. The
+    arithmetic is the Hunter 2004 update verbatim: d_i = Σ n/(p_i+p_j)
+    over both edge directions, u = W/d, p = u/Σu each round."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    pdf = matrix.toPandas()
+    items = sorted(set(pdf["item_a"]) | set(pdf["item_b"]))
+    k = len(items)
+    idx = {it: i for i, it in enumerate(items)}
+    ia = pdf["item_a"].map(idx).to_numpy(dtype=np.int64)
+    ib = pdf["item_b"].map(idx).to_numpy(dtype=np.int64)
+    n = pdf["n_games"].to_numpy(dtype=np.float64)
+    wv = np.zeros(k)
+    np.add.at(wv, ia, pdf["wins_a"].to_numpy(dtype=np.float64))
+    np.add.at(wv, ib, pdf["wins_b"].to_numpy(dtype=np.float64))
+    p = np.full(k, 1.0 / k) if k else np.zeros(0)
+    for _ in range(n_iters):
+        if not k:
+            break
+        c = n / (p[ia] + p[ib])
+        d = np.zeros(k)
+        np.add.at(d, ia, c)
+        np.add.at(d, ib, c)
+        u = wv / d
+        p = u / u.sum()
+    schema = T.StructType(
+        [
+            T.StructField("i", matrix.schema["item_a"].dataType),
+            T.StructField("p", T.DoubleType()),
+        ]
+    )
+    return matrix.sparkSession.createDataFrame(
+        [(it, float(p[idx[it]])) for it in items], schema
+    )
+
+
+def _bt_mm_distributed(matrix: DataFrame, n_iters: int) -> DataFrame:
+    """The unrolled-fixpoint MM loop over bounded frames — the path for
+    matrices above the driver cap (unchanged r16 shape)."""
+    from .materialize import materialize_once
+
     edges = materialize_once(matrix.select(
         F.col("item_a").alias("i"),
         F.col("item_b").alias("j"),
@@ -155,17 +243,7 @@ def bradley_terry(
                 "i", (F.col("u") / F.col("z")).alias("p")
             )
         )
-    # rank over the ROUNDED strength (item tie-break): engines agreeing
-    # at round_dp then agree on ranks by construction — an unrounded
-    # sort key would let last-ulp noise flip near-ties
-    rounded = p.select(
-        F.col("i").alias("item"),
-        F.round("p", int(round_dp)).alias("strength"),
-    )
-    rank = F.row_number().over(
-        W.orderBy(F.col("strength").desc(), F.col("item").asc())
-    )
-    return rounded.select("item", "strength", rank.cast("long").alias("rank"))
+    return p
 
 
 def annotator_agreement(

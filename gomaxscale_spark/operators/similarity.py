@@ -23,6 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from .bucketing import parallelize_narrow_input
+from .materialize import materialize_once
 
 
 def lit_vec(xs: Sequence[float]) -> Column:
@@ -1066,13 +1067,22 @@ def semantic_dedup(
     )
     cent_ids, M = VK.collect_matrix(seeds, "cid", "cvec")
     assign = VK.assign_nearest(list(range(1, len(cent_ids) + 1)), M)
-    blocked = parallelize_narrow_input(
-        embeddings.select(F.col(id_col), F.col(vec_col))
-    ).select(
-        F.col(id_col),
-        F.col(vec_col),
-        assign(F.col(vec_col))["centroid_id"].alias("cluster_id"),
-        norm(F.col(vec_col)).alias("__norm"),
+    # materialize the assigned frame once (r17 optimization round,
+    # guide §2.4/§4): it feeds BOTH sides of the cluster-keyed pair
+    # self-join below with different projections, so without the
+    # checkpoint the Arrow assignment kernel (a full corpus pass
+    # through the Python boundary) executed once per side — the plan
+    # carried 8 ArrowEvalPython nodes and two embeddings scans; after,
+    # one kernel pass and one scan (plans/r17, sweep-pinned).
+    blocked = materialize_once(
+        parallelize_narrow_input(
+            embeddings.select(F.col(id_col), F.col(vec_col))
+        ).select(
+            F.col(id_col),
+            F.col(vec_col),
+            assign(F.col(vec_col))["centroid_id"].alias("cluster_id"),
+            norm(F.col(vec_col)).alias("__norm"),
+        )
     )
     a = blocked.select(
         "cluster_id",

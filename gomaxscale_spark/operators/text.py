@@ -9,10 +9,26 @@ is read) and no shuffle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .dedup import tokenize
 from .materialize import materialize_once
+
+#: Vocabulary row-count cap under which the iterated BPE rounds run as
+#: one driver-side Python loop over the collected vocabulary instead of
+#: K sequential (pair-agg + 1-row argmax collect + fold + persist)
+#: Spark rounds (r17 optimization round, guide §8 "decide with small
+#: rows" / §5 driver discipline — the runtime size decision of the r16
+#: SPARK_GRAFT_CC_SMALL_EDGES union-find path). The arithmetic is
+#: integer counts and string concatenation — EXACT in both paths, so
+#: unlike a float kernel the two paths are bit-identical by
+#: construction (pinned by a forced both-paths equivalence test).
+#: 2¹⁶ (w, wc, toks) rows ≈ a few MB collected; a 100 TB corpus's
+#: vocabulary (~10⁸ words) stays far above the cap and runs the
+#: distributed rounds unchanged.
+BPE_SMALL_VOCAB_ROWS = 1 << 16
 
 #: A tiny English-ish stopword list (deterministic, matches the synthetic
 #: corpus vocabulary).
@@ -850,7 +866,9 @@ def bpe_merges(df: DataFrame, text_col: str, n_merges: int = 4) -> DataFrame:
     vocab = _bpe_vocab(df, text_col).persist()
     states = [vocab]
     try:
-        rounds, states = _bpe_rounds(vocab, int(n_merges), apply_last=False)
+        rounds, states = _bpe_rounds(
+            vocab, int(n_merges), apply_last=False, states_needed="none"
+        )
         return df.sparkSession.createDataFrame(
             rounds,
             "merge_idx int, left_tok string, right_tok string, "
@@ -894,7 +912,21 @@ def _bpe_merge_fold(l: str, r: str):
     return apply
 
 
-def _bpe_rounds(vocab: DataFrame, n_merges: int, apply_last: bool):
+def _bpe_small(vocab: DataFrame) -> bool:
+    """Runtime dispatch: is this vocabulary under the driver-loop cap?"""
+    cap = int(
+        os.environ.get("SPARK_GRAFT_BPE_SMALL_VOCAB", str(BPE_SMALL_VOCAB_ROWS))
+    )
+    return cap > 0 and vocab.count() <= cap
+
+
+def _bpe_rounds(
+    vocab: DataFrame,
+    n_merges: int,
+    apply_last: bool,
+    states_needed: str = "all",
+    small: bool | None = None,
+):
     """Run ``n_merges`` BPE rounds over an (already persisted)
     vocabulary frame; return (merge rows, per-round vocab states
     v1..). Each produced state is PERSISTED (r16, VERDICT r15 item 6:
@@ -905,7 +937,26 @@ def _bpe_rounds(vocab: DataFrame, n_merges: int, apply_last: bool):
     Callers own the unpersist scope for EVERY returned state
     (``for s in states: s.unpersist()`` — states[0] is ``vocab``
     itself); on an internal error the states persisted so far are
-    released here."""
+    released here.
+
+    ``states_needed`` ("all" | "final" | "none", r17): which produced
+    states the CALLER will read as DataFrames. The distributed loop
+    ignores it (every state must exist as a frame to drive the next
+    round anyway); the driver-small path uses it to skip building
+    Spark frames nobody reads — creating K vocabulary-sized
+    createDataFrames cost more than the barriers it saved (measured
+    +0.4 s on the fertility card). With "final"/"none" the returned
+    list still ends at the final state / holds just ``vocab``, so
+    ``states[-1]`` keeps meaning "the final vocabulary state"."""
+    # r17 optimization round: a driver-small vocabulary (runtime count,
+    # see BPE_SMALL_VOCAB_ROWS) runs the whole K-round loop in Python —
+    # one collect instead of K (pair-agg job + argmax collect + persist)
+    # barriers. Same integer pair counts, same (cnt desc, l, r) argmax
+    # total order, same greedy-leftmost fold — bit-identical states.
+    if small is None:
+        small = _bpe_small(vocab)
+    if small:
+        return _bpe_rounds_driver(vocab, n_merges, apply_last, states_needed)
     rounds: list[tuple] = []
     states = [vocab]
     cur = vocab
@@ -944,6 +995,82 @@ def _bpe_rounds(vocab: DataFrame, n_merges: int, apply_last: bool):
     return rounds, states
 
 
+def _bpe_collect_vocab(vocab: DataFrame) -> list[tuple[str, int, list[str]]]:
+    """Collect a driver-small vocabulary frame as (w, wc, toks) rows."""
+    return [
+        (r["w"], int(r["wc"]), list(r["toks"]))
+        for r in vocab.select("w", "wc", "toks").collect()
+    ]
+
+
+def _bpe_chain_py(
+    cur: list[tuple[str, int, list[str]]], n_merges: int, apply_last: bool
+):
+    """The pure-Python BPE round loop over collected vocabulary rows —
+    returns (merge rows, word-state snapshots incl. the initial one).
+    The per-round logic mirrors the Spark expressions verbatim: pair
+    counts weighted by wc over adjacent token pairs, argmax by (count
+    desc, left asc, right asc), greedy-leftmost-non-overlapping fold
+    (append unless the accumulator tail equals ``left`` and the token
+    equals ``right``). Integer counts and string concatenation only —
+    bit-identical to the distributed loop by construction. String
+    comparisons agree with Spark's binary UTF-8 order because UTF-8
+    byte order preserves code-point order."""
+    rounds: list[tuple] = []
+    word_states = [cur]
+    for idx in range(1, n_merges + 1):
+        cnt: dict[tuple[str, str], int] = {}
+        for _w, wc, toks in cur:
+            for pair in zip(toks, toks[1:]):
+                cnt[pair] = cnt.get(pair, 0) + wc
+        if not cnt:  # vocabulary fully merged / empty corpus
+            break
+        (l, r), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        rounds.append((idx, l, r, l + r, int(c)))
+        if idx < n_merges or apply_last:
+            lr = l + r
+            nxt = []
+            for w, wc, toks in cur:
+                acc: list[str] = []
+                for x in toks:
+                    if acc and x == r and acc[-1] == l:
+                        acc[-1] = lr
+                    else:
+                        acc.append(x)
+                nxt.append((w, wc, acc))
+            cur = nxt
+            word_states.append(cur)
+    return rounds, word_states
+
+
+def _bpe_rounds_driver(
+    vocab: DataFrame, n_merges: int, apply_last: bool, states_needed: str
+):
+    """Driver-side twin of the distributed ``_bpe_rounds`` loop for
+    vocabularies under the cap: collect (w, wc, toks) once, run the K
+    pair-count/argmax/fold rounds in Python (``_bpe_chain_py``), and
+    hand back as createDataFrames only the states the caller reads
+    (``states_needed``) — so every caller's downstream Spark
+    arithmetic (encode joins, token counts, fertility sums) is
+    UNCHANGED and exact-integer parity holds."""
+    spark = vocab.sparkSession
+    rounds, word_states = _bpe_chain_py(
+        _bpe_collect_vocab(vocab), n_merges, apply_last
+    )
+    schema = "w string, wc long, toks array<string>"
+    states: list[DataFrame] = [vocab]
+    if states_needed == "all":
+        states += [spark.createDataFrame(ws, schema) for ws in word_states[1:]]
+    elif states_needed == "final":
+        # ALWAYS a local relation — even a zero-merge chain's "final"
+        # state must survive the caller's finally-block unpersist of
+        # ``vocab`` without re-deriving the corpus collapse
+        states.append(spark.createDataFrame(word_states[-1], schema))
+    return rounds, states
+
+
 def bpe_fertility(df: DataFrame, text_col: str, n_merges: int = 4) -> DataFrame:
     """Tokenizer COMPRESSION curve: for each merge count 0..K, the
     corpus-level token statistics under the first ``n_merges`` learned
@@ -974,6 +1101,40 @@ def bpe_fertility(df: DataFrame, text_col: str, n_merges: int = 4) -> DataFrame:
     vocab = _bpe_vocab(df, text_col).persist()
     states = [vocab]
     try:
+        if _bpe_small(vocab):
+            # r17: the driver-small chain — the K+1 per-state totals are
+            # EXACT integer sums, so they fold in Python for free while
+            # the chain runs; only the two divisions (and their 6dp
+            # rounding) stay in Spark, on the same integers the
+            # distributed agg would produce — identical output by
+            # construction (creating K+1 vocab-sized createDataFrames
+            # just to 1-row-aggregate them measured SLOWER than the
+            # distributed loop, +0.4 s).
+            _, word_states = _bpe_chain_py(
+                _bpe_collect_vocab(vocab), int(n_merges), apply_last=True
+            )
+            ints = []
+            for k in range(int(n_merges) + 1):
+                ws = word_states[min(k, len(word_states) - 1)]
+                if ws:
+                    tt = sum(wc * len(toks) for _w, wc, toks in ws)
+                    tw = sum(wc for _w, wc, _t in ws)
+                    tc = sum(wc * len(w) for w, wc, _t in ws)
+                else:  # empty corpus → all-NULL stat rows
+                    tt = tw = tc = None
+                ints.append((k, tt, tw, tc))
+            return df.sparkSession.createDataFrame(
+                ints, "n_merges int, tt long, tw long, tc long"
+            ).select(
+                "n_merges",
+                F.col("tt").alias("total_tokens"),
+                F.round(F.col("tt").cast("double") / F.col("tw"), 6).alias(
+                    "tokens_per_word"
+                ),
+                F.round(F.col("tc").cast("double") / F.col("tt"), 6).alias(
+                    "chars_per_token"
+                ),
+            )
         _, states = _bpe_rounds(vocab, int(n_merges), apply_last=True)
         arms = []
         for k in range(int(n_merges) + 1):
@@ -1044,15 +1205,21 @@ def bpe_fertility_by_source(
     vocab = _bpe_vocab(df, text_col).persist()
     states = [vocab]
     try:
-        _, states = _bpe_rounds(vocab, int(n_merges), apply_last=True)
+        small = _bpe_small(vocab)
+        _, states = _bpe_rounds(
+            vocab, int(n_merges), apply_last=True,
+            states_needed="final", small=small,
+        )
         # checkpoint the (w, |toks_K|) readout: the returned plan runs
         # after the finally block drops the per-round caches, and would
-        # otherwise re-derive the whole merge chain (see bpe_encode)
-        final = materialize_once(
-            states[-1].select(
-                "w", F.size("toks").cast("long").alias("__n_toks")
-            )
+        # otherwise re-derive the whole merge chain (see bpe_encode).
+        # Driver-small chains skip the checkpoint — their final state
+        # is already a local relation (r17), a job-free plan literal.
+        final = states[-1].select(
+            "w", F.size("toks").cast("long").alias("__n_toks")
         )
+        if not small:
+            final = materialize_once(final)
         by_src = (
             df.select(
                 F.col(stratum_col),
@@ -1146,7 +1313,11 @@ def bpe_encode(
     vocab = _bpe_vocab(df, text_col).persist()
     states = [vocab]
     try:
-        _, states = _bpe_rounds(vocab, int(n_merges), apply_last=True)
+        small = _bpe_small(vocab)
+        _, states = _bpe_rounds(
+            vocab, int(n_merges), apply_last=True,
+            states_needed="final", small=small,
+        )
         # Materialize the final vocabulary state (r16 optimization round,
         # guide §5 caching): the returned plan consumes it through TWO
         # arms (token-id vocab + word→ids map) and executes AFTER the
@@ -1155,8 +1326,12 @@ def bpe_encode(
         # K-fold chain (measured 6.8 s of corpus_tokenize_bpe's 7.6 s
         # sf0.1 wall in the final job alone; 2.0 s after). The projection
         # builds a NEW plan so persist_disk mode caches it independently
-        # of the per-round persists it reads from.
-        final = materialize_once(states[-1].select("w", "toks"))
+        # of the per-round persists it reads from. Driver-small chains
+        # (r17) skip the checkpoint: the final state is a local relation
+        # — re-consumption is free, no re-derivation exists.
+        final = states[-1].select("w", "toks")
+        if not small:
+            final = materialize_once(final)
         tok_ids = bpe_token_vocab(final)
         wmap = (
             final.select("w", F.posexplode("toks").alias("pos", "tok"))
@@ -1216,15 +1391,20 @@ def bpe_token_counts(
     vocab = _bpe_vocab(df, text_col).persist()
     states = [vocab]
     try:
-        _, states = _bpe_rounds(vocab, int(n_merges), apply_last=True)
+        small = _bpe_small(vocab)
+        _, states = _bpe_rounds(
+            vocab, int(n_merges), apply_last=True,
+            states_needed="final", small=small,
+        )
         # checkpoint the (w, |toks_K|) readout: the returned plan runs
         # after the finally block drops the per-round caches, and would
-        # otherwise re-derive the whole merge chain (see bpe_encode)
-        final = materialize_once(
-            states[-1].select(
-                "w", F.size("toks").cast("long").alias("__n_toks")
-            )
+        # otherwise re-derive the whole merge chain (see bpe_encode);
+        # driver-small chains skip it — local relation, free re-reads
+        final = states[-1].select(
+            "w", F.size("toks").cast("long").alias("__n_toks")
         )
+        if not small:
+            final = materialize_once(final)
         per_doc = (
             df.select(
                 F.col(id_col),

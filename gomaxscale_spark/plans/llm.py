@@ -6316,7 +6316,14 @@ def corpus_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontaminate_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     old, new = _corpus_versions(t(spark, sf_dir, "documents"))
     o = old.select("doc_id", F.md5("text").alias("__od"))
-    delta = (
+    # materialize the DELTA once (r17 optimization round, guide §2.4):
+    # the scored leg (explode + contamination agg) and the change-label
+    # join both consumed this subtree, so the digest left-join — two
+    # full corpus scans + md5 passes — executed twice per invocation
+    # unless runtime exchange reuse happened to fire. The artifact is
+    # delta-sized (the whole point of the incremental form), so the
+    # checkpoint cost is O(|delta|), not O(corpus).
+    delta = materialize_once(
         new.join(o, "doc_id", "left")
         .filter(F.col("__od").isNull() | (F.md5("text") != F.col("__od")))
         .select(

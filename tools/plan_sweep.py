@@ -51,7 +51,13 @@ def main() -> None:
         except Exception as exc:  # streaming-only cells raise on fn()
             print(json.dumps({"name": name, "err": str(exc)[:120]}), flush=True)
             continue
-        tables = re.findall(r"Scan parquet[^\n]*?(\w+)\.parquet", plan)
+        # r17 fix: Spark 4 "formatted" explain puts the file path on the
+        # scan node's Location detail line, not the operator line — the
+        # old same-line regex counted ZERO scans everywhere. One scan
+        # node contributes exactly one Location line.
+        tables = re.findall(
+            r"Location: \w+ \[[^\]]*?(\w+)\.parquet", plan
+        ) + re.findall(r"Scan parquet[^\n]*?(\w+)\.parquet", plan)
         per_table: dict[str, int] = {}
         for t in tables:
             per_table[t] = per_table.get(t, 0) + 1
