@@ -2148,7 +2148,17 @@ def soft_dedup_weights(
     """
     from .text import chunk_windows
 
-    ch = chunk_windows(df, id_col, text_col, chunk_size=chunk_size, stride=stride)
+    # materialize the (id, chunk_hash) stream once (r17 optimization
+    # round, guide §2.4): the commonness agg and the join-back both
+    # consumed the chunk pipeline, so the tokenize + window expansion +
+    # per-chunk md5 ran twice per invocation; the artifact rows are
+    # (id, 32-hex digest) — the same size class the docstring already
+    # budgets for the exchange.
+    ch = materialize_once(
+        chunk_windows(
+            df, id_col, text_col, chunk_size=chunk_size, stride=stride
+        ).select(id_col, "chunk_hash")
+    )
     g = ch.groupBy("chunk_hash").agg(
         F.count_distinct(F.col(id_col)).alias("__nd")
     )

@@ -780,20 +780,43 @@ def pack_efficiency(
             F.lit(0),
         ).alias("__before"),
     )
-    arms = None
     for b in budgets:
-        bb = int(b)
-        if bb <= 0:
+        if int(b) <= 0:
             raise ValueError(f"pack_efficiency: non-positive budget {b}")
-        arm = frame.select(
-            F.lit(bb).cast("long").alias("budget"),
-            "shard",
-            "n_tokens",
-            (
-                (F.col("__before") % F.lit(bb)) + F.col("n_tokens") > F.lit(bb)
-            ).cast("long").alias("__spans"),
-        )
-        arms = arm if arms is None else arms.unionAll(arm)
+    # ONE pass over the cumsum frame for ALL budget arms (r17
+    # optimization round, guide §2.4 — the batched-BM25 one-pass
+    # lesson): the former per-budget unionAll re-derived the tokenize +
+    # shard exchange + cumsum window once per budget (|budgets| corpus
+    # passes; the "budgets share one cumsum" claim held only
+    # logically). Each row now emits one (budget, spans) struct per
+    # budget and explodes — same rows, same groupBy(budget, shard)
+    # aggregation, one window.
+    arms = frame.select(
+        "shard",
+        "n_tokens",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(b)).cast("long").alias("budget"),
+                        (
+                            (F.col("__before") % F.lit(int(b)))
+                            + F.col("n_tokens")
+                            > F.lit(int(b))
+                        )
+                        .cast("long")
+                        .alias("__spans"),
+                    )
+                    for b in budgets
+                ]
+            )
+        ).alias("__a"),
+    ).select(
+        F.col("__a.budget").alias("budget"),
+        "shard",
+        "n_tokens",
+        F.col("__a.__spans").alias("__spans"),
+    )
     per_shard = arms.groupBy("budget", "shard").agg(
         F.sum("n_tokens").alias("__tok"),
         F.sum("__spans").alias("__spans"),

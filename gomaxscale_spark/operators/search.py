@@ -73,9 +73,16 @@ def bm25_scores(
     empty docs too (r13 ADVICE). avgdl likewise averages over all rows
     (an empty doc contributes dl=0), matching n_tokens/n_docs.
     """
-    toks = docs.select(
-        F.col(id_col), F.explode(_words(F.col(text_col))).alias("__w")
-    )
+    from .materialize import materialize_once
+
+    # ONE tokenize pass (r17 optimization round — the r16 batch-form
+    # fix applied to the single-query form too): the df-stats, avgdl,
+    # tf and length legs each re-tokenized the corpus from raw text
+    # (four split/lower/filter passes and four parquet scans per
+    # invocation); all four now read one materialized (id, __toks)
+    # frame. Values identical — same _words expression, applied once.
+    tokd = materialize_once(tokenized_docs(docs, id_col, text_col))
+    toks = tokd.select(F.col(id_col), F.explode(F.col("__toks")).alias("__w"))
     # 1-row corpus stats: N, avgdl, and df per query term — partial-
     # aggregable conditional counts, broadcast into the scoring join.
     df_aggs = [
@@ -85,9 +92,9 @@ def bm25_scores(
         for i, t in enumerate(terms)
     ]
     stats = toks.agg(*df_aggs).crossJoin(
-        docs.agg(
+        tokd.agg(
             F.count(F.lit(1)).cast("double").alias("__n"),
-            F.avg(F.size(_words(F.col(text_col)))).alias("__avgdl"),
+            F.avg(F.size(F.col("__toks"))).alias("__avgdl"),
         )
     )
     # per-doc: length + tf per query term, one hash agg (map-side fold)
@@ -97,8 +104,8 @@ def bm25_scores(
         .alias(f"__tf{i}")
         for i, t in enumerate(terms)
     ]
-    lengths = docs.select(
-        F.col(id_col), F.size(_words(F.col(text_col))).cast("double").alias("__dl")
+    lengths = tokd.select(
+        F.col(id_col), F.size(F.col("__toks")).cast("double").alias("__dl")
     )
     tf = (
         toks.filter(F.col("__w").isin(list(terms)))
@@ -247,24 +254,17 @@ def corpus_term_stats(
     batch outputs equals computing over the union (each doc lives in
     exactly one batch) — the lake's compaction invariant, pytested.
 
-    Scale: one tokenize pass; the distinct + count is a hash agg on
-    (doc, bucket) pairs — never raw text; outputs are KBs.
+    Scale: one tokenize pass — r17 optimization round: the df leg and
+    the meta leg each re-tokenized the input (and the streaming lake
+    sink EXECUTES both legs, as two parquet writes, per micro-batch);
+    both now read one materialized (id, __toks) frame. The distinct +
+    count is a hash agg on (doc, bucket) pairs — never raw text;
+    outputs are KBs.
     """
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(_words(F.col(text_col))).alias("__w"),
-    ).select(F.col(id_col), _bucket_col(F.col("__w"), n_buckets).alias("bucket"))
-    term_stats = (
-        toks.select(id_col, "bucket")
-        .distinct()
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    meta = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(_words(F.col(text_col)))).alias("n_tokens"),
-    )
-    return term_stats, meta
+    from .materialize import materialize_once
+
+    tokd = materialize_once(tokenized_docs(docs, id_col, text_col))
+    return corpus_term_stats_tokenized(tokd, n_buckets, id_col)
 
 
 def bm25_against_stats(

@@ -336,10 +336,21 @@ def lsh_near_duplicates_adaptive(
     equality tests and the oracle replay at both SFs.
     """
     all_planes = hyperplanes(dim, n_bands * planes_per_band, seed)
-    with_norm = embeddings.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), norm(F.col(vec_col)).alias("nrm")
+    # materialize the (vid, vec, nrm) frame once (r17 optimization
+    # round, guide §2.4): the signature stage and BOTH verify sides
+    # consumed it with different projections, so the embeddings scan +
+    # the HOF norm fold ran up to three times per invocation (plus a
+    # fourth pruned scan for the corpus count, now read off the same
+    # artifact). One scan, one norm pass, candidates and verify both
+    # read the checkpoint.
+    with_norm = materialize_once(
+        embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("nrm"),
+        )
     )
-    nn = embeddings.agg(F.count(F.lit(1)).alias("__n"))
+    nn = with_norm.agg(F.count(F.lit(1)).alias("__n"))
     if wide_sigs is not None:
         expected = [id_col] + [f"s{b}" for b in range(n_bands)]
         missing = [c for c in expected if c not in wide_sigs.columns]

@@ -551,10 +551,19 @@ def bloom_build(bench, text_col: str, n: int = 4):
     grams = bench.select(
         F.explode(word_shingles(F.col(text_col), n)).alias("g")
     ).distinct()
-    pos = grams.select(
-        F.explode(F.array(*_bloom_positions(_gram_hash60(F.col("g"))))).alias(
-            "pos"
-        )
+    return bloom_build_from_hashes(
+        grams.select(_gram_hash60(F.col("g")).alias("gh"))
+    )
+
+
+def bloom_build_from_hashes(gh_rows: DataFrame) -> DataFrame:
+    """``bloom_build`` fed from an already-hashed (gh) gram stream —
+    the r17 entry point that lets ``bloom_decontaminate`` build the
+    filter off its materialized benchmark gram-hash set instead of
+    re-tokenizing the benchmark a second time. Identical bits: the
+    positions are a pure function of gh."""
+    pos = gh_rows.select(
+        F.explode(F.array(*_bloom_positions(F.col("gh")))).alias("pos")
     )
     return (
         pos.select(
@@ -587,13 +596,20 @@ def bloom_decontaminate(
     from .bucketing import parallelize_narrow_input
     from .dedup import word_shingles
 
-    bloom = bloom_build(bench, text_col, n)
-    bench_gh = (
+    # ONE benchmark tokenize pass (r17 optimization round, guide §2.3):
+    # the Bloom bits and the exact gh-set previously each re-tokenized
+    # the benchmark slice — the filter's positions are a pure function
+    # of the same 60-bit gram hashes the exact set stores, so both now
+    # derive from one materialized distinct-gh frame (gram-set-sized —
+    # bounded by the benchmark, the side the guide already budgets two
+    # logical uses for).
+    bench_gh_base = materialize_once(
         bench.select(F.explode(word_shingles(F.col(text_col), n)).alias("g"))
         .select(_gram_hash60(F.col("g")).alias("gh"))
         .distinct()
-        .withColumn("__e", F.lit(1))
     )
+    bloom = bloom_build_from_hashes(bench_gh_base)
+    bench_gh = bench_gh_base.withColumn("__e", F.lit(1))
     doc_gh = (
         parallelize_narrow_input(corpus.select(id_col, text_col))
         .select(
@@ -801,11 +817,15 @@ def vocab_coverage(df, id_col: str, text_col: str, vocab_size: int = 500) -> Dat
     exchanges carry (id, token) and (id, flag) narrow rows only, and
     the per-doc re-agg is partial-aggregable.
     """
-    from .dedup import tokenize
-
-    toks = df.select(
-        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    # tokenize ONCE (r17 optimization round, guide §2.3/§6): the
+    # vocabulary agg and the per-doc OOV agg both consumed the token
+    # stream, so the corpus was scanned and tokenized twice per
+    # invocation; both legs now explode one materialized (id, toks)
+    # artifact (array form — text-sized, not exploded-row-sized).
+    tokd = materialize_once(
+        df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
     )
+    toks = tokd.select(F.col(id_col), F.explode("__toks").alias("tok"))
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("__c"))

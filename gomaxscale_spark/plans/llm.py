@@ -1396,8 +1396,21 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.filter(F.split(F.lower("text"), " "), lambda x: x != "")).alias("word"),
     )
-    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # tf materialized once, df off the TF frame (r17 optimization
+    # round, guide §2.3/§2.4): countDistinct(doc_id) per word over the
+    # tokens is EXACTLY the number of (doc_id, word) groups per word,
+    # which tf already is — so the document-frequency leg reads the
+    # aggregated frame instead of re-tokenizing the corpus. The
+    # checkpoint is needed because tf feeds both the df agg and the
+    # scoring join and neither plan-time nor AQE runtime exchange
+    # reuse fired on the shared agg subtree (checked on the executed
+    # plan: 3 scans, 0 ReusedExchange). Tokenize passes 2 → 1; the
+    # remaining extra documents scan is the 1-row corpus count,
+    # column-pruned.
+    tf = materialize_once(
+        toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
     # corpus size stays IN the plan (1-row agg, broadcast cross join) —
     # a driver-side d.count() here would force an extra full scan of
     # documents per invocation at 100 TB
@@ -4238,7 +4251,13 @@ def text_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    h = d.select(F.md5(F.col("text")).alias("th"), "source").distinct()
+    # materialize the (digest, source) set once (r17 optimization
+    # round, guide §2.4): both sides of the th self-join consumed it,
+    # so the scan + md5 + distinct ran twice; the artifact is one
+    # 40-byte row per distinct (text, source).
+    h = materialize_once(
+        d.select(F.md5(F.col("text")).alias("th"), "source").distinct()
+    )
     a = h.select(F.col("th"), F.col("source").alias("source_a"))
     b = h.select(F.col("th"), F.col("source").alias("source_b"))
     return (

@@ -677,18 +677,21 @@ def test_cross_source_matrix_digest_only_join(spark, sf_dir):
     for seg in p.split("Exchange")[1:]:
         line = seg.splitlines()[0]
         assert not re.search(r"(?<![A-Za-z_])text#", line), line
-    # both join arms deduplicate to distinct (th, source) BEFORE joining:
-    # the distinct aggregates keyed on the digest outnumber none, and the
-    # join condition itself is on the digest column
+    # the join condition itself is on the digest column
     join_lines = [
         ln for ln in p.splitlines() if "Join" in ln and "BuildRight" in ln or "SortMergeJoin" in ln
     ]
     assert join_lines and all("th#" in ln for ln in join_lines), join_lines
+    # r17: the distinct (th, source) set is MATERIALIZED once and both
+    # join arms read the checkpoint — the final plan carries no raw
+    # parquet scan and no distinct agg of its own (the scan + md5 +
+    # distinct ran once per SIDE before; sweep-pinned 2 scans → 0)
+    assert "Scan parquet" not in p, p[:1200]
     distinct_aggs = [
         ln for ln in p.splitlines()
         if "HashAggregate" in ln and "functions=[]" in ln and "th#" in ln
     ]
-    assert len(distinct_aggs) >= 2, distinct_aggs
+    assert len(distinct_aggs) == 0, distinct_aggs
 
 
 def test_cluster_balanced_no_vector_exchange(spark, sf_dir):

@@ -95,6 +95,122 @@ def test_bpe_rounds_driver_matches_distributed(
         assert ds == vs
 
 
+def test_r17_single_scan_steady_state(spark, sf_dir):
+    """The r17 multi-scan eliminations (found by the FIXED plan_sweep
+    scan counter — the r16 regex matched nothing in Spark 4 formatted
+    mode): every rewritten cell's final job must read raw parquet at
+    most the expected number of times; the eliminated passes now read
+    materialized artifacts (or, for pack_efficiency, one explode pass
+    replaces the per-budget unionAll re-derivations)."""
+    from gomaxscale_spark.plans import all_queries
+
+    q = all_queries()
+    expected = {
+        "text_tfidf": 1,  # tf artifact; remaining scan = 1-row N count
+        "search_bm25_topk": 0,  # all four legs off the (id, toks) artifact
+        "decontaminate_bloom_prefilter": 1,  # corpus side; bench gh shared
+        "corpus_pack_efficiency": 1,  # one cumsum pass for all budgets
+        "text_vocab_coverage": 0,  # vocab + OOV legs off the artifact
+        "sampling_soft_dedup_weights": 0,  # chunk stream materialized
+        "dedup_cross_source_matrix": 0,  # digest-source set materialized
+        "dedup_embedding_lsh_scaled": 0,  # with_norm materialized
+        "dedup_semantic_cluster": 0,  # assignment frame materialized
+        "decontaminate_incremental_delta": 1,  # bench side; delta materialized
+    }
+    for name, n_scans in expected.items():
+        plan = (
+            q[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        got = plan.count("Scan parquet")
+        assert got <= n_scans, (name, got, n_scans, plan[:1500])
+
+
+def test_pack_efficiency_single_pass_matches_union_form(spark, sf_dir):
+    """pack_efficiency's one-pass explode (r17) must emit exactly the
+    rows of the per-budget unionAll form it replaced."""
+    from pyspark.sql import Window as W
+
+    from gomaxscale_spark.operators.sampling import pack_efficiency
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budgets = (128, 256, 512)
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("doc_id").cast("string"), F.lit("seed13")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("__h")
+    )
+    base = d.select(
+        F.col("doc_id"),
+        h,
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    ).withColumn("shard", F.col("__h") % F.lit(8))
+    w = W.partitionBy("shard").orderBy(F.col("__h"), F.col("doc_id"))
+    frame = base.select(
+        "shard",
+        "n_tokens",
+        F.coalesce(
+            F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__before"),
+    )
+    arms = None
+    for b in budgets:
+        arm = frame.select(
+            F.lit(b).cast("long").alias("budget"),
+            "shard",
+            "n_tokens",
+            ((F.col("__before") % F.lit(b)) + F.col("n_tokens") > F.lit(b))
+            .cast("long")
+            .alias("__spans"),
+        )
+        arms = arm if arms is None else arms.unionAll(arm)
+    per_shard = arms.groupBy("budget", "shard").agg(
+        F.sum("n_tokens").alias("__tok"), F.sum("__spans").alias("__spans")
+    )
+    n_seq = F.expr("(__tok + budget - 1) div budget")
+    union_form = (
+        per_shard.groupBy("budget")
+        .agg(
+            F.sum(n_seq).cast("long").alias("n_sequences"),
+            F.sum("__spans").cast("long").alias("n_docs_spanning"),
+            F.sum("__tok").cast("long").alias("tokens_total"),
+        )
+        .select(
+            "budget",
+            "n_sequences",
+            "n_docs_spanning",
+            "tokens_total",
+            F.round(
+                F.col("tokens_total").cast("double")
+                / (F.col("n_sequences") * F.col("budget")),
+                6,
+            ).alias("utilization"),
+        )
+    )
+    a = _rows(union_form)
+    b = _rows(pack_efficiency(d, "doc_id", "text", budgets=budgets))
+    assert len(a) == len(budgets)
+    assert a == b
+
+
 def test_minhash_verified_pairs_rejects_hashless_artifact(spark, sf_dir):
     """r16 ADVICE: injecting a portable_hashes=False artifact must fail
     fast with a pointed message, not an unresolved-column
