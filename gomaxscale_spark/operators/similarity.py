@@ -100,11 +100,16 @@ def pairwise_near_duplicates(
     the n² expanded pairs — and measured 1.45 s → 0.32 s at sf0.1
     (200k pairs, local[32]); results are bit-identical.
     """
-    with_norm = embeddings.select(
-        F.col(block_col).alias("b_key"),
-        F.col(id_col),
-        F.col(vec_col),
-        norm(F.col(vec_col)).alias("__norm"),
+    # materialize the normed frame once (r17 optimization round, guide
+    # §2.4): both join sides consumed it with different projections, so
+    # the embeddings scan + the HOF norm fold ran twice per invocation.
+    with_norm = materialize_once(
+        embeddings.select(
+            F.col(block_col).alias("b_key"),
+            F.col(id_col),
+            F.col(vec_col),
+            norm(F.col(vec_col)).alias("__norm"),
+        )
     )
     a = with_norm.select(
         "b_key",
@@ -212,8 +217,15 @@ def lsh_near_duplicates(
     key at the lake layer.
     """
     all_planes = hyperplanes(dim, n_bands * planes_per_band, seed)
-    with_norm = embeddings.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), norm(F.col(vec_col)).alias("nrm")
+    # materialize the (vid, vec, nrm) frame once (r17 — same fix as the
+    # adaptive variant): the HOF signature folds AND both verify sides
+    # consumed it, so the scan + norm pass ran up to three times.
+    with_norm = materialize_once(
+        embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("nrm"),
+        )
     )
     band_sigs = [
         F.expr(
@@ -233,12 +245,32 @@ def lsh_near_duplicates(
             )
         ).alias("bs"),
     ).select("vid", "bs.band", "bs.sig")
-    a = stacked.select(F.col("band"), F.col("sig"), F.col("vid").alias("id_a"))
-    b = stacked.select(F.col("band"), F.col("sig"), F.col("vid").alias("id_b"))
+    # pair generation INSIDE buckets (r17 — the r16 adaptive-variant
+    # lesson applied to the fixed-width form): the (band, sig)-keyed
+    # self-join's two sides carried different aliases, so no exchange
+    # reuse fired and the whole per-plane HOF signature pipeline
+    # executed once per side. Buckets are N/2^planes_per_band-sized by
+    # the banding construction; same pairs, one signature pass.
     cand = (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        stacked.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("vid")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda y: F.struct(
+                                x.alias("id_a"), y.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     va = with_norm.select(

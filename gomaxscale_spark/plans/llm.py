@@ -7132,7 +7132,15 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pref_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import preference as PF
 
-    cmp_ = _pref_comparisons(t(spark, sf_dir, "documents"))
+    # materialize the comparisons once (r17 optimization round, guide
+    # §2.4): the two label legs each re-derived the even/odd digest
+    # join — four documents scans + two md5 passes per invocation; the
+    # artifact is (pair_id, winner, winner_alt) rows only.
+    cmp_ = materialize_once(
+        _pref_comparisons(t(spark, sf_dir, "documents")).select(
+            "pair_id", "winner", "winner_alt"
+        )
+    )
     return PF.annotator_agreement(
         cmp_.select("pair_id", F.col("winner").alias("label")),
         cmp_.select("pair_id", F.col("winner_alt").alias("label")),
