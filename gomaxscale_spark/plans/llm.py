@@ -4122,7 +4122,6 @@ def release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r13, VERDICT r12 item 4) — the contamination base and the LM leg
     # below share the same materialized artifact.
     tokd = _tokenized_documents(spark, sf_dir)
-    base = _contamination_base(spark, sf_dir, tokd)
     probes_t = tokd.filter(F.col("doc_id") % 10 == 0)
     corpus_t = tokd.filter(F.col("doc_id") % 10 != 0)
     rows = dsir_token_buckets_from_hashes(
@@ -4132,11 +4131,37 @@ def release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         4096,
         carry=("__t",),
     )
-    bstats = materialize_once(
-        rows.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("rc"), F.sum("__t").alias("tc")
-        )
-    )
+    # OVERLAP the two independent checkpoint chains (r17 optimization
+    # round, guide §2.6 "overlap independent jobs"): the DSIR LM-stats
+    # materialization and the contamination base's LSH-leg chain
+    # (band rows → candidates → shingle sets) both depend only on the
+    # already-materialized tokd, so the LM agg runs on a driver thread
+    # while the LSH chain's barriers execute — sequential job walls
+    # become max() instead of sum(). InheritableThread propagates the
+    # JVM-side job-group/description thread-locals per the Spark docs;
+    # the exception (if any) is re-raised on join so failures keep the
+    # entry's synchronous contract.
+    from pyspark import InheritableThread
+
+    _bstats_box: dict = {}
+
+    def _materialize_bstats() -> None:
+        try:
+            _bstats_box["frame"] = materialize_once(
+                rows.groupBy("bucket").agg(
+                    F.count(F.lit(1)).alias("rc"), F.sum("__t").alias("tc")
+                )
+            )
+        except BaseException as exc:  # re-raised on the caller thread
+            _bstats_box["error"] = exc
+
+    _th = InheritableThread(target=_materialize_bstats)
+    _th.start()
+    base = _contamination_base(spark, sf_dir, tokd)
+    _th.join()
+    if "error" in _bstats_box:
+        raise _bstats_box["error"]
+    bstats = _bstats_box["frame"]
     method = "dsir_logweight_per_token"
     lm_sig = dsir_score_against_lm(
         probes_t,
@@ -7132,15 +7157,15 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pref_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import preference as PF
 
-    # materialize the comparisons once (r17 optimization round, guide
-    # §2.4): the two label legs each re-derived the even/odd digest
-    # join — four documents scans + two md5 passes per invocation; the
-    # artifact is (pair_id, winner, winner_alt) rows only.
-    cmp_ = materialize_once(
-        _pref_comparisons(t(spark, sf_dir, "documents")).select(
-            "pair_id", "winner", "winner_alt"
-        )
-    )
+    # NOT materialized (r17 optimization round, measured and rejected):
+    # checkpointing the comparisons to stop the two label legs
+    # re-deriving the even/odd digest join REGRESSED at sf0.1 (1.00 →
+    # 1.03 s) AND at the x30 replica (0.95 → 1.22 s) — the pruned
+    # (id, n_chars, md5) recompute is cheaper than the checkpoint
+    # write+read+barrier at every scale tried, unlike the delta join
+    # in decontaminate_incremental_delta (which carries text and won
+    # ~9% at both scales).
+    cmp_ = _pref_comparisons(t(spark, sf_dir, "documents"))
     return PF.annotator_agreement(
         cmp_.select("pair_id", F.col("winner").alias("label")),
         cmp_.select("pair_id", F.col("winner_alt").alias("label")),
