@@ -4157,8 +4157,12 @@ def release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _th = InheritableThread(target=_materialize_bstats)
     _th.start()
-    base = _contamination_base(spark, sf_dir, tokd)
-    _th.join()
+    try:
+        base = _contamination_base(spark, sf_dir, tokd)
+    finally:
+        # join unconditionally: a base-construction failure must not
+        # leave the stats job running past this frame's lifetime
+        _th.join()
     if "error" in _bstats_box:
         raise _bstats_box["error"]
     bstats = _bstats_box["frame"]
